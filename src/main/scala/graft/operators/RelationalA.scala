@@ -1,0 +1,518 @@
+package graft.operators
+
+import graft.{Exact, Q, Tables, Module}
+import graft.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2.A — relational / EDA core.
+  *
+  * Re-expresses the reference's pandas EDA surface
+  * (`notebooks/eda_processing.ipynb`: describe/value_counts/quantiles/
+  * corr/crosstab, boolean-mask filters, merges, concat, train_test_split)
+  * as declarative Spark plans: groupBy/agg with partial aggregation,
+  * broadcast joins for dims, window functions, TakeOrdered for top-k.
+  * Every aggregate follows the [[graft.Exact]] decimal recipe so results
+  * hash-match the DuckDB oracle bit-for-bit.
+  */
+object RelationalA extends Module {
+
+  // q01 — grouped aggregation (pandas df.groupby().agg). One shuffle on the
+  // group keys; all sums are partial-aggregable decimals (map-side combine).
+  private val q01 = Q(
+    "q01_agg",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(27, 6))).cast("double").as("sum_disc_price"),
+          (sumd(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  // q02 — predicate + projection; filter and the 5-column ReadSchema reach
+  // the parquet scan (PushedFilters on l_shipdate / l_returnflag).
+  private val q02 = Q(
+    "q02_filter_project",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  // q03 — multi-way join + aggregate (pd.merge chain). customer joins
+  // broadcast (dim side ≤ millions of rows at any SF); lineitem⋈orders
+  // shuffles once on orderkey; AQE free to re-plan at runtime.
+  private val q03 = Q(
+    "q03_join_agg",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(27, 6))).cast("double").as("revenue"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  )
+
+  // q04 — explicit broadcast join of a filtered dim (part): no shuffle of
+  // the fact side at all; the filter prunes the build side before broadcast.
+  private val q04 = Q(
+    "q04_broadcast_join",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(27, 6))).cast("double").as("promo_revenue"),
+          sumd(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  )
+
+  // q05 — window functions (pandas rank / cumsum): one shuffle on
+  // o_custkey serves both windows; running sum is exact decimal so frame
+  // evaluation order can't change the result. ROWS frame + unique tiebreak
+  // key makes rows fully deterministic.
+  private val q05 = Q(
+    "q05_window",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val wRank = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(col("o_orderkey"), col("o_custkey"),
+          rank().over(wRank).cast("long").as("price_rank"),
+          sum(d6(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
+  // q06 — df.describe(): one single-pass partial aggregation computes
+  // count/sum/sum² /min/max for all columns, then a driver-free stack()
+  // unpivots to long form. mean/std are fixed IEEE expressions over exact
+  // decimal sums (stddev_samp, ddof=1, matching pandas).
+  private val describeCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val q06 = Q(
+    "q06_describe",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      // std goes through the same 1e-3 integer-grid quantization as q10
+      // (exact integer sums, no double→decimal ambiguity, cancellation-safe);
+      // the grid factor divides back out of the final IEEE expression.
+      def qz(c: String): Column = round(col(c) * lit(1000.0)).cast(DecimalType(19, 0))
+      val aggs = describeCols.flatMap { c =>
+        Seq(
+          count(lit(1)).as(s"${c}_cnt"),
+          sumd(col(c)).as(s"${c}_sx"),
+          sum(qz(c)).cast("double").as(s"${c}_sxq"),
+          sum(qz(c) * qz(c)).cast("double").as(s"${c}_sxxq"),
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"))
+      }
+      val a = l.agg(aggs.head, aggs.tail: _*)
+      val stacked = describeCols.map { c =>
+        val n = col(s"${c}_cnt").cast("double")
+        a.select(
+          lit(c).as("col_name"),
+          col(s"${c}_cnt").as("cnt"),
+          (col(s"${c}_sx") / n).as("mean"),
+          (sqrt((col(s"${c}_sxxq") - (col(s"${c}_sxq") * col(s"${c}_sxq")) / n) / (n - lit(1.0))) / lit(1000.0)).as("std"),
+          col(s"${c}_min").as("min_v"),
+          col(s"${c}_max").as("max_v"))
+      }
+      stacked.reduce(_.unionAll(_)).orderBy("col_name")
+    },
+    Some {
+      def qz(c: String) = s"CAST(ROUND($c*1000.0) AS DECIMAL(19,0))"
+      val parts = describeCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS cnt,
+           |  ${sqlSumd(c)} / CAST(COUNT(*) AS DOUBLE) AS mean,
+           |  SQRT((CAST(SUM(${qz(c)} * ${qz(c)}) AS DOUBLE) - (CAST(SUM(${qz(c)}) AS DOUBLE) * CAST(SUM(${qz(c)}) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000.0 AS std,
+           |  MIN($c) AS min_v, MAX($c) AS max_v FROM lineitem""".stripMargin
+      }
+      parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
+  )
+
+  /** Exact linear-interpolation quantiles (pandas `quantile` semantics) for
+    * one column: rank with row_number, pick the two bracketing order
+    * statistics, interpolate with a fixed IEEE expression. The global sort
+    * is inherent to *exact* quantiles (the reference's RemoveOutliers.fit,
+    * processing.py:47-55); the 100 TB path is approx_percentile — same
+    * call-shape, documented in SURVEY §4.
+    */
+  private def quantileDf(df: DataFrame, c: String, qs: Seq[Double])(implicit s: SparkSession): DataFrame = {
+    val x = df.select(col(c).as("x"))
+    val ranked = x.withColumn("rn", row_number().over(Window.orderBy("x")))
+    val cnt = x.agg(count(lit(1)).cast("double").as("cnt"))
+    import s.implicits._
+    val probe = qs.toDF("q").crossJoin(cnt)
+      .withColumn("h", col("q") * (col("cnt") - lit(1.0)))
+      .withColumn("rlo", floor(col("h")).cast("long") + lit(1L))
+      .withColumn("rhi", least(floor(col("h")).cast("long") + lit(2L), col("cnt").cast("long")))
+    val lo = ranked.select(col("rn").as("rn_lo"), col("x").as("x_lo"))
+    val hi = ranked.select(col("rn").as("rn_hi"), col("x").as("x_hi"))
+    probe.join(lo, col("rlo") === col("rn_lo"))
+      .join(hi, col("rhi") === col("rn_hi"))
+      .select(lit(c).as("col_name"), col("q"),
+        (col("x_lo") + (col("x_hi") - col("x_lo")) * (col("h") - floor(col("h")))).as("value"))
+  }
+
+  private def quantileSql(table: String, c: String, qs: Seq[Double]): String = {
+    val qList = qs.map(q => s"SELECT CAST($q AS DOUBLE) AS q").mkString(" UNION ALL ")
+    s"""SELECT '$c' AS col_name, q, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value
+       |FROM (
+       |  SELECT q, q * (cnt - 1.0) AS h, CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+       |    LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+       |  FROM ($qList) qs, (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM $table) n
+       |) h
+       |JOIN (SELECT $c AS x_lo, ROW_NUMBER() OVER (ORDER BY $c) AS rn_lo FROM $table) lo ON rlo = rn_lo
+       |JOIN (SELECT $c AS x_hi, ROW_NUMBER() OVER (ORDER BY $c) AS rn_hi FROM $table) hi ON rhi = rn_hi""".stripMargin
+  }
+
+  private val q07 = Q(
+    "q07_quantiles",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val l = Tables.lineitem(s, d)
+      val qs = Seq(0.25, 0.5, 0.75)
+      quantileDf(l, "l_quantity", qs)
+        .unionAll(quantileDf(l, "l_extendedprice", qs))
+        .orderBy("col_name", "q")
+    },
+    Some(
+      quantileSql("lineitem", "l_quantity", Seq(0.25, 0.5, 0.75)) +
+        "\nUNION ALL\n" +
+        quantileSql("lineitem", "l_extendedprice", Seq(0.25, 0.5, 0.75)) +
+        "\nORDER BY col_name, q")
+  )
+
+  // q08 — IQR winsorize (RemoveOutliers.transform, processing.py:57-63):
+  // two-phase — tiny quantile aggregate broadcast to a narrow map stage
+  // (no wide shuffle of the fact table).
+  private val q08 = Q(
+    "q08_outlier_clip",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val l = Tables.lineitem(s, d)
+      val qdf = quantileDf(l, "l_extendedprice", Seq(0.25, 0.75))
+      val bounds = qdf.agg(
+          max(when(col("q") === lit(0.25), col("value"))).as("q1"),
+          max(when(col("q") === lit(0.75), col("value"))).as("q3"))
+        .select(
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("r"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("l_b"))
+      l.crossJoin(broadcast(bounds))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_extendedprice") > col("r"), col("r"))
+            .when(col("l_extendedprice") < col("l_b"), col("l_b"))
+            .otherwise(col("l_extendedprice")).as("clipped_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val qsql = quantileSql("lineitem", "l_extendedprice", Seq(0.25, 0.75))
+      s"""WITH quant AS ($qsql),
+         |b AS (
+         |  SELECT q3 + 1.5 * (q3 - q1) AS r, q1 - 1.5 * (q3 - q1) AS l_b FROM (
+         |    SELECT MAX(CASE WHEN q = 0.25 THEN value END) AS q1,
+         |           MAX(CASE WHEN q = 0.75 THEN value END) AS q3 FROM quant)
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN l_extendedprice > r THEN r
+         |       WHEN l_extendedprice < l_b THEN l_b
+         |       ELSE l_extendedprice END AS clipped_price
+         |FROM lineitem, b
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }
+  )
+
+  // q09 — value_counts(normalize=True): group + count, proportion against
+  // a broadcast 1-row total (no second shuffle).
+  private val q09 = Q(
+    "q09_value_counts",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val total = o.agg(count(lit(1)).as("total"))
+      o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .select(col("o_orderpriority"), col("cnt"),
+          (col("cnt").cast("double") / col("total").cast("double")).as("proportion"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+      |  CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders) AS proportion
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY cnt DESC, o_orderpriority""".stripMargin)
+  )
+
+  // q10 — Pearson correlation matrix (EDA corr heatmap). NOT Spark's
+  // streaming corr (order-dependent co-moments). Inputs are quantized to a
+  // fixed 1e-3 grid (ROUND(x*1000) — half-away-from-zero in both engines),
+  // so every sum / sum-of-products is *exact integer* arithmetic in
+  // DECIMAL(38,0): bit-identical across engines with no double→decimal
+  // rounding ambiguity, and the (cancellation-heavy) corr formula then
+  // evaluates identical IEEE doubles on both sides. Single pass, one
+  // partial-aggregable reduce; corr is scale-invariant so the grid drops out.
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val q10 = Q(
+    "q10_corr",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      def qz(c: String): Column = round(col(c) * lit(1000.0)).cast(DecimalType(19, 0))
+      val pairs = for {
+        i <- corrCols.indices; j <- corrCols.indices if i < j
+      } yield (corrCols(i), corrCols(j))
+      val aggs = corrCols.map(c => sum(qz(c)).cast("double").as(s"s_$c")) ++
+        corrCols.map(c => sum(qz(c) * qz(c)).cast("double").as(s"ss_$c")) ++
+        pairs.map { case (a, b) =>
+          sum(qz(a) * qz(b)).cast("double").as(s"sp_${a}_$b")
+        } :+ count(lit(1)).cast("double").as("n")
+      val a = l.agg(aggs.head, aggs.tail: _*)
+      val rows = pairs.map { case (x, y) =>
+        a.select(lit(x).as("col_x"), lit(y).as("col_y"),
+          ((col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+            (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+              sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")))).as("corr"))
+      }
+      rows.reduce(_.unionAll(_)).orderBy("col_x", "col_y")
+    },
+    Some {
+      def qz(c: String) = s"CAST(ROUND($c*1000.0) AS DECIMAL(19,0))"
+      def sd(c: String) = s"CAST(SUM(${qz(c)}) AS DOUBLE)"
+      def sp(a: String, b: String) = s"CAST(SUM(${qz(a)} * ${qz(b)}) AS DOUBLE)"
+      val pairs = for {
+        i <- corrCols.indices; j <- corrCols.indices if i < j
+      } yield (corrCols(i), corrCols(j))
+      val parts = pairs.map { case (x, y) =>
+        s"""SELECT '$x' AS col_x, '$y' AS col_y,
+           |  (CAST(COUNT(*) AS DOUBLE) * ${sp(x, y)} - ${sd(x)} * ${sd(y)}) /
+           |  (SQRT(CAST(COUNT(*) AS DOUBLE) * ${sp(x, x)} - ${sd(x)} * ${sd(x)}) *
+           |   SQRT(CAST(COUNT(*) AS DOUBLE) * ${sp(y, y)} - ${sd(y)} * ${sd(y)})) AS corr
+           |FROM lineitem""".stripMargin
+      }
+      parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    }
+  )
+
+  // q11 — pd.crosstab: contingency counts, dim join broadcast, pivot over
+  // the (known, enumerable) status domain.
+  private val q11 = Q(
+    "q11_crosstab",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  )
+
+  // q12 — null / "Missing" profile (isna().sum() + the reference's literal
+  // 'Missing' sentinel, processing.py:124): single-pass aggregate, long form.
+  private val q12 = Q(
+    "q12_null_profile",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val strCols = Set("c_name", "c_mktsegment")
+      val aggs = cols.flatMap { cc =>
+        Seq(
+          (count(lit(1)) - count(col(cc))).as(s"${cc}_nulls"),
+          (if (strCols(cc)) count(when(col(cc) === "Missing", 1))
+           else lit(0L)).as(s"${cc}_missing"))
+      }
+      val a = c.agg(aggs.head, aggs.tail: _*)
+      cols.map { cc =>
+        a.select(lit(cc).as("col_name"), col(s"${cc}_nulls").as("n_null"),
+          col(s"${cc}_missing").as("n_missing_label"))
+      }.reduce(_.unionAll(_)).orderBy("col_name")
+    },
+    Some {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val strCols = Set("c_name", "c_mktsegment")
+      val parts = cols.map { cc =>
+        val miss = if (strCols(cc)) s"COUNT(CASE WHEN $cc = 'Missing' THEN 1 END)"
+                   else "CAST(0 AS BIGINT)"
+        s"SELECT '$cc' AS col_name, COUNT(*) - COUNT($cc) AS n_null, $miss AS n_missing_label FROM customer"
+      }
+      parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
+  )
+
+  // q13 — top-k (nlargest): orderBy+limit compiles to TakeOrdered — each
+  // partition keeps k rows, no global sort materialization.
+  private val q13 = Q(
+    "q13_topk",
+    (s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)
+  )
+
+  // q14 — distinct / drop_duplicates: hash aggregate on the pair.
+  private val q14 = Q(
+    "q14_distinct",
+    (s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin)
+  )
+
+  // q15 — semi + anti join (pandas isin / ~isin masks): left_semi/left_anti
+  // never materialize the probe side's payload.
+  private val q15 = Q(
+    "q15_semi_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("with_orders").as("label"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("label"))
+      semi.unionAll(anti).orderBy("c_custkey", "label")
+    },
+    Some("""SELECT c_custkey, 'with_orders' AS label FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS label FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey, label""".stripMargin)
+  )
+
+  // q16 — pd.pivot_table with sum aggregation over an enumerable domain.
+  private val q16 = Q(
+    "q16_pivot",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumd(col("l_quantity")))
+        .select(col("l_returnflag"), col("F"), col("O"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "F",
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "O"
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
+  // q17 — union of conformed frames (pd.concat): narrow, no shuffle.
+  private val q17 = Q(
+    "q17_union",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
+      c.unionAll(su).orderBy("kind", "key")
+    },
+    Some("""SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+      |ORDER BY kind, key""".stripMargin)
+  )
+
+  // q18 — deterministic hash split (train_test_split with a fixed seed):
+  // multiplicative hash in exact int64 arithmetic, identical in any engine;
+  // narrow map + one small aggregate to audit the split.
+  private val q18 = Q(
+    "q18_split",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val bucket = (col("o_orderkey") * lit(2654435761L)) % 1000
+      o.select(when(bucket < 800, "train").otherwise("test").as("split"),
+          col("o_totalprice"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("sum_price"))
+        .orderBy("split")
+    },
+    Some("""SELECT CASE WHEN (o_orderkey * 2654435761) % 1000 < 800 THEN 'train' ELSE 'test' END AS split,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY split""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+}
