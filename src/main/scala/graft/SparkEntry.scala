@@ -7,7 +7,14 @@ object SparkEntry {
 
   /** All operator modules, in SURVEY §2 order. */
   def modules: Seq[Module] = Seq(
-    graft.operators.RelationalA
+    graft.operators.RelationalA,
+    graft.operators.PreprocessB,
+    graft.ml.MlC,
+    graft.dedup.DedupD,
+    graft.similarity.SimE,
+    graft.text.TextF,
+    graft.multimodal.MultimodalG,
+    graft.streaming.StreamingH
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

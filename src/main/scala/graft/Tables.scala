@@ -24,7 +24,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to microseconds
+    * (integer floor-division — exactly what DuckDB does when it narrows
+    * ns→µs, so oracle timestamps match bit-for-bit).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

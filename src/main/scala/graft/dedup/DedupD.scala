@@ -1,0 +1,126 @@
+package graft.dedup
+
+import graft.{Q, Tables, Module}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.D — deduplication over `documents` / `embeddings`.
+  *
+  * The synthetic corpus has no planted duplicates, so the pair-producing
+  * operators are exercised two ways: (1) the oracle-checked queries below
+  * emit the deterministic *artifacts* of each pipeline stage (content
+  * hashes, LSH buckets, SimHash bands, bounded pairwise scores) so the
+  * driver hash-verifies the distributed computation; (2) DedupSpec plants
+  * real near-duplicates and asserts the end-to-end pair finders recover
+  * exactly them.
+  */
+object DedupD extends Module {
+
+  // dd_exact — exact dedup by content hash: one shuffle on the 128-bit
+  // hash (at 100 TB this is the only full-data shuffle dedup needs); keeps
+  // min doc_id per group, counts copies.
+  private val ddExact = Q(
+    "dd_exact",
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_md5")
+    },
+    Some("""SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin)
+  )
+
+  // dd_minhash — MinHash/LSH pipeline artifact: per-document band buckets
+  // (the shuffle key of candidate generation). Pair recovery on planted
+  // dupes is asserted in DedupSpec.
+  private val ddMinhash = Q(
+    "dd_minhash",
+    (s, d) => {
+      val sig = Dedup.withMinhashSig(Dedup.withShingles(Tables.documents(s, d), "text"))
+      Dedup.lshBuckets(sig, "doc_id", bands = 16, rowsPerBand = 4)
+        .orderBy("doc_id", "band_idx")
+    },
+    None
+  )
+
+  // dd_simhash — 64-bit SimHash signatures + band keys (hamming-candidate
+  // shuffle keys); planted-dup recovery in DedupSpec.
+  private val ddSimhash = Q(
+    "dd_simhash",
+    (s, d) => {
+      Dedup.withSimhash(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("simhash"),
+          expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)").as("bands"))
+        .select(col("doc_id"), col("simhash"),
+          col("bands").getItem(0).as("band0"), col("bands").getItem(1).as("band1"),
+          col("bands").getItem(2).as("band2"), col("bands").getItem(3).as("band3"))
+        .orderBy("doc_id")
+    },
+    None
+  )
+
+  // dd_ngram_jaccard — exact word-3-gram Jaccard on a bounded candidate
+  // set (doc_id < 40 pairs stands in for LSH candidates so DuckDB can
+  // verify the set arithmetic bit-for-bit).
+  private val ddNgramJaccard = Q(
+    "dd_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+      val ng = Dedup.withWordNgrams(docs, "text")
+        .select(col("doc_id"), col("ngrams"))
+      val a = ng.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"))
+      val b = ng.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+            size(array_union(col("ng_a"), col("ng_b"))).cast("double")).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngrams
+      |  FROM documents WHERE doc_id < 40)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.ngrams, b.ngrams))) AS DOUBLE) AS jaccard
+      |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  // dd_embed_cosine — embedding-cosine near-dup pairs over a bounded
+  // subset, exact integer-grid cosine (threshold 0.3 yields real pairs in
+  // this corpus; at scale candidates would come from sim_lsh buckets).
+  private val ddEmbedCosine = Q(
+    "dd_embed_cosine",
+    (s, d) => {
+      val e = graft.similarity.Similarity.withQuantized(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100), "embedding")
+        .select(col("vec_id"), col("qvec"), col("qnorm"))
+      val a = e.select(col("vec_id").as("id_a"), col("qvec").as("qa"), col("qnorm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("qvec").as("qb"), col("qnorm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.similarity.Similarity.cosineQ(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings WHERE vec_id < 100),
+      |n AS (SELECT vec_id, SUM(qv * qv) AS nq FROM q GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.qv * b.qv) AS dot
+      |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
+      |FROM dots JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+      |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgramJaccard, ddEmbedCosine)
+}

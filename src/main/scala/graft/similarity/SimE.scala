@@ -1,0 +1,73 @@
+package graft.similarity
+
+import graft.{Q, Tables, Module}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.E — similarity search over `embeddings` (64-dim float).
+  * Queries = vec_id < 10, corpus = the rest; k = 5.
+  */
+object SimE extends Module {
+
+  private def split(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.embeddings(s, d)
+    (e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10))
+  }
+
+  // sim_brute_topk — exact cosine top-k, oracle-checked bit-for-bit
+  // (integer-grid cosine + deterministic tiebreak).
+  private val simBrute = Q(
+    "sim_brute_topk",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SUM(qv * qv) AS nq FROM q GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id, SUM(a.qv * b.qv) AS dot
+      |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, corpus_id,
+      |    CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
+      |  FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = corpus_id),
+      |ranked AS (
+      |  SELECT query_id, corpus_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, cosine, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  )
+
+  // sim_lsh_topk — sign-LSH bucketed ANN with hamming≤1 multiprobe;
+  // rows-checked here, recall vs brute force asserted in SimilaritySpec.
+  private val simLsh = Q(
+    "sim_lsh_topk",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      Similarity.lshTopK(q, c, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    None
+  )
+
+  // sim_ivf_topk — IVF: k-means coarse quantizer (seeded, trained on the
+  // corpus — at 100 TB on a sample) + nprobe=3 probing; rows-checked, recall
+  // asserted in SimilaritySpec.
+  private val simIvf = Q(
+    "sim_ivf_topk",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      Ivf.ivfTopK(q, c, "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 3)
+        .orderBy("query_id", "rank")
+    },
+    None
+  )
+
+  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf)
+}

@@ -1,0 +1,100 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over embedding columns
+  * (SURVEY §2.E).
+  *
+  * Scale shape: the query set is small and broadcast; the corpus is only
+  * scanned (brute) or bucket-pruned (LSH/IVF) — no corpus self-shuffle.
+  * Cosines follow the integer-grid recipe (float→double is exact, ×1e6 is
+  * exact, ROUND is half-away-from-zero in both engines), so dot products
+  * and norms are exact BIGINT sums and the final cosine is a deterministic
+  * IEEE expression — bit-identical to the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Exact integer image of an embedding on the 1e-6 grid. */
+  def quantized(embCol: Column): Column =
+    transform(embCol, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic cosine between two quantized vectors. */
+  def cosineQ(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    dotL(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Adds `qvec` (quantized) and `qnorm` (exact |qvec|²) columns. */
+  def withQuantized(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("qvec", quantized(col(embCol)))
+      .withColumn("qnorm", dotL(col("qvec"), col("qvec")))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set across one
+    * corpus scan, rank per query. The window partitions by query id so the
+    * rank shuffle is size |queries|·|corpus-matches|, never corpus².
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    val q = withQuantized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
+    val c = withQuantized(corpus, embCol)
+      .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"), col("qnorm").as("c_qnorm"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"),
+        cosineQ(col("q_qvec"), col("c_qvec"), col("q_qnorm"), col("c_qnorm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id from nBits hyperplane sign bits. */
+  def lshBucket(embCol: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(embCol, typedLit(p), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH ANN top-k with hamming≤1 multiprobe: each query touches
+    * (nBits+1)/2^nBits of the corpus instead of all of it.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nBits: Int = 6, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val c = withQuantized(corpus, embCol)
+      .withColumn("bucket", lshBucket(col(embCol), planes))
+      .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"),
+        col("qnorm").as("c_qnorm"), col("bucket"))
+    val probes = Seq(-1) ++ (0 until nBits)
+    val q = withQuantized(queries, embCol)
+      .withColumn("bucket0", lshBucket(col(embCol), planes))
+      .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"),
+        col("qnorm").as("q_qnorm"),
+        explode(array(probes.map {
+          case -1 => col("bucket0")
+          case j => col("bucket0").bitwiseXOR(lit(1L << j))
+        }: _*)).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        cosineQ(col("q_qvec"), col("c_qvec"), col("q_qnorm"), col("c_qnorm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+}

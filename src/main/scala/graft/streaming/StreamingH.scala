@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.{Q, Tables, Module}
+import graft.Exact._
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** SURVEY §2.H — event-stream operators over `events`.
+  *
+  * Each operator has two twins sharing semantics: a *batch* plan (below,
+  * oracle-checked by DuckDB) and a *Structured Streaming* plan
+  * ([[Streaming]]) exercised with MemoryStream in StreamingSpec. The
+  * batch window-agg transform is literally the same code applied to a
+  * streaming DataFrame; sessionization swaps the lag/cumsum window for
+  * flatMapGroupsWithState with an event-time gap timeout so state is
+  * bounded per user and expires at the watermark.
+  */
+object StreamingH extends Module {
+
+  // st_window_agg — tumbling 1h window × event_type: one shuffle, partial
+  // aggregation; in streaming the same plan runs incrementally with a
+  // watermark bounding state.
+  private val stWindowAgg = Q(
+    "st_window_agg",
+    (s, d) => Streaming.windowAgg(Tables.events(s, d))
+      .orderBy("window_start", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+  )
+
+  // st_sessionize — 30-minute-gap sessions per user: batch twin is a
+  // single shuffle on user_id feeding both lag() and the running session
+  // counter; deterministic tiebreak on event_id.
+  private val stSessionize = Q(
+    "st_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH s AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sid AS (
+      |  SELECT user_id, ts, CAST(SUM(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM s)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize)
+}
+
+/** Streaming-capable transforms (work on both batch and streaming frames)
+  * plus the stateful streaming sessionizer.
+  */
+object Streaming {
+
+  /** Tumbling 1h window × event_type aggregate; same plan batch/stream. */
+  def windowAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming twin of windowAgg. */
+  def windowAggStream(events: DataFrame): DataFrame =
+    windowAgg(events.withWatermark("ts", "2 hours"))
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessAcc(start: Long, end: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: per-user state
+    * is one open session; a 30-min event-time gap (or state timeout at the
+    * watermark) closes and emits it. State is O(users), expiring — the
+    * 100 TB streaming shape.
+    */
+  def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessAcc], Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, evs: Iterator[SessEvent], state: GroupState[List[SessAcc]]) =>
+          // java.sql.Timestamp carries ms in getTime and the full
+          // fractional second in getNanos — keep microsecond precision
+          def us(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+          def ts(u: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp((u / 1000000L) * 1000L)
+            t.setNanos(((u % 1000000L) * 1000L).toInt)
+            t
+          }
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil)
+              .map(a => Session(userId, ts(a.start), ts(a.end), a.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var open = state.getOption.getOrElse(Nil).headOption
+            val closed = scala.collection.mutable.ListBuffer[SessAcc]()
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(a) if t - a.end <= gapUs =>
+                  open = Some(SessAcc(a.start, math.max(a.end, t), a.n + 1))
+                case Some(a) =>
+                  closed += a
+                  open = Some(SessAcc(t, t, 1))
+                case None =>
+                  open = Some(SessAcc(t, t, 1))
+              }
+            }
+            open.foreach { a =>
+              state.update(List(a))
+              state.setTimeoutTimestamp(a.end / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.iterator.map(a => Session(userId, ts(a.start), ts(a.end), a.n))
+          }
+      }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.text
+
+import graft.{Q, Tables, Module}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.F — text analysis over `documents` (LLM-pipeline mandate).
+  *
+  * All ops are narrow maps over the text column (no shuffle): language ID
+  * by stopword profile, quality scoring, tokenization counts, content
+  * fingerprinting, shingle statistics. Counting is integer-exact so the
+  * DuckDB oracles hash-match; ratio outputs are fixed IEEE expressions.
+  */
+object TextF extends Module {
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "los", "y", "las", "de"),
+    "fr" -> Seq("le", "et", "les", "des", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  private def tokens: Column = split(lower(col("text")), " ")
+
+  private def stopCount(words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
+
+  private def stopCountSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(",")
+    s"len(list_filter(string_split(lower(text), ' '), x -> x IN ($list)))"
+  }
+
+  // tx_lang_id — stopword-profile language ID. Argmax over per-language
+  // token-hit counts with a fixed tiebreak chain (alphabetical language
+  // order), all integer arithmetic.
+  private val txLangId = Q(
+    "tx_lang_id",
+    (s, d) => {
+      var df = Tables.documents(s, d)
+      for ((lang, words) <- stopwords)
+        df = df.withColumn(s"s_$lang", stopCount(words))
+      val langs = stopwords.map(_._1)
+      val pred = langs.foldRight(lit(langs.last)) { (lang, acc) =>
+        val isMax = langs.filter(_ != lang)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(acc)
+      }
+      df.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
+        .orderBy("doc_id")
+    },
+    Some {
+      val langs = stopwords.map(_._1)
+      val scores = stopwords
+        .map { case (l, ws) => s"${stopCountSql(ws)} AS s_$l" }.mkString(",\n    ")
+      val chain = langs.dropRight(1).map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM documents)
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE $chain ELSE '${langs.last}' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  // tx_quality — document quality score from length / punctuation /
+  // stopword / word-length ratios (the standard pretraining heuristics);
+  // a single fixed IEEE expression over integer counts.
+  private val txQuality = Q(
+    "tx_quality",
+    (s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_c", length(col("text")).cast("long"))
+        .withColumn("n_w", size(tokens).cast("long"))
+        .withColumn("n_punct",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+        .withColumn("n_stop", stopCount(stopwords.toMap.apply("en")))
+        .select(col("doc_id"), col("n_c"), col("n_w"),
+          (col("n_punct").cast("double") / col("n_c").cast("double")).as("punct_ratio"),
+          (col("n_stop").cast("double") / col("n_w").cast("double")).as("stop_ratio"),
+          ((col("n_c").cast("double") - (col("n_w").cast("double") - lit(1.0))) / col("n_w").cast("double")).as("avg_word_len"))
+        .withColumn("quality_score",
+          lit(0.3) * least(lit(1.0), col("n_c").cast("double") / lit(500.0)) +
+            lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.2) * col("stop_ratio") +
+            lit(0.2) * least(lit(1.0), col("avg_word_len") / lit(8.0)))
+        .orderBy("doc_id")
+    },
+    Some {
+      val en = stopCountSql(stopwords.toMap.apply("en"))
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_c,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_w,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST($en AS BIGINT) AS n_stop
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_c, n_w,
+         |    CAST(n_punct AS DOUBLE) / CAST(n_c AS DOUBLE) AS punct_ratio,
+         |    CAST(n_stop AS DOUBLE) / CAST(n_w AS DOUBLE) AS stop_ratio,
+         |    (CAST(n_c AS DOUBLE) - (CAST(n_w AS DOUBLE) - 1.0)) / CAST(n_w AS DOUBLE) AS avg_word_len
+         |  FROM c)
+         |SELECT doc_id, n_c, n_w, punct_ratio, stop_ratio, avg_word_len,
+         |  0.3 * LEAST(1.0, CAST(n_c AS DOUBLE) / 500.0) +
+         |  0.3 * (1.0 - punct_ratio) +
+         |  0.2 * stop_ratio +
+         |  0.2 * LEAST(1.0, avg_word_len / 8.0) AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  // tx_token_count — whitespace tokens + regex word tokens (the BPE-ish
+  // pre-token count used for data budgeting).
+  private val txTokenCount = Q(
+    "tx_token_count",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("n_word_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  // tx_fingerprint — md5 + 64-ish-bit polynomial rolling hash
+  // (base 31 mod 1e9+7). Exact modular integer arithmetic, so the Spark
+  // Horner evaluation and the DuckDB power-sum evaluation provably agree.
+  // The O(n) Horner loop runs inside codegen via the `aggregate` HOF.
+  private val txFingerprint = Q(
+    "tx_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+            "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("poly_hash"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE pows(e, p) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e + 1, (p * 31) % 1000000007 FROM pows
+      |  WHERE e < (SELECT MAX(length(text)) FROM documents)
+      |),
+      |chars AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    unnest(generate_series(1, length(text))) AS i
+      |  FROM documents
+      |)
+      |SELECT c.doc_id, MIN(md5(c.text)) AS md5_hex,
+      |  CAST(SUM(CAST(ascii(substr(c.text, c.i, 1)) AS BIGINT) * p.p) % 1000000007 AS BIGINT) AS poly_hash
+      |FROM chars c JOIN pows p ON p.e = c.n - c.i
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+  )
+
+  // tx_shingles — distinct character-3-gram count (the MinHash input
+  // statistic): per-row list pipeline, integer output.
+  private val txShingles = Q(
+    "tx_shingles",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(transform(
+            sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+            i => col("text").substr(i, lit(3))))).cast("long").as("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(len(list_distinct(list_transform(
+      |    generate_series(1, greatest(length(text) - 2, 1)),
+      |    i -> substr(text, i, 3)))) AS BIGINT) AS n_shingles
+      |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint, txShingles)
+}

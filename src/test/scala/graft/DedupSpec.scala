@@ -1,0 +1,61 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val vocab = Seq("spark", "query", "join", "filter", "window", "table",
+      "scan", "merge", "sort", "hash", "group", "batch", "stream", "row",
+      "column", "vector", "index", "cache", "shuffle", "partition")
+    def doc(): String = Seq.fill(60)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, doc()))
+    val d0 = base.head._2
+    val planted = Seq(
+      (100L, d0),                                    // exact dup of doc 0
+      (101L, d0.replace("spark", "flink")),          // near dup of doc 0/100
+      (102L, base(1)._2),                            // exact dup of doc 1
+      (103L, base(1)._2 + " extra tail words here")) // near dup of doc 1/102
+    (base ++ planted).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH recovers planted near-duplicates and nothing else") {
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((1L, 102L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((0L, 101L)) || pairs.contains((100L, 101L)),
+      s"missed near dup of 0/100: $pairs")
+    assert(pairs.contains((1L, 103L)) || pairs.contains((102L, 103L)),
+      s"missed near dup of 1/102: $pairs")
+    // no random-doc false positives at this threshold
+    val falsePos = pairs.filter { case (a, b) => a < 30 && b < 30 }
+    assert(falsePos.isEmpty, s"false positives: $falsePos")
+  }
+
+  test("simhash recovers exact and near duplicates") {
+    val pairs = Dedup.simhashNearDups(corpus, "text", "doc_id", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((1L, 102L)), s"missed exact dup: $pairs")
+  }
+
+  test("exact-dup hamming distance is zero; distinct docs differ") {
+    val sims = Dedup.withSimhash(corpus, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) === sims(100L))
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(5L)) > 6)
+  }
+
+  test("jaccard of identical docs is 1.0") {
+    import spark.implicits._
+    val pairs = Seq((0L, 100L)).toDF("id_a", "id_b")
+    val shingled = Dedup.withShingles(corpus, "text")
+    val j = Dedup.jaccardVerify(pairs, shingled, "doc_id").head.getDouble(2)
+    assert(j === 1.0)
+  }
+}
