@@ -18,24 +18,38 @@ import org.apache.spark.sql.functions._
 object Dedup {
   val P: Long = 2147483647L
 
-  /** Distinct character k-shingle set per document (narrow map). */
+  /** Distinct character k-shingle set per document (narrow map; fanned
+    * out first so the per-document shingle transform parallelizes past
+    * single-row-group inputs).
+    */
   def withShingles(df: DataFrame, textCol: String, k: Int = 5): DataFrame =
-    df.withColumn("shingles",
+    graft.Exact.fanout(df).withColumn("shingles",
       array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
         i => col(textCol).substr(i, lit(k)))))
 
-  /** Pre-hashed shingles (one xxhash64 per shingle, reused by all perms). */
-  private def hashedShingles: Column =
-    transform(col("shingles"), s => pmod(xxhash64(s), lit(P)))
-
-  /** MinHash signature: numHashes universal-hash minima per document. */
-  def withMinhashSig(df: DataFrame, numHashes: Int = 64): DataFrame =
-    df.withColumn("hs", hashedShingles)
-      .withColumn("sig", transform(sequence(lit(0), lit(numHashes - 1)),
-        j => array_min(transform(col("hs"),
-          x => pmod((j * 2 + 1) * x + j * lit(12345L), lit(P))))))
-      .drop("hs")
+  /** MinHash signature per document: (idCol, sig[numHashes]).
+    *
+    * Shape matters: shingles are EXPLODED to (doc, shingle-hash) rows and
+    * the minima come from one groupBy with numHashes partial-aggregable
+    * `min`s. A nested-lambda formulation (array_min inside transform)
+    * re-evaluates the shingle-hash array once per outer element after
+    * Catalyst collapses projections — measured ~1000× redundant work, all
+    * in a single task. The explode+agg plan hashes each shingle once,
+    * combines map-side, and parallelizes past single-file inputs via the
+    * aggregation shuffle.
+    */
+  def minhashSig(shingled: DataFrame, idCol: String, numHashes: Int = 64): DataFrame = {
+    val exploded = graft.Exact.fanout(shingled)
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
+    val minCols = (0 until numHashes).map(j =>
+      min(pmod(lit(j * 2 + 1) * col("x") + lit(j * 12345L), lit(P))).as(s"mh_$j"))
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(j => col(s"mh_$j")): _*).as("sig"))
+  }
 
   /** LSH banding: (doc, band_idx, band_hash) rows; equal band_hash within
     * a band ⇒ candidate. bands*rowsPerBand must equal the signature length.
@@ -69,28 +83,37 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val shingled = withShingles(df, textCol)
-    val sig = withMinhashSig(shingled, numHashes)
+    val sig = minhashSig(shingled, idCol, numHashes)
     val pairs = candidatePairs(lshBuckets(sig, idCol, bands, numHashes / bands), idCol)
     jaccardVerify(pairs, shingled, idCol).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens. Bit assembly uses shifts/ors
-    * only (no ANSI-overflowing arithmetic).
+  /** 64-bit SimHash over whitespace tokens: (idCol, simhash).
+    *
+    * Same explode+agg shape as minhashSig — each token is hashed once and
+    * the 64 per-bit vote counts are partial-aggregable sums; the final
+    * bit assembly is shifts/ors over the aggregated votes (no
+    * ANSI-overflowing arithmetic, no per-element re-evaluation).
     */
-  def withSimhash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("tokens", split(col(textCol), " "))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, k) ->
-          |  acc | shiftleft(CASE WHEN
-          |    aggregate(tokens, 0, (a, t) ->
-          |      a + CASE WHEN (xxhash64(t) >> k) & 1 = 1 THEN 1 ELSE -1 END) >= 0
-          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, k))""".stripMargin))
-      .drop("tokens")
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = graft.Exact.fanout(df)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map(k =>
+      sum(when(shiftrightunsigned(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b_$k"))
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(k =>
+          when(col(s"b_$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
 
   /** Near-dup pairs by SimHash: band-bucket candidates + hamming verify. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sim = withSimhash(df, textCol).select(col(idCol), col("simhash"))
+    val sim = simhash(df, textCol, idCol)
     val bands = sim.select(col(idCol),
         posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)")))
       .toDF(idCol, "band_idx", "band_val")

@@ -36,7 +36,7 @@ object DedupD extends Module {
   private val ddMinhash = Q(
     "dd_minhash",
     (s, d) => {
-      val sig = Dedup.withMinhashSig(Dedup.withShingles(Tables.documents(s, d), "text"))
+      val sig = Dedup.minhashSig(Dedup.withShingles(Tables.documents(s, d), "text"), "doc_id")
       Dedup.lshBuckets(sig, "doc_id", bands = 16, rowsPerBand = 4)
         .orderBy("doc_id", "band_idx")
     },
@@ -48,7 +48,7 @@ object DedupD extends Module {
   private val ddSimhash = Q(
     "dd_simhash",
     (s, d) => {
-      Dedup.withSimhash(Tables.documents(s, d), "text")
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("simhash"),
           expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)").as("bands"))
         .select(col("doc_id"), col("simhash"),

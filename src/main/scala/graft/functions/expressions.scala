@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom codegen'd Catalyst expressions (SURVEY §2.I).
+  *
+  * These replace higher-order-function chains in the hot paths:
+  *  - [[PolyHash]]: O(n) Horner rolling hash over a string's bytes — the
+  *    `aggregate(sequence(...))` formulation re-walks the string per
+  *    character (O(n²) via substring) and allocates per step.
+  *  - [[DotLong]]: dot product of two quantized (long) vectors — the
+  *    `aggregate(zip_with(...))` formulation materializes an intermediate
+  *    array per row.
+  *
+  * Both generate branch-free Java loops inside whole-stage codegen and
+  * keep the exact integer semantics the DuckDB oracles verify.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  final val Base = 31L
+  final val Mod = 1000000007L
+
+  /** Horner rolling hash over the UTF-8 bytes (== code points for the
+    * ASCII corpus, matching the oracle's ascii(substr(...)) power sum).
+    */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * Base + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    DotLong.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotLong.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Registration: either install [[GraftExtensions]] via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftFunctions.register]] on an existing session (idempotent).
+  */
+object GraftFunctions {
+  private[functions] def entries = Seq(
+    (FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => PolyHash(args.head)),
+    (FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
+      (args: Seq[Expression]) => DotLong(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.entries.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

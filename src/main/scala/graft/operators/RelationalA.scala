@@ -19,27 +19,38 @@ import org.apache.spark.sql.types.DecimalType
   */
 object RelationalA extends Module {
 
-  // q01 — grouped aggregation (pandas df.groupby().agg). One shuffle on the
-  // group keys; all sums are partial-aggregable decimals (map-side combine).
+  // q01 — grouped aggregation (pandas df.groupby().agg). Two-level grid
+  // sum: level 1 groups by (keys, partition-id) with LONG partial sums —
+  // whole-stage-codegen primitive adds, map-side combined, overflow-safe
+  // within a partition's bounded row count; level 2 merges the tiny
+  // partial set exactly in DECIMAL(38,0). One data shuffle (the level-2
+  // exchange carries partitions×groups rows). DuckDB's flat hugeint sum
+  // over the same grid integers yields the identical total.
   private val q01 = Q(
     "q01_agg",
     (s, d) => {
-      val l = Tables.lineitem(s, d)
-      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      val l = Exact.fanout(Tables.lineitem(s, d))
+      val l1 = l.groupBy(col("l_returnflag"), col("l_linestatus"),
+          spark_partition_id().as("_pid"))
         .agg(
-          sumd(col("l_quantity")).as("sum_qty"),
-          sumd(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(27, 6))).cast("double").as("sum_disc_price"),
-          (sumd(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
-          count(lit(1)).as("count_order"))
+          sum(Exact.qzl(col("l_quantity"), 1000.0)).as("p_sq"),
+          sum(Exact.qzl(col("l_extendedprice"), 1000.0)).as("p_sb"),
+          sum(Exact.qzl(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000.0)).as("p_sd"),
+          count(lit(1)).as("p_n"))
+      l1.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.mergeGrid(col("p_sq"), 1000.0).as("sum_qty"),
+          Exact.mergeGrid(col("p_sb"), 1000.0).as("sum_base_price"),
+          Exact.mergeGrid(col("p_sd"), 1000000.0).as("sum_disc_price"),
+          (Exact.mergeGrid(col("p_sq"), 1000.0) / sum(col("p_n")).cast("double")).as("avg_qty"),
+          sum(col("p_n")).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
-    Some("""SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      |  ${sqlSumg("l_quantity", "1000.0")} AS sum_qty,
+      |  ${sqlSumg("l_extendedprice", "1000.0")} AS sum_base_price,
+      |  ${sqlSumg("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", "1000000.0")} AS sum_disc_price,
+      |  ${sqlSumg("l_quantity", "1000.0")} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
@@ -72,21 +83,30 @@ object RelationalA extends Module {
   private val q03 = Q(
     "q03_join_agg",
     (s, d) => {
-      val l = Tables.lineitem(s, d)
+      val l = Exact.fanout(Tables.lineitem(s, d))
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
+      // countDistinct(orderkey) forces a (segment, orderkey) expansion
+      // anyway, so make it explicit: level 1 groups by (segment, orderkey)
+      // with LONG grid partial sums (≤7 lineitems/order ⇒ no overflow at
+      // any scale), level 2 merges exactly in decimal and the distinct
+      // count degenerates to a plain count. Same shuffle count as the
+      // implicit expand, but primitive-add partials.
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("l_orderkey"))
+        .agg(
+          sum(Exact.qzl(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000.0)).as("p_rev"),
+          count(lit(1)).as("p_n"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(27, 6))).cast("double").as("revenue"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows"))
+          Exact.mergeGrid(col("p_rev"), 1000000.0).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          sum(col("p_n")).as("n_rows"))
         .orderBy("c_mktsegment")
     },
-    Some("""SELECT c_mktsegment,
-      |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+    Some(s"""SELECT c_mktsegment,
+      |  ${sqlSumg("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", "1000000.0")} AS revenue,
       |  COUNT(DISTINCT l_orderkey) AS n_orders,
       |  COUNT(*) AS n_rows
       |FROM lineitem
@@ -100,20 +120,24 @@ object RelationalA extends Module {
   private val q04 = Q(
     "q04_broadcast_join",
     (s, d) => {
-      val l = Tables.lineitem(s, d)
+      val l = Exact.fanout(Tables.lineitem(s, d))
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), spark_partition_id().as("_pid"))
+        .agg(
+          sum(Exact.qzl(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000.0)).as("p_rev"),
+          sum(Exact.qzl(col("l_quantity"), 1000.0)).as("p_sq"),
+          count(lit(1)).as("p_n"))
         .groupBy(col("p_brand"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(27, 6))).cast("double").as("promo_revenue"),
-          sumd(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n_rows"))
+          Exact.mergeGrid(col("p_rev"), 1000000.0).as("promo_revenue"),
+          Exact.mergeGrid(col("p_sq"), 1000.0).as("sum_qty"),
+          sum(col("p_n")).as("n_rows"))
         .orderBy("p_brand")
     },
-    Some("""SELECT p_brand,
-      |  CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS promo_revenue,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+    Some(s"""SELECT p_brand,
+      |  ${sqlSumg("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", "1000000.0")} AS promo_revenue,
+      |  ${sqlSumg("l_quantity", "1000.0")} AS sum_qty,
       |  COUNT(*) AS n_rows
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_type = 'PROMO'
@@ -168,10 +192,12 @@ object RelationalA extends Module {
           min(col(c)).as(s"${c}_min"),
           max(col(c)).as(s"${c}_max"))
       }
-      val a = l.agg(aggs.head, aggs.tail: _*)
-      val stacked = describeCols.map { c =>
+      // single scan: all four columns' moments in one aggregate, unpivoted
+      // from the 1-row result (union-of-selects would scan 4×)
+      val a = Exact.fanout(l).agg(aggs.head, aggs.tail: _*)
+      val rows = describeCols.map { c =>
         val n = col(s"${c}_cnt").cast("double")
-        a.select(
+        struct(
           lit(c).as("col_name"),
           col(s"${c}_cnt").as("cnt"),
           (col(s"${c}_sx") / n).as("mean"),
@@ -179,7 +205,7 @@ object RelationalA extends Module {
           col(s"${c}_min").as("min_v"),
           col(s"${c}_max").as("max_v"))
       }
-      stacked.reduce(_.unionAll(_)).orderBy("col_name")
+      a.select(inline(array(rows: _*))).orderBy("col_name")
     },
     Some {
       def qz(c: String) = s"CAST(ROUND($c*1000.0) AS DECIMAL(19,0))"
@@ -312,36 +338,58 @@ object RelationalA extends Module {
   // rounding ambiguity, and the (cancellation-heavy) corr formula then
   // evaluates identical IEEE doubles on both sides. Single pass, one
   // partial-aggregable reduce; corr is scale-invariant so the grid drops out.
-  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  // Per-column quantization grids for correlation moments: chosen so every
+  // |qz| ≤ 6e5 ⇒ products ≤ 3.6e11 ⇒ per-partition LONG sums stay exact at
+  // any realistic partition size (5M rows ⇒ 1.8e18 < 2^63). Pearson corr
+  // is invariant under per-column linear scaling, so the grids cancel.
+  // discount/tax/quantity grids are exact for this fixed-point data;
+  // extendedprice rounds to 1.0 units (corr perturbation ~1e-5, and the
+  // oracle applies the identical definition).
+  private val corrCols = Seq(
+    ("l_quantity", 1000.0), ("l_extendedprice", 1.0),
+    ("l_discount", 100000.0), ("l_tax", 100000.0))
   private val q10 = Q(
     "q10_corr",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      def qz(c: String): Column = round(col(c) * lit(1000.0)).cast(DecimalType(19, 0))
+      def qz(cg: (String, Double)): Column = Exact.qzl(col(cg._1), cg._2)
       val pairs = for {
         i <- corrCols.indices; j <- corrCols.indices if i < j
       } yield (corrCols(i), corrCols(j))
-      val aggs = corrCols.map(c => sum(qz(c)).cast("double").as(s"s_$c")) ++
-        corrCols.map(c => sum(qz(c) * qz(c)).cast("double").as(s"ss_$c")) ++
-        pairs.map { case (a, b) =>
-          sum(qz(a) * qz(b)).cast("double").as(s"sp_${a}_$b")
-        } :+ count(lit(1)).cast("double").as("n")
-      val a = l.agg(aggs.head, aggs.tail: _*)
-      val rows = pairs.map { case (x, y) =>
-        a.select(lit(x).as("col_x"), lit(y).as("col_y"),
+      // level 1: LONG moment sums per input partition (codegen primitive
+      // adds, one scan); level 2: exact decimal merge of ≤ partitions rows.
+      val l1aggs = corrCols.map(c => sum(qz(c)).as(s"p_s_${c._1}")) ++
+        corrCols.map(c => sum(qz(c) * qz(c)).as(s"p_ss_${c._1}")) ++
+        pairs.map { case (a, b) => sum(qz(a) * qz(b)).as(s"p_sp_${a._1}_${b._1}") } :+
+        count(lit(1)).as("p_n")
+      val l1 = Exact.fanout(l).groupBy(spark_partition_id().as("_pid"))
+        .agg(l1aggs.head, l1aggs.tail: _*)
+      def m(a: String) = sum(col(a).cast(DecimalType(38, 0))).cast("double")
+      val l2aggs = corrCols.map(c => m(s"p_s_${c._1}").as(s"s_${c._1}")) ++
+        corrCols.map(c => m(s"p_ss_${c._1}").as(s"ss_${c._1}")) ++
+        pairs.map { case (a, b) => m(s"p_sp_${a._1}_${b._1}").as(s"sp_${a._1}_${b._1}") } :+
+        sum(col("p_n")).cast("double").as("n")
+      val a = l1.agg(l2aggs.head, l2aggs.tail: _*)
+      // the 6 matrix cells unpivot from the single aggregated row via
+      // inline(array(struct...)) — a union of per-pair selects would
+      // re-scan the fact table once per pair.
+      val cells = pairs.map { case ((x, _), (y, _)) =>
+        struct(lit(x).as("col_x"), lit(y).as("col_y"),
           ((col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
             (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
               sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")))).as("corr"))
       }
-      rows.reduce(_.unionAll(_)).orderBy("col_x", "col_y")
+      a.select(inline(array(cells: _*))).orderBy("col_x", "col_y")
     },
     Some {
-      def qz(c: String) = s"CAST(ROUND($c*1000.0) AS DECIMAL(19,0))"
+      val g = corrCols.toMap
+      def qz(c: String) = s"CAST(ROUND($c*${g(c)}) AS BIGINT)"
       def sd(c: String) = s"CAST(SUM(${qz(c)}) AS DOUBLE)"
       def sp(a: String, b: String) = s"CAST(SUM(${qz(a)} * ${qz(b)}) AS DOUBLE)"
+      val names = corrCols.map(_._1)
       val pairs = for {
-        i <- corrCols.indices; j <- corrCols.indices if i < j
-      } yield (corrCols(i), corrCols(j))
+        i <- names.indices; j <- names.indices if i < j
+      } yield (names(i), names(j))
       val parts = pairs.map { case (x, y) =>
         s"""SELECT '$x' AS col_x, '$y' AS col_y,
            |  (CAST(COUNT(*) AS DOUBLE) * ${sp(x, y)} - ${sd(x)} * ${sd(y)}) /

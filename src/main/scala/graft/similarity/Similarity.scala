@@ -20,17 +20,24 @@ object Similarity {
   def quantized(embCol: Column): Column =
     transform(embCol, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
 
+  /** Exact long dot product via the custom codegen expression
+    * [[graft.functions.DotLong]] (tight primitive loop, no intermediate
+    * zip array per row). Callers must have registered GraftFunctions —
+    * [[withQuantized]] does.
+    */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("graft_dot_long", a, b)
 
   /** Deterministic cosine between two quantized vectors. */
   def cosineQ(qa: Column, qb: Column, na: Column, nb: Column): Column =
     dotL(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Adds `qvec` (quantized) and `qnorm` (exact |qvec|²) columns. */
-  def withQuantized(df: DataFrame, embCol: String): DataFrame =
+  def withQuantized(df: DataFrame, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.withColumn("qvec", quantized(col(embCol)))
       .withColumn("qnorm", dotL(col("qvec"), col("qvec")))
+  }
 
   /** Brute-force cosine top-k: broadcast the (small) query set across one
     * corpus scan, rank per query. The window partitions by query id so the

@@ -28,7 +28,7 @@ object StreamingH extends Module {
       .orderBy("window_start", "event_type"),
     Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
   )
 
@@ -77,10 +77,15 @@ object StreamingH extends Module {
   */
 object Streaming {
 
-  /** Tumbling 1h window × event_type aggregate; same plan batch/stream. */
+  /** Tumbling 1h window × event_type aggregate; same plan batch/stream.
+    * Single-level long grid sum (codegen primitive adds): event values are
+    * O(100), so even 10^13 rows per window-group stay within int64 —
+    * streaming also can't chain two aggregations, so no level-2 here.
+    */
   def windowAgg(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.Exact.qzl(col("value"), 1000.0)).cast("double") / lit(1000.0)).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -133,18 +133,19 @@ object TextF extends Module {
       |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  // tx_fingerprint — md5 + 64-ish-bit polynomial rolling hash
-  // (base 31 mod 1e9+7). Exact modular integer arithmetic, so the Spark
-  // Horner evaluation and the DuckDB power-sum evaluation provably agree.
-  // The O(n) Horner loop runs inside codegen via the `aggregate` HOF.
+  // tx_fingerprint — md5 + polynomial rolling hash (base 31 mod 1e9+7).
+  // Exact modular integer arithmetic, so the Spark Horner evaluation and
+  // the DuckDB power-sum evaluation provably agree. The Horner loop is the
+  // custom codegen expression graft.functions.PolyHash — O(n) bytes, no
+  // per-character substring walk.
   private val txFingerprint = Q(
     "tx_fingerprint",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(col("text")).as("md5_hex"),
-          expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
-            "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("poly_hash"))
+          expr("graft_poly_hash(text)").as("poly_hash"))
         .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE pows(e, p) AS (

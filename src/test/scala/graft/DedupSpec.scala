@@ -44,7 +44,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("exact-dup hamming distance is zero; distinct docs differ") {
-    val sims = Dedup.withSimhash(corpus, "text")
+    val sims = Dedup.simhash(corpus, "text", "doc_id")
       .select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sims(0L) === sims(100L))

@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.{GraftFunctions, PolyHash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class FunctionsSpec extends SparkSpec {
+
+  test("graft_poly_hash equals the HOF Horner formulation") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val both = docs.select(
+      expr("graft_poly_hash(text)").as("fast"),
+      expr("aggregate(sequence(1, length(text)), CAST(0 AS BIGINT), " +
+        "(acc, i) -> (acc * 31 + ascii(substring(text, i, 1))) % 1000000007)").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+  }
+
+  test("poly_hash scalar matches a hand-rolled reference") {
+    val s = "abc"
+    val expected = (('a'.toLong * 31 + 'b') * 31 + 'c') % 1000000007L
+    assert(PolyHash.hash(UTF8String.fromString(s)) === expected)
+    assert(PolyHash.hash(UTF8String.fromString("")) === 0L)
+  }
+
+  test("graft_dot_long equals the zip_with formulation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)), (Seq(-2L, 7L), Seq(3L, 1L)))
+      .toDF("a", "b")
+    val both = df.select(
+      call_function("graft_dot_long", col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+    assert(both.head.getLong(0) === 32L)
+  }
+}
