@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.{Q, Tables, Module}
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY §2.I — sources/sinks: explicit-schema readers (no runtime
+  * inference pass over 100 TB), semi-structured JSON parsing, and the
+  * bucketed/partitioned parquet writers that make downstream joins
+  * co-located.
+  */
+object Sources {
+
+  /** CSV with a pinned schema: a schema-inference pass is a full extra
+    * scan at scale, and silently drifting types break plan stability.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines with a pinned schema (PERMISSIVE: corrupt rows → nulls). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parse a JSON string column into typed fields (events.props). */
+  def withJsonField(df: DataFrame, jsonCol: String, fieldSchema: String): DataFrame =
+    df.withColumn("_parsed", from_json(col(jsonCol), StructType.fromDDL(fieldSchema)))
+      .select(df.columns.map(col) :+ col("_parsed.*"): _*)
+
+  /** Hive-style partitioned parquet: downstream filters on the partition
+    * column become directory pruning (zero data read for pruned values).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table: joins/aggregations on the bucket key become
+    * shuffle-free (both sides pre-hashed into the same bucket layout).
+    * Bucketing requires a catalog table, hence saveAsTable.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
+/** q19 — semi-structured extraction: events.props JSON → typed column,
+  * then a grouped aggregate over the extracted field. from_json with an
+  * explicit field schema is codegen'd and single-pass.
+  */
+object SourcesI extends Module {
+  private val q19 = Q(
+    "q19_json_extract",
+    (s, d) => {
+      val e = Sources.withJsonField(Tables.events(s, d), "props", "k BIGINT")
+      e.filter(col("k").isNotNull && col("k") >= 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q19)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.SkewJoin
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+
+  test("explicit-schema csv round-trips without inference") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE")
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.schema === schema)
+    assert(back.count() === 2)
+  }
+
+  test("withJsonField extracts typed props") {
+    val e = Sources.withJsonField(Tables.events(spark, sf), "props", "k BIGINT")
+    assert(e.columns.contains("k"))
+    assert(e.filter(col("k").isNotNull).count() > 0)
+  }
+
+  test("partitioned parquet write prunes by partition value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Sources.writePartitioned(
+      Tables.events(spark, sf).withColumn("etype", col("event_type")),
+      dir, Seq("etype"))
+    val back = spark.read.parquet(dir).filter(col("etype") === "click")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(back.count() > 0)
+    assert(scan.contains("PartitionFilters: [isnotnull(etype"), scan)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val l = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = l.join(o, Seq("l_orderkey")).count()
+    val salted = SkewJoin.saltedEquiJoin(l, o, "l_orderkey", salts = 8)
+    assert(salted.count() === plain)
+    val sums = salted.agg(sum("o_totalprice")).head.getDouble(0)
+    val plainSums = l.join(o, Seq("l_orderkey")).agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(sums - plainSums) < 1e-6 * math.abs(plainSums))
+  }
+}
