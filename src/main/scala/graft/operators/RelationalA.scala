@@ -231,14 +231,20 @@ object RelationalA extends Module {
     val ranked = x.withColumn("rn", row_number().over(Window.orderBy("x")))
     val cnt = x.agg(count(lit(1)).cast("double").as("cnt"))
     import s.implicits._
-    val probe = qs.toDF("q").crossJoin(cnt)
+    val probe = qs.toDF("q").crossJoin(broadcast(cnt))
       .withColumn("h", col("q") * (col("cnt") - lit(1.0)))
       .withColumn("rlo", floor(col("h")).cast("long") + lit(1L))
       .withColumn("rhi", least(floor(col("h")).cast("long") + lit(2L), col("cnt").cast("long")))
-    val lo = ranked.select(col("rn").as("rn_lo"), col("x").as("x_lo"))
-    val hi = ranked.select(col("rn").as("rn_hi"), col("x").as("x_hi"))
-    probe.join(lo, col("rlo") === col("rn_lo"))
-      .join(hi, col("rhi") === col("rn_hi"))
+    // ONE pass over the ranked data: pull just the ≤2·|qs| bracketing
+    // order statistics via a broadcast semi-join on the needed ranks,
+    // then stitch them back onto the probes (tiny⋈tiny). A lo/hi
+    // self-join of `ranked` would sort the fact table twice.
+    val needed = probe.select(explode(array(col("rlo"), col("rhi"))).as("rn")).distinct()
+    val vals = ranked.join(broadcast(needed), "rn")
+    val lo = vals.select(col("rn").as("rn_lo"), col("x").as("x_lo"))
+    val hi = vals.select(col("rn").as("rn_hi"), col("x").as("x_hi"))
+    probe.join(broadcast(lo), col("rlo") === col("rn_lo"))
+      .join(broadcast(hi), col("rhi") === col("rn_hi"))
       .select(lit(c).as("col_name"), col("q"),
         (col("x_lo") + (col("x_hi") - col("x_lo")) * (col("h") - floor(col("h")))).as("value"))
   }
