@@ -93,6 +93,23 @@ object Streaming {
   def windowAggStream(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
 
+  /** File-source streaming read of the events table: the production
+    * `readStream → transform → writeStream` path. The nanos-timestamp
+    * parquet reads as LONG (same legacy conf as the batch loader) and is
+    * narrowed to microseconds identically.
+    */
+  def eventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

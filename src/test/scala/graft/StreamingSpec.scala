@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream windowAgg matches the batch twin") {
+    val q = Streaming.windowAggStream(Streaming.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("fswa")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fswa")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.windowAgg(batchEvents)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
