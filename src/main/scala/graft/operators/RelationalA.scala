@@ -567,6 +567,55 @@ object RelationalA extends Module {
       |FROM orders GROUP BY 1 ORDER BY split""".stripMargin)
   )
 
+  // q31 — fixed-width histogram (the EDA notebooks' hist plots): two-phase
+  // min/max fit broadcast into a narrow binning map + one count shuffle.
+  private val q31 = Q(
+    "q31_histogram",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val nbins = 20
+      val f = l.agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      Exact.fanout(l).crossJoin(broadcast(f))
+        .select(least(floor((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")) * lit(nbins.toDouble)).cast("long"),
+          lit(nbins - 1L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    Some("""WITH f AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+      |SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / (hi - lo) * 20.0) AS BIGINT), 19) AS bin,
+      |  COUNT(*) AS n
+      |FROM lineitem, f GROUP BY bin ORDER BY bin""".stripMargin)
+  )
+
+  // q32 — groupwise standardization (pandas groupby().transform): one
+  // shuffle on the group key serves the unordered window aggregates
+  // (integer-grid exact mean/std per group, ddof=0) and the narrow z-map.
+  private val q32 = Q(
+    "q32_group_zscore",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+      val sx = sum(Exact.qzl(col("c_acctbal"), 1000.0)).over(w).cast("double")
+      val sxx = sum(Exact.qzl(col("c_acctbal"), 1000.0) * Exact.qzl(col("c_acctbal"), 1000.0)).over(w).cast("double")
+      val n = count(lit(1)).over(w).cast("double")
+      val mu = sx / n / lit(1000.0)
+      val sigma = sqrt((sxx - (sx * sx) / n) / n) / lit(1000.0)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ((col("c_acctbal") - mu) / sigma).as("acctbal_z"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH g AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) OVER w AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT) * CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) OVER w AS DOUBLE) AS sxx,
+      |    CAST(COUNT(*) OVER w AS DOUBLE) AS n
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment))
+      |SELECT c_custkey, c_mktsegment,
+      |  (c_acctbal - sx / n / 1000.0) / (SQRT((sxx - (sx * sx) / n) / n) / 1000.0) AS acctbal_z
+      |FROM g ORDER BY c_custkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32)
 }
