@@ -75,12 +75,43 @@ object MultimodalG extends Module {
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample)
 }
 
-/** Decode stub boundary: the signature a real media decoder would slot
-  * into (mapInPandas/mapPartitions at scale); deterministic fake here
-  * because the container ships no codecs (per the round brief).
+/** Decode stub boundary: the partition-level plumbing a real media
+  * decoder slots into (the Scala analog of mapInPandas — one iterator per
+  * partition so the decoder amortizes per-batch setup: codec contexts,
+  * model weights, pinned buffers). The decode itself is a deterministic
+  * fake because the container ships no codecs (per the round brief);
+  * swapping [[MediaDecode.decodeStub]] for a real JNI/FFmpeg call changes
+  * nothing about schema, partitioning, or batch shape.
   */
 object MediaDecode {
+  /** Typed output row of the decode stage. */
+  case class Decoded(doc_id: Long, width: Int, height: Int, channels: Int,
+      n_bytes: Long, byte_mean: Double)
+
   /** payload bytes → (width, height, n_channels) — stubbed. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) =
     (64 + payload.length % 64, 64 + (payload.length / 64) % 64, 3)
+
+  /** Batch decode: narrow mapPartitions over (id, payload) rows. The
+    * "feature" (mean byte value) stands in for the embedding/pixel stats
+    * a real decoder would emit.
+    */
+  def decodeBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+      payloadCol: String): org.apache.spark.sql.Dataset[Decoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would happen here (decoder init, buffers)
+        it.map { case (id, bytes) =>
+          val (w, h, c) = decodeStub(bytes)
+          var s = 0L
+          var i = 0
+          while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+          val mean = if (bytes.length == 0) 0.0 else s.toDouble / bytes.length
+          Decoded(id, w, h, c, bytes.length.toLong, mean)
+        }
+      }
+  }
 }
