@@ -236,15 +236,16 @@ object RelationalA extends Module {
       .withColumn("rlo", floor(col("h")).cast("long") + lit(1L))
       .withColumn("rhi", least(floor(col("h")).cast("long") + lit(2L), col("cnt").cast("long")))
     // ONE pass over the ranked data: pull just the ≤2·|qs| bracketing
-    // order statistics via a broadcast semi-join on the needed ranks,
-    // then stitch them back onto the probes (tiny⋈tiny). A lo/hi
-    // self-join of `ranked` would sort the fact table twice.
+    // order statistics via a broadcast semi-join on the needed ranks.
+    // `vals` (and with it the expensive global sort) is referenced exactly
+    // once — Spark re-executes unexchanged subtrees per reference, so a
+    // lo/hi self-join of `ranked` would sort the fact table twice.
     val needed = probe.select(explode(array(col("rlo"), col("rhi"))).as("rn")).distinct()
     val vals = ranked.join(broadcast(needed), "rn")
-    val lo = vals.select(col("rn").as("rn_lo"), col("x").as("x_lo"))
-    val hi = vals.select(col("rn").as("rn_hi"), col("x").as("x_hi"))
-    probe.join(broadcast(lo), col("rlo") === col("rn_lo"))
-      .join(broadcast(hi), col("rhi") === col("rn_hi"))
+    probe.join(broadcast(vals), col("rn") === col("rlo") || col("rn") === col("rhi"))
+      .groupBy(col("q"), col("h"))
+      .agg(max(when(col("rn") === col("rlo"), col("x"))).as("x_lo"),
+        max(when(col("rn") === col("rhi"), col("x"))).as("x_hi"))
       .select(lit(c).as("col_name"), col("q"),
         (col("x_lo") + (col("x_hi") - col("x_lo")) * (col("h") - floor(col("h")))).as("value"))
   }
