@@ -134,7 +134,7 @@ object MlC extends Module {
       |agg AS (
       |  SELECT COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos FROM l),
       |mj AS (
-      |  SELECT n, pos, CASE WHEN pos > n - pos THEN 1 ELSE 0 END AS majority FROM agg),
+      |  SELECT n, pos, CAST(CASE WHEN pos > n - pos THEN 1 ELSE 0 END AS BIGINT) AS majority FROM agg),
       |pr AS (
       |  SELECT n, pos, majority,
       |    CASE WHEN majority = 1 THEN CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
