@@ -197,5 +197,46 @@ object MlC extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlDummy, mlImputeModel, mlFinalPipeline)
+  // ml_mlp — the reference's Keras binary classifier (modeling.py Keras
+  // section) as MLlib's MultilayerPerceptronClassifier: same role, Spark's
+  // distributed L-BFGS instead of a single-node TF session.
+  private val mlMlp = Q(
+    "ml_mlp",
+    (s, d) => {
+      val (train, test) = split(customerFeatures(s, d))
+      val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+        .setLayers(Array(featCols.length, 8, 2))
+        .setMaxIter(30).setSeed(42L)
+      val model = new Pipeline().setStages(Array(assembler, mlp)).fit(train)
+      model.transform(test)
+        .select(col("c_custkey"), col("label"), col("prediction"))
+        .orderBy("c_custkey")
+    },
+    None
+  )
+
+  // ml_attrib — per-feature prediction attribution for the fitted linear
+  // model (exact "SHAP" for logreg: contribution_i = coef_i · x_i), the
+  // distributed analog of the reference's shap_force_plot.html.
+  private val mlAttrib = Q(
+    "ml_attrib",
+    (s, d) => {
+      val (train, test) = split(customerFeatures(s, d))
+      val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      val model = lr.fit(assembler.transform(train))
+      val coefs = model.coefficients.toArray
+      val intercept = model.intercept
+      val contribs = featCols.zip(coefs).map { case (f, w) =>
+        struct(lit(f).as("feature"), (col(f) * lit(w)).as("contribution"))
+      }
+      test.select(col("c_custkey"), lit(intercept).as("intercept"),
+          explode(array(contribs: _*)).as("c"))
+        .select(col("c_custkey"), col("c.feature"), col("c.contribution"), col("intercept"))
+        .orderBy("c_custkey", "feature")
+    },
+    None
+  )
+
+  override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlDummy, mlImputeModel,
+    mlFinalPipeline, mlMlp, mlAttrib)
 }

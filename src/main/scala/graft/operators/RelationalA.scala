@@ -617,6 +617,56 @@ object RelationalA extends Module {
       |FROM g ORDER BY c_custkey""".stripMargin)
   )
 
+  // q33 — grouped exact quantiles (the EDA boxplot-per-category): unlike
+  // the global q07 sort, the rank window partitions by the group key, so
+  // this is ONE ordinary shuffle that scales horizontally — the shape to
+  // prefer whenever quantiles are per-category. Bracketing order
+  // statistics come from a single broadcast OR-join, like q07.
+  private val q33 = Q(
+    "q33_group_quantiles",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val qs = Seq(0.25, 0.5, 0.75)
+      val ranked = l.select(col("l_returnflag").as("g"), col("l_quantity").as("x"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("x"))))
+      val counts = l.groupBy(col("l_returnflag").as("g"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val probe = counts
+        .select(col("g"), col("cnt"),
+          explode(array(qs.map(lit(_)): _*)).as("q"))
+        .withColumn("h", col("q") * (col("cnt") - lit(1.0)))
+        .withColumn("rlo", floor(col("h")).cast("long") + lit(1L))
+        .withColumn("rhi", least(floor(col("h")).cast("long") + lit(2L), col("cnt").cast("long")))
+      ranked.join(broadcast(probe.withColumnRenamed("g", "pg")),
+          col("g") === col("pg") && (col("rn") === col("rlo") || col("rn") === col("rhi")))
+        .groupBy(col("g"), col("q"), col("h"))
+        .agg(max(when(col("rn") === col("rlo"), col("x"))).as("x_lo"),
+          max(when(col("rn") === col("rhi"), col("x"))).as("x_hi"))
+        .select(col("g").as("l_returnflag"), col("q"),
+          (col("x_lo") + (col("x_hi") - col("x_lo")) * (col("h") - floor(col("h")))).as("value"))
+        .orderBy("l_returnflag", "q")
+    },
+    Some("""WITH r AS (
+      |  SELECT l_returnflag AS g, l_quantity AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn
+      |  FROM lineitem),
+      |n AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT g, cnt, q, q * (cnt - 1.0) AS h,
+      |    CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |    LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |  FROM n, (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL SELECT CAST(0.5 AS DOUBLE) UNION ALL SELECT CAST(0.75 AS DOUBLE)) qs),
+      |b AS (
+      |  SELECT p.g, p.q, p.h,
+      |    MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+      |    MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+      |  FROM r JOIN p ON r.g = p.g AND (r.rn = p.rlo OR r.rn = p.rhi)
+      |  GROUP BY p.g, p.q, p.h)
+      |SELECT g AS l_returnflag, q, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value
+      |FROM b ORDER BY l_returnflag, q""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33)
 }
