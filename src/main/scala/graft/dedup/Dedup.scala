@@ -40,9 +40,12 @@ object Dedup {
     * aggregation shuffle.
     */
   def minhashSig(shingled: DataFrame, idCol: String, numHashes: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
+    // shingle hash = graft_poly_hash (codegen Horner, value < 1e9+7 < P):
+    // engine-reproducible, so the signatures themselves are oracle-checkable
     val exploded = graft.Exact.fanout(shingled)
       .select(col(idCol), explode(col("shingles")).as("sh"))
-      .withColumn("x", pmod(xxhash64(col("sh")), lit(P)))
+      .withColumn("x", expr("graft_poly_hash(sh)"))
     val minCols = (0 until numHashes).map(j =>
       min(pmod(lit(j * 2 + 1) * col("x") + lit(j * 12345L), lit(P))).as(s"mh_$j"))
     exploded.groupBy(col(idCol))

@@ -30,17 +30,39 @@ object DedupD extends Module {
       |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin)
   )
 
-  // dd_minhash — MinHash/LSH pipeline artifact: per-document band buckets
-  // (the shuffle key of candidate generation). Pair recovery on planted
-  // dupes is asserted in DedupSpec.
+  // dd_minhash — the full 64-permutation MinHash signature per document,
+  // emitted long-form and ORACLE-CHECKED bit-for-bit: the shingle hash is
+  // graft_poly_hash (closed-form reproducible in SQL for fixed-width
+  // shingles), and each permutation is an affine map mod 2^31-1. Pair
+  // recovery on planted dupes is asserted in DedupSpec; band bucketing
+  // (Spark-murmur keys) rides on top of these signatures.
   private val ddMinhash = Q(
     "dd_minhash",
     (s, d) => {
       val sig = Dedup.minhashSig(Dedup.withShingles(Tables.documents(s, d), "text"), "doc_id")
-      Dedup.lshBuckets(sig, "doc_id", bands = 16, rowsPerBand = 4)
-        .orderBy("doc_id", "band_idx")
+      sig.select(col("doc_id"), posexplode(col("sig")))
+        .toDF("doc_id", "perm", "minhash")
+        .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
+        .orderBy("doc_id", "perm")
     },
-    None
+    Some("""WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(length(text) - 4, 1)),
+      |      i -> substr(text, i, 5)))) AS s
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    (CAST(ascii(substr(s,1,1)) AS BIGINT) * 923521 +
+      |     CAST(ascii(substr(s,2,1)) AS BIGINT) * 29791 +
+      |     CAST(ascii(substr(s,3,1)) AS BIGINT) * 961 +
+      |     CAST(ascii(substr(s,4,1)) AS BIGINT) * 31 +
+      |     CAST(ascii(substr(s,5,1)) AS BIGINT)) % 1000000007 AS x
+      |  FROM sh),
+      |j AS (SELECT unnest(generate_series(0, 63)) AS perm)
+      |SELECT doc_id, CAST(perm AS BIGINT) AS perm,
+      |  MIN(((2 * perm + 1) * x + 12345 * perm) % 2147483647) AS minhash
+      |FROM x, j GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin)
   )
 
   // dd_simhash — 64-bit SimHash signatures + band keys (hamming-candidate
