@@ -91,24 +91,38 @@ object Dedup {
     jaccardVerify(pairs, shingled, idCol).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: (idCol, simhash).
+  /** SimHash bit width: 30 bits from poly_hash(token) + 30 from
+    * poly_hash(reverse(token)) — both engine-reproducible (DuckDB computes
+    * the same values as power sums), which is what makes the signatures
+    * oracle-checkable. reverse() flips the Horner exponents, giving an
+    * independent second hash for free.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over whitespace tokens: (idCol, simhash).
     *
-    * Same explode+agg shape as minhashSig — each token is hashed once and
-    * the 64 per-bit vote counts are partial-aggregable sums; the final
-    * bit assembly is shifts/ors over the aggregated votes (no
-    * ANSI-overflowing arithmetic, no per-element re-evaluation).
+    * Same explode+agg shape as minhashSig — each token is hashed once
+    * (twice: forward + reversed) and the 60 per-bit vote counts are
+    * partial-aggregable sums; the final bit assembly is shifts/ors over
+    * the aggregated votes (no ANSI-overflowing arithmetic, no per-element
+    * re-evaluation).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val exploded = graft.Exact.fanout(df)
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(k =>
-      sum(when(shiftrightunsigned(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b_$k"))
+      .filter(length(col("t")) > 0) // empty tokens (trailing spaces) vote nothing
+      .withColumn("h1", expr("graft_poly_hash(t)"))
+      .withColumn("h2", expr("graft_poly_hash(reverse(t))"))
+    val votes = (0 until SimhashBits).map { k =>
+      val h = if (k < 30) col("h1") else col("h2")
+      sum(when(shiftrightunsigned(h, k % 30).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b_$k")
+    }
     exploded.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(k =>
+        (0 until SimhashBits).map(k =>
           when(col(s"b_$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
@@ -118,7 +132,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sim = simhash(df, textCol, idCol)
     val bands = sim.select(col(idCol),
-        posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)")))
+        posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 15) & 32767)")))
       .toDF(idCol, "band_idx", "band_val")
     val a = bands.toDF("id_a", "band_idx", "band_val")
     val b = bands.toDF("id_b", "band_idx", "band_val")

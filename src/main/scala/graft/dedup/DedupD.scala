@@ -65,20 +65,63 @@ object DedupD extends Module {
       |FROM x, j GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin)
   )
 
-  // dd_simhash — 64-bit SimHash signatures + band keys (hamming-candidate
-  // shuffle keys); planted-dup recovery in DedupSpec.
+  // dd_simhash — 60-bit SimHash signatures + 15-bit band keys
+  // (hamming-candidate shuffle keys), ORACLE-CHECKED bit-for-bit: the two
+  // 30-bit halves are poly hashes of each token forward and reversed,
+  // which DuckDB reproduces as Horner power sums. Planted-dup recovery in
+  // DedupSpec.
   private val ddSimhash = Q(
     "dd_simhash",
     (s, d) => {
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("simhash"),
-          expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 16) & 65535)").as("bands"))
+          expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 15) & 32767)").as("bands"))
         .select(col("doc_id"), col("simhash"),
           col("bands").getItem(0).as("band0"), col("bands").getItem(1).as("band1"),
           col("bands").getItem(2).as("band2"), col("bands").getItem(3).as("band3"))
         .orderBy("doc_id")
     },
-    None
+    Some("""WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS t,
+      |    unnest(generate_series(1, len(string_split(text, ' ')))) AS tp
+      |  FROM documents),
+      |pows(e, p) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e + 1, (p * 31) % 1000000007 FROM pows
+      |  WHERE e < (SELECT MAX(length(t)) FROM toks)
+      |),
+      |chars AS (
+      |  -- empty tokens produce no char rows and therefore no votes,
+      |  -- mirroring the Spark side's length>0 filter
+      |  SELECT doc_id, tp, t, length(t) AS n,
+      |    unnest(generate_series(1, length(t))) AS i
+      |  FROM toks),
+      |th AS (
+      |  SELECT c.doc_id, c.tp,
+      |    CAST(SUM(CAST(ascii(substr(c.t, c.i, 1)) AS BIGINT) * pf.p) % 1000000007 AS BIGINT) AS h1,
+      |    CAST(SUM(CAST(ascii(substr(c.t, c.i, 1)) AS BIGINT) * pr.p) % 1000000007 AS BIGINT) AS h2
+      |  FROM chars c
+      |  JOIN pows pf ON pf.e = c.n - c.i
+      |  JOIN pows pr ON pr.e = c.i - 1
+      |  GROUP BY c.doc_id, c.tp),
+      |votes AS (
+      |  SELECT doc_id, k.k,
+      |    SUM(CASE WHEN ((CASE WHEN k.k < 30 THEN h1 ELSE h2 END >> (k.k % 30)) & 1) = 1
+      |             THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(generate_series(0, 59)) AS k) k
+      |  GROUP BY doc_id, k.k),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)
+      |SELECT doc_id, simhash,
+      |  (simhash >> 0) & 32767 AS band0,
+      |  (simhash >> 15) & 32767 AS band1,
+      |  (simhash >> 30) & 32767 AS band2,
+      |  (simhash >> 45) & 32767 AS band3
+      |FROM sh ORDER BY doc_id""".stripMargin)
   )
 
   // dd_ngram_jaccard — exact word-3-gram Jaccard on a bounded candidate
