@@ -667,6 +667,73 @@ object RelationalA extends Module {
       |FROM b ORDER BY l_returnflag, q""".stripMargin)
   )
 
+  // q34 — argmax per group (pandas idxmax): deterministic via a rank
+  // window with an explicit tiebreak key; one shuffle on the group key.
+  private val q34 = Q(
+    "q34_argmax",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
+          col("o_totalprice").as("top_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+  )
+
+  // q35 — rollup subtotals (pd.pivot_table margins=True): one pass, Spark
+  // expands grouping sets; NULL marks subtotal rows on both sides (and
+  // both engines sort NULLS FIRST here, explicitly).
+  private val q35 = Q(
+    "q35_rollup",
+    (s, d) => {
+      Exact.fanout(Tables.lineitem(s, d))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(Exact.qzl(col("l_quantity"), 1000.0)).cast("double") / lit(1000.0)).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  )
+
+  // ap_distinct / ap_quantiles — the approximate 100 TB path (HLL++,
+  // GK-sketch): single-pass, fixed memory, no sort. rows-checked here;
+  // ApproxSpec bounds their error against the exact operators.
+  private val apDistinct = Q(
+    "ap_distinct",
+    (s, d) => {
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    },
+    None
+  )
+
+  private val apQuantiles = Q(
+    "ap_quantiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("p"))
+        .select(posexplode(col("p")))
+        .toDF("idx", "value")
+        .select(col("idx").cast("long").as("idx"), col("value"))
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
+    apDistinct, apQuantiles)
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error bounds for the approximate scale-path operators against their
+  * exact counterparts (SURVEY §4: approx_percentile / HLL are what replace
+  * the exact sort/distinct at 100 TB).
+  */
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct is within its configured rsd of exact") {
+    val l = Tables.lineitem(spark, sf)
+    val exact = l.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    val approx = SparkEntry.queries("ap_distinct")(spark, sf)
+      .head.getAs[Long]("approx_orders")
+    val err = math.abs(approx - exact).toDouble / exact
+    info(f"HLL err = $err%.4f (exact=$exact approx=$approx)")
+    assert(err <= 0.06, f"error $err%.4f exceeds 3x rsd")
+  }
+
+  test("approx quantiles track the exact quantiles") {
+    val approx = SparkEntry.queries("ap_quantiles")(spark, sf)
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val exact = SparkEntry.queries("q07_quantiles")(spark, sf)
+      .filter(col("col_name") === "l_extendedprice")
+      .orderBy("q").collect().map(_.getDouble(2))
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e <= 0.02, s"approx $a vs exact $e")
+    }
+  }
+}
