@@ -733,7 +733,44 @@ object RelationalA extends Module {
     None
   )
 
+  // q36 — wide→long unpivot (pd.melt, used 4× in the reference EDA):
+  // Spark's native unpivot — one narrow map, rows×values output, no
+  // shuffle until the output sort.
+  private val q36 = Q(
+    "q36_melt",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "variable", "value")
+        .orderBy("l_orderkey", "l_linenumber", "variable")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin)
+  )
+
+  // q37 — deterministic sampling (df.sample with a seed): hash-gated scan
+  // so the same rows are sampled on any engine/cluster shape — the
+  // reproducible alternative to RNG sampling for pipeline debugging.
+  private val q37 = Q(
+    "q37_sample",
+    (s, d) => {
+      Tables.orders(s, d)
+        .filter((col("o_orderkey") * lit(2654435761L)) % 100 < 10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE (o_orderkey * 2654435761) % 100 < 10
+      |ORDER BY o_orderkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    apDistinct, apQuantiles)
+    q36, q37, apDistinct, apQuantiles)
 }
