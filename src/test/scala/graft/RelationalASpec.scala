@@ -10,7 +10,10 @@ class RelationalASpec extends SparkSpec {
 
   test("every section-A query has an oracle and runs non-empty") {
     RelationalA.qs.foreach { q =>
-      assert(q.oracle.nonEmpty, s"${q.name} must declare an oracle")
+      // approximate operators (HLL / GK sketches) are rows-only by design
+      // — their error bounds are asserted in ApproxSpec instead
+      if (!q.name.startsWith("ap_"))
+        assert(q.oracle.nonEmpty, s"${q.name} must declare an oracle")
       assert(run(q.name).count() > 0, s"${q.name} returned no rows")
     }
   }
