@@ -733,6 +733,43 @@ object RelationalA extends Module {
     None
   )
 
+  // q38 — row-normalized contingency table (crosstab().div(axis=0) in the
+  // reference EDA): the same single-pass pivot as q11 plus an IEEE
+  // per-row normalization against the long count row-sum.
+  private val q38 = Q(
+    "q38_crosstab_norm",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val counts = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          coalesce(col("F"), lit(0L)).as("nF"),
+          coalesce(col("O"), lit(0L)).as("nO"),
+          coalesce(col("P"), lit(0L)).as("nP"))
+      val total = (col("nF") + col("nO") + col("nP")).cast("double")
+      counts.select(col("c_mktsegment"),
+          (col("nF").cast("double") / total).as("F"),
+          (col("nO").cast("double") / total).as("O"),
+          (col("nP").cast("double") / total).as("P"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH ct AS (
+      |  SELECT c_mktsegment,
+      |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS nF,
+      |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nO,
+      |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS nP
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT c_mktsegment,
+      |  CAST(nF AS DOUBLE) / CAST(nF + nO + nP AS DOUBLE) AS "F",
+      |  CAST(nO AS DOUBLE) / CAST(nF + nO + nP AS DOUBLE) AS "O",
+      |  CAST(nP AS DOUBLE) / CAST(nF + nO + nP AS DOUBLE) AS "P"
+      |FROM ct ORDER BY c_mktsegment""".stripMargin)
+  )
+
   // q36 — wide→long unpivot (pd.melt, used 4× in the reference EDA):
   // Spark's native unpivot — one narrow map, rows×values output, no
   // shuffle until the output sort.
@@ -772,5 +809,5 @@ object RelationalA extends Module {
 
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, apDistinct, apQuantiles)
+    q36, q37, q38, apDistinct, apQuantiles)
 }
