@@ -94,7 +94,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => PolyHash(args.head)),
     (FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
-      (args: Seq[Expression]) => DotLong(args(0), args(1))))
+      (args: Seq[Expression]) => DotLong(args(0), args(1))),
+    (FunctionIdentifier("graft_minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
+      (args: Seq[Expression]) => MinHashAgg(args.head, 64)))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>
