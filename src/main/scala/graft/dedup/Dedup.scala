@@ -147,6 +147,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding near-dup pairs at scale: sign-LSH buckets (hamming≤1
+    * multiprobe) generate candidates — each vector joins only its own
+    * bucket neighborhood, ~(nBits+1)/2^nBits of the corpus — then the
+    * exact integer-grid cosine verifies. For cosine ≥ 0.99 pairs the
+    * multiprobe miss probability is < 1%; dd_embed_cosine's bounded
+    * variant is the oracle-checked twin of the verify stage.
+    */
+  def embedNearDups(df: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.95, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.similarity.Similarity
+    val planes = Similarity.hyperplanes(nBits, dim)
+    val q = Similarity.withQuantized(df, embCol)
+      .withColumn("bucket0", Similarity.lshBucket(col(embCol), planes))
+      .select(col(idCol), col("qvec"), col("qnorm"), col("bucket0"))
+    val probes = Seq(-1) ++ (0 until nBits)
+    val probed = q.select(col(idCol), col("qvec"), col("qnorm"),
+      explode(array(probes.map {
+        case -1 => col("bucket0")
+        case j => col("bucket0").bitwiseXOR(lit(1L << j))
+      }: _*)).as("bucket"))
+    val a = probed.toDF("id_a", "qa", "na", "bucket")
+    val b = q.select(col(idCol).as("id_b"), col("qvec").as("qb"),
+      col("qnorm").as("nb"), col("bucket0").as("bucket"))
+    val cand = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "qa", "na", "qb", "nb").distinct()
+    cand.select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").distinct()
+  }
+
   /** Distinct word n-gram set per document. */
   def withWordNgrams(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("words", split(col(textCol), " "))

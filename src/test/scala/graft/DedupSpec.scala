@@ -51,6 +51,23 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sims(0L) ^ sims(5L)) > 6)
   }
 
+  test("embedNearDups recovers planted duplicate embeddings via LSH buckets") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toSeq
+    val planted = Seq(
+      (1000L, base(5)._2),                              // exact copy of vec 5
+      (1001L, base(6)._2.map(v => v * 1.001f)))         // near copy of vec 6
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.embedNearDups(df, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((base(5)._1, 1000L)), s"missed exact dup: $pairs")
+    assert(pairs.contains((base(6)._1, 1001L)), s"missed near dup: $pairs")
+    // isotropic corpus: no false positives at 0.99
+    assert(pairs.size === 2, s"unexpected pairs: $pairs")
+  }
+
   test("jaccard of identical docs is 1.0") {
     import spark.implicits._
     val pairs = Seq((0L, 100L)).toDF("id_a", "id_b")
