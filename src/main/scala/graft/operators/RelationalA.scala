@@ -219,35 +219,16 @@ object RelationalA extends Module {
     }
   )
 
-  /** Exact linear-interpolation quantiles (pandas `quantile` semantics) for
-    * one column: rank with row_number, pick the two bracketing order
-    * statistics, interpolate with a fixed IEEE expression. The global sort
-    * is inherent to *exact* quantiles (the reference's RemoveOutliers.fit,
-    * processing.py:47-55); the 100 TB path is approx_percentile — same
-    * call-shape, documented in SURVEY §4.
+  /** Exact linear-interpolation quantiles (pandas `quantile` semantics,
+    * the reference's RemoveOutliers.fit, processing.py:47-55), computed by
+    * [[Quantiles]]' distributed bucket-histogram selection: no stage ranks
+    * more than ~n/65536 rows, vs the naive unpartitioned row_number window
+    * that funnels the whole column through one task. Same interpolation
+    * expression as the oracle, so the hash-match is preserved.
     */
-  private def quantileDf(df: DataFrame, c: String, qs: Seq[Double])(implicit s: SparkSession): DataFrame = {
-    val x = df.select(col(c).as("x"))
-    val ranked = x.withColumn("rn", row_number().over(Window.orderBy("x")))
-    val cnt = x.agg(count(lit(1)).cast("double").as("cnt"))
+  private def quantileDf(df: DataFrame, cols: Seq[String], qs: Seq[Double])(implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    val probe = qs.toDF("q").crossJoin(broadcast(cnt))
-      .withColumn("h", col("q") * (col("cnt") - lit(1.0)))
-      .withColumn("rlo", floor(col("h")).cast("long") + lit(1L))
-      .withColumn("rhi", least(floor(col("h")).cast("long") + lit(2L), col("cnt").cast("long")))
-    // ONE pass over the ranked data: pull just the ≤2·|qs| bracketing
-    // order statistics via a broadcast semi-join on the needed ranks.
-    // `vals` (and with it the expensive global sort) is referenced exactly
-    // once — Spark re-executes unexchanged subtrees per reference, so a
-    // lo/hi self-join of `ranked` would sort the fact table twice.
-    val needed = probe.select(explode(array(col("rlo"), col("rhi"))).as("rn")).distinct()
-    val vals = ranked.join(broadcast(needed), "rn")
-    probe.join(broadcast(vals), col("rn") === col("rlo") || col("rn") === col("rhi"))
-      .groupBy(col("q"), col("h"))
-      .agg(max(when(col("rn") === col("rlo"), col("x"))).as("x_lo"),
-        max(when(col("rn") === col("rhi"), col("x"))).as("x_hi"))
-      .select(lit(c).as("col_name"), col("q"),
-        (col("x_lo") + (col("x_hi") - col("x_lo")) * (col("h") - floor(col("h")))).as("value"))
+    Quantiles.exactQuantiles(df, cols, qs).toDF("col_name", "q", "value")
   }
 
   private def quantileSql(table: String, c: String, qs: Seq[Double]): String = {
@@ -268,8 +249,7 @@ object RelationalA extends Module {
       implicit val sp: SparkSession = s
       val l = Tables.lineitem(s, d)
       val qs = Seq(0.25, 0.5, 0.75)
-      quantileDf(l, "l_quantity", qs)
-        .unionAll(quantileDf(l, "l_extendedprice", qs))
+      quantileDf(l, Seq("l_quantity", "l_extendedprice"), qs)
         .orderBy("col_name", "q")
     },
     Some(
@@ -287,7 +267,7 @@ object RelationalA extends Module {
     (s, d) => {
       implicit val sp: SparkSession = s
       val l = Tables.lineitem(s, d)
-      val qdf = quantileDf(l, "l_extendedprice", Seq(0.25, 0.75))
+      val qdf = quantileDf(l, Seq("l_extendedprice"), Seq(0.25, 0.75))
       val bounds = qdf.agg(
           max(when(col("q") === lit(0.25), col("value"))).as("q1"),
           max(when(col("q") === lit(0.75), col("value"))).as("q3"))

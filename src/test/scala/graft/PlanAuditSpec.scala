@@ -16,12 +16,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(plan("q10_corr")) === 1)
   }
 
-  test("q07/q08 rank (global-sort) the fact table only once per column") {
-    // the expensive part of exact quantiles is the rank window; cheap
-    // column-count scans may repeat, the sort must not
-    def windows(p: String): Int = "Window".r.findAllIn(p).length
-    assert(windows(plan("q07_quantiles")) === 2) // one per quantile column
-    assert(windows(plan("q08_outlier_clip")) === 1)
+  test("exact quantiles never rank through a single-partition stage") {
+    import org.apache.spark.sql.functions.col
+    // job-2 histogram: pure partial+final hash aggregate — no Window, no
+    // single-partition exchange
+    val l = Tables.lineitem(spark, sf)
+    val hp = operators.Quantiles.bucketHistogram(
+      l, Seq(("l_quantity", 1.0, 50.0), ("l_extendedprice", 900.0, 100000.0)))
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Window"), hp)
+    assert(!hp.contains("Exchange SinglePartition"), hp)
+    // job-3 selection: the rank window partitions by bucket id (never an
+    // empty partition spec) and the bucket range filter reaches the scan
+    val sel = operators.Quantiles.selectionDf(
+      l, "l_quantity", 1.0, 50.0, Seq((10.0, 12.0)))
+    val sp = sel.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange SinglePartition"), sp)
+    assert(sp.contains("hashpartitioning(b"), sp)
+    assert(sp.contains("GreaterThanOrEqual(l_quantity,10.0), LessThanOrEqual(l_quantity,12.0)"),
+      "bucket range filter not pushed to the parquet scan")
+    // the assembled q07/q08 results carry no window at all (order
+    // statistics come back as bounded metadata)
+    assert(!plan("q07_quantiles").contains("Window"), "q07 reintroduced a window")
+    assert(!plan("q08_outlier_clip").contains("Window"), "q08 reintroduced a window")
   }
 
   test("dim joins broadcast") {
