@@ -5,18 +5,36 @@ import org.apache.spark.sql.functions._
 
 /** Distributed near-duplicate detection (SURVEY §2.D).
   *
-  * The 100 TB shape: shingling/minhashing is a narrow map over each
+  * The 100 TB shape: exact copies are collapsed FIRST (one shuffle on a
+  * content hash — boilerplate-heavy corpora routinely carry tens of
+  * millions of identical pages, which would otherwise make one LSH bucket
+  * quadratic); shingling/minhashing is then a narrow map over each unique
   * document; LSH banding shuffles once on (band, bucket-hash) so candidate
-  * generation only ever joins rows that share a bucket (~1/buckets of the
-  * corpus); exact Jaccard verification touches candidate pairs only. No
-  * stage holds more than one document's shingle set per row.
+  * generation only ever joins rows that share a bucket; buckets that are
+  * still oversized after the collapse are joined through a single min-id
+  * anchor (linear fanout, never B²); exact Jaccard verification touches
+  * candidate pairs only. No stage holds more than one document's shingle
+  * set per row.
   *
   * All hash arithmetic stays inside [0, 2^31) so ANSI mode (Spark 4
   * default) can never overflow: h_j(x) = ((2j+1)·x + j·12345) mod p over
-  * x = xxhash64(shingle) mod p, p = 2^31-1 (odd multiplier → permutation).
+  * x = graft_poly_hash(shingle) — a base-31 Horner hash of the UTF-8
+  * bytes mod 1e9+7, engine-reproducible so the oracle can recompute it —
+  * with p = 2^31-1 (odd multiplier → permutation of Z_p).
   */
 object Dedup {
   val P: Long = 2147483647L
+
+  /** Exact-duplicate collapse: tags every row with `__rep`, the smallest
+    * id among rows sharing `key` (one shuffle, map-side combined). Callers
+    * emit non-representatives as linear star pairs against their rep and
+    * run the quadratic-prone LSH machinery on representatives only.
+    */
+  def withRepresentative(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keyed = df.withColumn("__ckey", key)
+    val reps = keyed.groupBy(col("__ckey")).agg(min(col(idCol)).as("__rep"))
+    keyed.join(reps, "__ckey")
+  }
 
   /** Distinct character k-shingle set per document (narrow map; fanned
     * out first so the per-document shingle transform parallelizes past
@@ -63,13 +81,28 @@ object Dedup {
           b => hash(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))))
       .toDF(idCol, "band_idx", "band_hash")
 
-  /** Distinct candidate pairs from shared LSH buckets (bucket-local join). */
-  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
-    val a = buckets.toDF("id_a", "band_idx", "band_hash")
-    val b = buckets.toDF("id_b", "band_idx", "band_hash")
-    a.join(b, Seq("band_idx", "band_hash"))
+  /** Distinct candidate pairs from shared LSH buckets, with a degenerate-
+    * bucket guard: buckets of ≤ bucketCap rows pair fully (≤ cap²/2, the
+    * high-precision regime), while oversized buckets — boilerplate clusters
+    * that survive exact collapse — join only through their min-id anchor,
+    * so fanout is O(buckets·cap² + Σ oversize) instead of O(B²). Transitive
+    * closure through the anchor still connects every member of a genuine
+    * duplicate cluster.
+    */
+  def candidatePairs(buckets0: DataFrame, idCol: String, bucketCap: Int = 64): DataFrame = {
+    val buckets = buckets0.select(col(idCol).as("id"), col("band_idx"), col("band_hash"))
+    val stats = buckets.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("__bn"), min(col("id")).as("__anchor"))
+    val small = buckets.join(stats.filter(col("__bn") <= bucketCap), Seq("band_idx", "band_hash"))
+    val sa = small.select(col("id").as("id_a"), col("band_idx"), col("band_hash"))
+    val sb = small.select(col("id").as("id_b"), col("band_idx"), col("band_hash"))
+    val smallPairs = sa.join(sb, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val bigPairs = buckets.join(stats.filter(col("__bn") > bucketCap), Seq("band_idx", "band_hash"))
+      .filter(col("id") =!= col("__anchor"))
+      .select(col("__anchor").as("id_a"), col("id").as("id_b"))
+    smallPairs.unionByName(bigPairs).distinct()
   }
 
   /** Exact Jaccard over the shingle sets of candidate pairs only. */
@@ -82,13 +115,23 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
   }
 
-  /** End-to-end MinHash near-dup pairs above a Jaccard threshold. */
+  /** End-to-end MinHash near-dup pairs above a Jaccard threshold.
+    * Exact copies are collapsed up front: they surface as (rep, copy)
+    * star pairs with jaccard 1.0 — linear in the number of copies — and
+    * only unique texts reach the shingle/signature/banding stages.
+    */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val shingled = withShingles(df, textCol)
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      bucketCap: Int = 64): DataFrame = {
+    val tagged = withRepresentative(df, idCol, md5(col(textCol)))
+    val star = tagged.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
+    val uniq = tagged.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
+    val shingled = withShingles(uniq, textCol)
     val sig = minhashSig(shingled, idCol, numHashes)
-    val pairs = candidatePairs(lshBuckets(sig, idCol, bands, numHashes / bands), idCol)
+    val pairs = candidatePairs(lshBuckets(sig, idCol, bands, numHashes / bands), idCol, bucketCap)
     jaccardVerify(pairs, shingled, idCol).filter(col("jaccard") >= threshold)
+      .unionByName(star)
   }
 
   /** SimHash bit width: 30 bits from poly_hash(token) + 30 from
@@ -127,24 +170,28 @@ object Dedup {
           .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: band-bucket candidates + hamming verify. */
+  /** Near-dup pairs by SimHash: exact collapse (hamming-0 star pairs) →
+    * band-bucket candidates with the degenerate-bucket guard → hamming
+    * verify on representatives only.
+    */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sim = simhash(df, textCol, idCol)
+      maxHamming: Int = 3, bucketCap: Int = 64): DataFrame = {
+    val tagged = withRepresentative(df, idCol, md5(col(textCol)))
+    val star = tagged.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(0L).as("hamming"))
+    val uniq = tagged.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
+    val sim = simhash(uniq, textCol, idCol)
     val bands = sim.select(col(idCol),
         posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(simhash, b * 15) & 32767)")))
-      .toDF(idCol, "band_idx", "band_val")
-    val a = bands.toDF("id_a", "band_idx", "band_val")
-    val b = bands.toDF("id_b", "band_idx", "band_val")
-    val cand = a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .toDF(idCol, "band_idx", "band_hash")
+    val cand = candidatePairs(bands, idCol, bucketCap)
     val ha = sim.toDF("id_a", "sim_a")
     val hb = sim.toDF("id_b", "sim_b")
     cand.join(ha, "id_a").join(hb, "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .unionByName(star)
   }
 
   /** Embedding near-dup pairs at scale: sign-LSH buckets (hamming≤1
@@ -158,7 +205,16 @@ object Dedup {
       threshold: Double = 0.95, nBits: Int = 8, dim: Int = 64): DataFrame = {
     import graft.similarity.Similarity
     val planes = Similarity.hyperplanes(nBits, dim)
-    val q = Similarity.withQuantized(df, embCol)
+    // exact collapse on the quantized vector: identical embeddings (the
+    // boilerplate-duplication case that makes a bucket quadratic) become
+    // linear (rep, copy) star pairs; only unique vectors are bucketed.
+    // Bucket population for unique vectors is ~n/2^nBits by construction —
+    // nBits is the knob that keeps per-bucket joins bounded at scale.
+    val tagged = withRepresentative(
+      Similarity.withQuantized(df, embCol), idCol, md5(to_json(col("qvec"))))
+    val star = tagged.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("cosine"))
+    val q = tagged.filter(col(idCol) === col("__rep"))
       .withColumn("bucket0", Similarity.lshBucket(col(embCol), planes))
       .select(col(idCol), col("qvec"), col("qnorm"), col("bucket0"))
     val probes = Seq(-1) ++ (0 until nBits)
@@ -177,6 +233,7 @@ object Dedup {
         Similarity.cosineQ(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine").distinct()
+      .unionByName(star)
   }
 
   /** Distinct word n-gram set per document. */

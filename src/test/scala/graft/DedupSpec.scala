@@ -68,6 +68,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size === 2, s"unexpected pairs: $pairs")
   }
 
+  test("degenerate LSH buckets stay linear, not quadratic") {
+    import spark.implicits._
+    // one bucket holding 1000 ids: full pairing would be 499,500 candidates;
+    // the guard routes oversized buckets through their min-id anchor → 999
+    val giant = (0L until 1000L).map(i => (i, 0, 42L))
+    val tiny = Seq((5000L, 1, 7L), (5001L, 1, 7L), (5002L, 1, 7L))
+    val buckets = (giant ++ tiny).toDF("doc_id", "band_idx", "band_hash")
+    val pairs = Dedup.candidatePairs(buckets, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromGiant = pairs.filter(_._2 < 5000L)
+    assert(fromGiant.size === 999, s"giant bucket fanout ${fromGiant.size}")
+    assert(fromGiant.forall(_._1 === 0L), "oversized bucket must pair through its min-id anchor")
+    // small buckets still pair fully (high-precision regime)
+    assert(pairs.filter(_._1 >= 5000L) ===
+      Set((5000L, 5001L), (5000L, 5002L), (5001L, 5002L)))
+  }
+
+  test("1000 identical documents collapse before LSH and are fully recovered") {
+    import spark.implicits._
+    val copies = (2000L until 3000L).map(i => (i, corpus.filter(col("doc_id") === 0L)
+      .head.getString(1)))
+    val df = corpus.unionByName(copies.toDF("doc_id", "text"))
+    val pairs = Dedup.minhashNearDups(df, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every copy is paired with representative 0 at jaccard 1.0 — exactly
+    // 1000 linear star pairs, never the ~500k a quadratic bucket would emit
+    val stars = pairs.filter(p => p._2 >= 2000L).toSet
+    assert(stars.size === 1000, s"unexpected pair count ${stars.size}")
+    assert(stars.forall(p => p._1 === 0L && p._3 === 1.0))
+    // the near-dup of doc 0 is still found through its representative
+    assert(pairs.exists(p => p._1 === 0L && p._2 === 101L))
+  }
+
   test("jaccard of identical docs is 1.0") {
     import spark.implicits._
     val pairs = Seq((0L, 100L)).toDF("id_a", "id_b")
