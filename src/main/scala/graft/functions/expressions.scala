@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom codegen'd Catalyst expressions (SURVEY §2.I).
@@ -83,6 +83,57 @@ object DotLong {
   }
 }
 
+/** Sign-LSH bucket id in one pass: left = embedding (array<float|double>),
+  * right = the nBits hyperplanes flattened row-major into one
+  * array<double> literal. Bit j of the result is the sign of
+  * dot(emb, plane_j). Replaces nBits separate `aggregate(zip_with(...))`
+  * chains — interpreted, one intermediate array per plane per row — with a
+  * single branch-light loop inside whole-stage codegen. Accumulation order
+  * matches the HOF fold (left-to-right double adds), so bucket ids are
+  * bit-identical to the formulation it replaces.
+  */
+case class DotPlanes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_planes"
+
+  private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    DotPlanes.bucket(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotPlanes.bucket($a, $b, $leftIsFloat)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotPlanes =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotPlanes {
+  def bucket(emb: ArrayData, planes: ArrayData, isFloat: Boolean): Long = {
+    val dim = emb.numElements()
+    if (dim == 0) return 0L
+    val nBits = planes.numElements() / dim
+    var bucket = 0L
+    var j = 0
+    var base = 0
+    while (j < nBits) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) {
+        s += (if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)) *
+          planes.getDouble(base + i)
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << j)
+      j += 1
+      base += dim
+    }
+    bucket
+  }
+}
+
 /** Registration: either install [[GraftExtensions]] via
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
   * [[GraftFunctions.register]] on an existing session (idempotent).
@@ -95,6 +146,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
       (args: Seq[Expression]) => DotLong(args(0), args(1))),
+    (FunctionIdentifier("graft_dot_planes"),
+      new ExpressionInfo(classOf[DotPlanes].getName, "graft_dot_planes"),
+      (args: Seq[Expression]) => DotPlanes(args(0), args(1))),
     (FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (args: Seq[Expression]) => MinHashAgg(args.head, 64)))

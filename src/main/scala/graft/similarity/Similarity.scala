@@ -65,16 +65,13 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(r.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id from nBits hyperplane sign bits. */
-  def lshBucket(embCol: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(
-        zip_with(embCol, typedLit(p), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Sign-LSH bucket id from nBits hyperplane sign bits, computed by the
+    * single-pass codegen expression [[graft.functions.DotPlanes]] (planes
+    * flattened row-major into one literal). Callers must have registered
+    * GraftFunctions — [[withQuantized]] does.
+    */
+  def lshBucket(embCol: Column, planes: Seq[Seq[Double]]): Column =
+    call_function("graft_dot_planes", embCol, typedLit(planes.flatten))
 
   /** LSH ANN top-k with hamming≤1 multiprobe: each query touches
     * (nBits+1)/2^nBits of the corpus instead of all of it.

@@ -34,4 +34,21 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("fast") =!= col("slow")).count() === 0)
     assert(both.head.getLong(0) === 32L)
   }
+
+  test("graft_dot_planes equals the per-plane HOF formulation") {
+    GraftFunctions.register(spark)
+    import graft.similarity.Similarity
+    val planes = Similarity.hyperplanes(nBits = 6, dim = 64)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    // the formulation lshBucket replaced: one aggregate(zip_with) per plane
+    val slow = planes.zipWithIndex.map { case (p, j) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedLit(p), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = emb.select(
+      Similarity.lshBucket(col("embedding"), planes).as("fast"), slow.as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+  }
 }
