@@ -6,35 +6,66 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-  * corpus; each query probes only its nProbe nearest centroids, touching
-  * nProbe/nClusters of the data. At 100 TB the quantizer is trained on a
-  * sample and the corpus is written bucketed by cluster id so probing is
-  * partition pruning, not a join.
+/** IVF (inverted-file) ANN, the 100 TB shape:
+  *
+  *   build  — the k-means coarse quantizer is fit on a bounded SEEDED
+  *            SAMPLE (never the full corpus), then the corpus is assigned,
+  *            quantized once, and written as parquet PARTITIONED BY
+  *            cluster_id. Hive-style partitioning — not hash bucketing —
+  *            is the Spark-native inverted file: each cluster is a
+  *            directory, so a literal cluster filter prunes at the
+  *            directory level and unprobed cells are never read. (bucketBy
+  *            hashes ids into buckets and a cluster_id filter would not
+  *            skip bucket files on read.)
+  *   probe  — each query ranks the broadcast centroid table (tiny), the
+  *            nProbe chosen cell ids are collected as bounded metadata and
+  *            applied as a LITERAL partition filter, and the exact
+  *            integer-grid cosine + top-k window runs over only
+  *            ~nProbe/nClusters of the data. PartitionFilters pruning is
+  *            asserted in SimilaritySpec.
   */
 object Ivf {
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, nClusters: Int, nProbe: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** Handle to a built index: the partitioned layout + the (tiny)
+    * centroid table kept as driver metadata.
+    */
+  case class IvfIndex(path: String, centroids: Seq[(Int, Seq[Double])], nClusters: Int)
 
-    val featured = corpus.withColumn("features",
+  private def featurize(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("features",
       array_to_vector(transform(col(embCol), x => x.cast("double"))))
-    val model = new KMeans().setK(nClusters).setSeed(42L)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(featured)
 
+  /** Fit the quantizer on ≤ maxTrainRows sampled rows, assign + quantize
+    * the full corpus in one pass, write it partitioned by cluster_id.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, embCol: String, nClusters: Int,
+      path: String, seed: Long = 42L, maxTrainRows: Long = 100000L): IvfIndex = {
+    val n = corpus.count()
+    val train =
+      if (n <= maxTrainRows) corpus
+      else corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+      .fit(featurize(train, embCol))
     val assigned = Similarity.withQuantized(
-        model.transform(featured).withColumnRenamed("cluster", "cluster_id"), embCol)
+        model.transform(featurize(corpus, embCol)), embCol)
       .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"),
         col("qnorm").as("c_qnorm"), col("cluster_id"))
+    graft.sources.Sources.writePartitioned(assigned, path, Seq("cluster_id"))
+    IvfIndex(path,
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray.toSeq) },
+      nClusters)
+  }
 
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid")
-
-    val probed = Similarity.withQuantized(queries, embCol)
+  /** (query_id, cluster_id, q_qvec, q_qnorm) for each query's nProbe
+    * nearest centroids — queries × centroids is tiny by contract.
+    */
+  private def probeClusters(index: IvfIndex, queries: DataFrame, idCol: String,
+      embCol: String, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centroids = index.centroids.toDF("cluster_id", "centroid")
+    Similarity.withQuantized(queries, embCol)
       .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
         col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
       .crossJoin(broadcast(centroids))
@@ -48,8 +79,21 @@ object Ivf {
         Window.partitionBy(col("query_id")).orderBy(col("dist2"), col("cluster_id"))))
       .filter(col("probe_rank") <= nProbe)
       .select("query_id", "q_qvec", "q_qnorm", "cluster_id")
+  }
 
-    val scored = assigned.join(broadcast(probed), "cluster_id")
+  /** Top-k over only the probed cells: literal partition filter → directory
+    * pruning → broadcast the probed query set over the pruned scan.
+    */
+  def probeIndex(index: IvfIndex, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val probed = probeClusters(index, queries, idCol, embCol, nProbe)
+    // bounded metadata: |queries| · nProbe cell ids become the literal
+    // pruning predicate (a join key would defeat partition pruning)
+    val cells = probed.select("cluster_id").distinct().collect().map(_.get(0))
+    val inv = spark.read.parquet(index.path)
+      .filter(col("cluster_id").isin(cells: _*))
+    val scored = inv.join(broadcast(probed), "cluster_id")
       .select(col("query_id"), col("corpus_id"),
         Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
           col("q_qnorm"), col("c_qnorm")).as("cosine"))
@@ -57,5 +101,18 @@ object Ivf {
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** One-shot build + probe (sim_ivf_topk); the index lands in a temp dir
+    * under target/.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nClusters: Int, nProbe: Int): DataFrame = {
+    val base = java.nio.file.Paths.get("target")
+    val dir = (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "ivf_index_")
+      else java.nio.file.Files.createTempDirectory("ivf_index_")).toString
+    val index = buildIndex(corpus, idCol, embCol, nClusters, dir)
+    probeIndex(index, queries, idCol, embCol, k, nProbe)
   }
 }

@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, f"recall $recall%.2f below coverage floor")
   }
 
+  test("ivf probe scans only the probed cluster partitions (directory pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val index = Ivf.buildIndex(corpus, "vec_id", "embedding", nClusters = 8, path = dir)
+    val res = Ivf.probeIndex(index, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"probe is not partition-pruned:\n$plan")
+    assert(res.count() > 0)
+    // the layout really is one directory per cell
+    val cells = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cluster_id="))
+    assert(cells.length === 8, cells.mkString(","))
+  }
+
   test("ivf results carry exact cosines from the probed subset") {
     val bruteAll = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 490)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
