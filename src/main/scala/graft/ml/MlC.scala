@@ -6,8 +6,9 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{IndexToString, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.C — ML on Spark MLlib, mirroring `notebooks/modeling.py`:
@@ -52,19 +53,23 @@ object MlC extends Module {
     (df.filter(bucket < 800), df.filter(bucket >= 800))
   }
 
+  /** Held-out predictions of the flagship logistic model — shared by
+    * ml_logreg (the dump) and ml_report (the metric surface).
+    */
+  def logregPredictions(s: SparkSession, d: String): DataFrame = {
+    val (train, test) = split(customerFeatures(s, d))
+    val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+    val model = new Pipeline().setStages(Array(assembler, lr)).fit(train)
+    model.transform(test)
+      .select(col("c_custkey"), col("label"), col("prediction"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("prob_1"))
+  }
+
   // ml_logreg — LogisticRegression train + test predictions + prob.
   private val mlLogreg = Q(
     "ml_logreg",
-    (s, d) => {
-      val (train, test) = split(customerFeatures(s, d))
-      val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
-      val model = new Pipeline().setStages(Array(assembler, lr)).fit(train)
-      model.transform(test)
-        .select(col("c_custkey"), col("label"), col("prediction"),
-          org.apache.spark.ml.functions.vector_to_array(col("probability"))
-            .getItem(1).as("prob_1"))
-        .orderBy("c_custkey")
-    },
+    (s, d) => logregPredictions(s, d).orderBy("c_custkey"),
     None
   )
 
@@ -101,6 +106,90 @@ object MlC extends Module {
       }
       import s.implicits._
       rows.toSeq.toDF("reg_param", "mean_auc").orderBy("reg_param")
+    },
+    None
+  )
+
+  // ml_search — the optuna analog (reference optimize/after_params_objective,
+  // modeling.py:213-233): a SEEDED random search — 6 logreg trials drawing
+  // regParam log-uniform in [1e-4, 1] and elasticNetParam uniform, plus 4
+  // GBT maxDepth trials — each scored by 3-fold CV mean AUC, reported as a
+  // per-trial table ranked by score. Deterministic under the fixed seed
+  // (draws, fold split, and tree seeds all pinned). MedianPruner is an
+  // early-stop optimization, not a semantics change — all trials report.
+  private val mlSearch = Q(
+    "ml_search",
+    (s, d) => {
+      val df = assembler.transform(customerFeatures(s, d))
+      val rnd = new scala.util.Random(42L)
+      val lrTrials = (0 until 6).map { i =>
+        (i.toLong, math.pow(10.0, -4.0 + 4.0 * rnd.nextDouble()), rnd.nextDouble())
+      }
+      val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+      val lr = new LogisticRegression().setMaxIter(20)
+      val lrGrid = lrTrials.map { case (_, reg, en) =>
+        new ParamMap().put(lr.regParam, reg).put(lr.elasticNetParam, en)
+      }.toArray
+      val lrMetrics = new CrossValidator().setEstimator(lr).setEvaluator(ev)
+        .setEstimatorParamMaps(lrGrid).setNumFolds(3).setSeed(42L)
+        .fit(df).avgMetrics
+      val depths = Seq(2, 3, 4, 5)
+      val gbt = new GBTClassifier().setMaxIter(5).setSeed(42L)
+      val gbtGrid = depths.map(dep => new ParamMap().put(gbt.maxDepth, dep)).toArray
+      val gbtMetrics = new CrossValidator().setEstimator(gbt).setEvaluator(ev)
+        .setEstimatorParamMaps(gbtGrid).setNumFolds(3).setSeed(42L)
+        .fit(df).avgMetrics
+      val rows =
+        lrTrials.zip(lrMetrics).map { case ((i, reg, en), m) =>
+          (i, "logreg", Some(reg), Some(en), Option.empty[Long], m)
+        } ++
+        depths.zipWithIndex.zip(gbtMetrics).map { case ((dep, i), m) =>
+          ((6 + i).toLong, "gbt", Option.empty[Double], Option.empty[Double],
+            Some(dep.toLong), m)
+        }
+      val ranked = rows.sortBy(-_._6).zipWithIndex.map { case (r, k) =>
+        (r._1, r._2, r._3, r._4, r._5, r._6, (k + 1).toLong)
+      }
+      import s.implicits._
+      ranked.toDF("trial_id", "model", "reg_param", "elastic_net", "max_depth",
+        "mean_auc", "rank")
+        .orderBy("trial_id")
+    },
+    None
+  )
+
+  // ml_report — classification report for the TRAINED logreg
+  // (my_classification_report, modeling.py:315-319): confusion counts,
+  // per-class precision/recall/f1 with zero_division=0, accuracy, and —
+  // faithfully reproducing the reference's quirk — roc_auc_score over the
+  // BINARIZED predictions, which equals (recall_1 + recall_0) / 2.
+  // Pure distributed counting over logregPredictions; MlSpec reconciles
+  // the counts against the ml_logreg dump.
+  private val mlReport = Q(
+    "ml_report",
+    (s, d) => {
+      val zero = lit(0.0)
+      def safeDiv(num: Column, den: Column): Column =
+        when(den > 0.0, num / den).otherwise(zero)
+      logregPredictions(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("label") === 0.0 && col("prediction") === 0.0, 1L).otherwise(0L)).as("tn"))
+        .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          ((col("tp") + col("tn")).cast("double") / col("n").cast("double")).as("accuracy"),
+          safeDiv(col("tp").cast("double"), (col("tp") + col("fp")).cast("double")).as("precision_1"),
+          safeDiv(col("tp").cast("double"), (col("tp") + col("fn")).cast("double")).as("recall_1"),
+          safeDiv(col("tn").cast("double"), (col("tn") + col("fn")).cast("double")).as("precision_0"),
+          safeDiv(col("tn").cast("double"), (col("tn") + col("fp")).cast("double")).as("recall_0"))
+        .select(col("*"),
+          safeDiv(lit(2.0) * col("precision_1") * col("recall_1"),
+            col("precision_1") + col("recall_1")).as("f1_1"),
+          safeDiv(lit(2.0) * col("precision_0") * col("recall_0"),
+            col("precision_0") + col("recall_0")).as("f1_0"),
+          ((col("recall_1") + col("recall_0")) / 2.0).as("roc_auc"))
     },
     None
   )
@@ -150,32 +239,60 @@ object MlC extends Module {
       |FROM pr""".stripMargin)
   )
 
-  // ml_impute_model — model-based categorical imputation (MyImputer with
-  // train=True): fit a multinomial classifier on rows where the target is
-  // present, predict it where "missing" (custkey%10==0 sentinel).
+  /** Model-based categorical imputation (MyImputer with train=True,
+    * processing.py:138): fit a multinomial classifier on `trainCond` rows,
+    * predict the segment for `predCond` rows. Returns (c_custkey,
+    * segment_true, segment_imputed).
+    */
+  def imputePredictions(s: SparkSession, d: String,
+      trainCond: Column, predCond: Column): DataFrame = {
+    val base = customerFeatures(s, d)
+      .join(Tables.customer(s, d).select(col("c_custkey").as("ck"), col("c_mktsegment")),
+        col("c_custkey") === col("ck"))
+      .drop("ck")
+    val known = base.filter(trainCond)
+    val missing = base.filter(predCond)
+    val idx = new StringIndexer().setInputCol("c_mktsegment")
+      .setOutputCol("seg_idx").setStringOrderType("alphabetAsc").fit(known)
+    val asm = new VectorAssembler()
+      .setInputCols(Array("nation", "n_orders", "total_spend", "avg_spend"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(20)
+      .setLabelCol("seg_idx").setFamily("multinomial")
+    val model = lr.fit(asm.transform(idx.transform(known)))
+    val back = new IndexToString().setInputCol("prediction")
+      .setOutputCol("segment_imputed").setLabels(idx.labelsArray(0))
+    back.transform(model.transform(asm.transform(missing)))
+      .select(col("c_custkey"), col("c_mktsegment").as("segment_true"),
+        col("segment_imputed"))
+  }
+
+  // ml_impute_model — impute the "missing" (custkey%10==0 sentinel) rows
+  // from a model fit on every row whose target is present.
   private val mlImputeModel = Q(
     "ml_impute_model",
+    (s, d) => imputePredictions(s, d,
+        col("c_custkey") % 10 =!= 0, col("c_custkey") % 10 === 0)
+      .orderBy("c_custkey"),
+    None
+  )
+
+  // ml_impute_eval — evaluate_estimator (processing.py:186-233): hold out
+  // a slice whose labels ARE known (custkey%10==5), mask it, train the
+  // imputer on the rest, and score the predictions micro-f1 — for
+  // single-label multi-class, micro-f1 == accuracy, the reference's
+  // f1_score(average="micro"). One metadata-sized output row.
+  private val mlImputeEval = Q(
+    "ml_impute_eval",
     (s, d) => {
-      val base = customerFeatures(s, d)
-        .join(Tables.customer(s, d).select(col("c_custkey").as("ck"), col("c_mktsegment")),
-          col("c_custkey") === col("ck"))
-        .drop("ck")
-      val known = base.filter(col("c_custkey") % 10 =!= 0)
-      val missing = base.filter(col("c_custkey") % 10 === 0)
-      val idx = new StringIndexer().setInputCol("c_mktsegment")
-        .setOutputCol("seg_idx").setStringOrderType("alphabetAsc").fit(known)
-      val asm = new VectorAssembler()
-        .setInputCols(Array("nation", "n_orders", "total_spend", "avg_spend"))
-        .setOutputCol("features")
-      val lr = new LogisticRegression().setMaxIter(20)
-        .setLabelCol("seg_idx").setFamily("multinomial")
-      val model = lr.fit(asm.transform(idx.transform(known)))
-      val back = new IndexToString().setInputCol("prediction")
-        .setOutputCol("segment_imputed").setLabels(idx.labelsArray(0))
-      back.transform(model.transform(asm.transform(missing)))
-        .select(col("c_custkey"), col("c_mktsegment").as("segment_true"),
-          col("segment_imputed"))
-        .orderBy("c_custkey")
+      imputePredictions(s, d,
+          col("c_custkey") % 10 =!= 0 && col("c_custkey") % 10 =!= 5,
+          col("c_custkey") % 10 === 5)
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("segment_true") === col("segment_imputed"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(col("n_eval"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_eval").cast("double")).as("micro_f1"))
     },
     None
   )
@@ -237,6 +354,6 @@ object MlC extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlDummy, mlImputeModel,
-    mlFinalPipeline, mlMlp, mlAttrib)
+  override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
+    mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib)
 }

@@ -69,7 +69,20 @@ object StreamingH extends Module {
       |ORDER BY user_id, session_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize)
+  // st_dedup — exactly-once ingest dedup by event_id (the standard
+  // production readStream shape, tying sections D and H). The batch twin
+  // is oracle-checked (event_id is unique in the synthetic feed, so the
+  // deduped set is deterministic); StreamingSpec plants real duplicates
+  // into a MemoryStream and asserts the watermark-bounded streaming twin
+  // emits exactly the batch result.
+  private val stDedup = Q(
+    "st_dedup",
+    (s, d) => Streaming.dedup(Tables.events(s, d)).orderBy("event_id"),
+    Some("""SELECT event_id, ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -92,6 +105,23 @@ object Streaming {
   /** Watermarked streaming twin of windowAgg. */
   def windowAggStream(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Exactly-once ingest dedup by event_id — batch twin. One shuffle on
+    * the id; at 100 TB this is the only full-data shuffle ingest needs.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .dropDuplicates("event_id")
+
+  /** Streaming twin: dropDuplicatesWithinWatermark keeps per-id state only
+    * until the watermark passes the event time — bounded state under
+    * continuous ingest, unlike plain dropDuplicates whose key state never
+    * expires when the dedup key excludes the event-time column.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** File-source streaming read of the events table: the production
     * `readStream → transform → writeStream` path. The nanos-timestamp

@@ -48,6 +48,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark matches the batch twin on a duplicated feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // plant exact duplicates: every 10th event arrives three times
+    val feed = rows ++ rows.filter(_._1 % 10 == 0) ++ rows.filter(_._1 % 10 == 0)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.dedupStream(streamDf)
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData(feed.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dd").collect().map(_.toSeq).toSet
+      val batch = Streaming.dedup(batchEvents).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.size === rows.length) // every duplicate dropped, nothing else
+    } finally q.stop()
+  }
+
+  test("sessionize state stays bounded under a 10k-event hot user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10 bursts of 1000 events 1s apart, bursts separated by >30min gaps;
+    // offset from epoch 0 so the first event doesn't sit ON the initial
+    // watermark (ts <= watermark counts as late)
+    val evs = (0 until 10000).map { i =>
+      val us = 86400000000L + (i / 1000) * 10000000000L + (i % 1000) * 1000000L
+      Streaming.SessEvent(7L, new Timestamp(us / 1000L), i.toLong)
+    }
+    val input = MemoryStream[Streaming.SessEvent]
+    val q = Streaming.sessionizeStream(input.toDS())
+      .writeStream.format("memory").queryName("hot")
+      .outputMode("append").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(Streaming.SessEvent(-1L, new Timestamp(evs.last.ts.getTime + 86400000L), 0L))
+      q.processAllAvailable()
+      val sessions = spark.table("hot").filter(col("user_id") === 7L)
+        .select("session_start", "session_end", "n_events").collect()
+      assert(sessions.length === 10, s"expected 10 gap-separated sessions, got ${sessions.length}")
+      assert(sessions.forall(_.getAs[Long]("n_events") === 1000L))
+      // state is one open session per user, never the event backlog
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2L, s"state rows $stateRows — hot user must not accumulate events in state")
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
