@@ -38,6 +38,17 @@ object Exact {
     * values are fixed-point (≤3 decimals), so round(x·grid) is exact.
     * Long partial sums run in whole-stage codegen at primitive-add speed —
     * measured ~2.7× faster than decimal accumulation.
+    *
+    * Overflow bound (ANSI mode throws on int64 overflow, so this is a
+    * correctness constraint, not a style note): level-1 long sums are
+    * SCAN-SIDE partial aggregates — they accumulate over one input split,
+    * which Spark caps at `spark.sql.files.maxPartitionBytes` (128 MiB
+    * default), i.e. ≤ ~1.6e7 rows of 8-byte values and far fewer for real
+    * row widths. With |qzl| ≤ 1e11 (the widest grid image in this repo:
+    * price ~1e5 × grid 1e6) a partial stays ≤ ~1.6e18 < 2^63−1. Level 2
+    * merges partials in DECIMAL(38,0), unconditionally overflow-safe. If a
+    * future caller feeds a pre-shuffled (not scan-split) frame with wider
+    * values, use [[sumd]]'s decimal accumulator instead.
     */
   def qzl(c: Column, grid: Double): Column = round(c * lit(grid)).cast("long")
 

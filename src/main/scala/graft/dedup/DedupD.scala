@@ -36,10 +36,18 @@ object DedupD extends Module {
   // shingles), and each permutation is an affine map mod 2^31-1. Pair
   // recovery on planted dupes is asserted in DedupSpec; band bucketing
   // (Spark-murmur keys) rides on top of these signatures.
+  //
+  // Oracle preconditions, enforced/asserted rather than assumed: documents
+  // shorter than the shingle width are filtered ON BOTH SIDES (the SQL's
+  // fixed 5-term power sum would otherwise hash a truncated shingle
+  // differently from the engine), and the corpus must be ASCII (the SQL
+  // reproduces the byte-level Horner hash via ascii(); DedupSpec asserts
+  // the synthetic corpus satisfies it).
   private val ddMinhash = Q(
     "dd_minhash",
     (s, d) => {
-      val sig = Dedup.minhashSig(Dedup.withShingles(Tables.documents(s, d), "text"), "doc_id")
+      val sig = Dedup.minhashSig(Dedup.withShingles(
+        Tables.documents(s, d).filter(length(col("text")) >= 5), "text"), "doc_id")
       sig.select(col("doc_id"), posexplode(col("sig")))
         .toDF("doc_id", "perm", "minhash")
         .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
@@ -50,7 +58,7 @@ object DedupD extends Module {
       |    unnest(list_distinct(list_transform(
       |      generate_series(1, greatest(length(text) - 4, 1)),
       |      i -> substr(text, i, 5)))) AS s
-      |  FROM documents),
+      |  FROM documents WHERE length(text) >= 5),
       |x AS (
       |  SELECT doc_id,
       |    (CAST(ascii(substr(s,1,1)) AS BIGINT) * 923521 +

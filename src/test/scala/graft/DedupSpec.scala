@@ -101,6 +101,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 === 0L && p._2 === 101L))
   }
 
+  test("dd_minhash oracle preconditions hold for the synthetic corpus") {
+    // the DuckDB twin reproduces graft_poly_hash via ascii() power sums of
+    // 5-char shingles — valid only for ASCII text of >= shingle width;
+    // sub-width docs are filtered on both sides, ASCII is asserted here
+    val docs = Tables.documents(spark, sf)
+    assert(docs.filter(length(col("text")) < 5).count() === 0)
+    assert(docs.filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count() === 0,
+      "non-ASCII text would break the byte-level ascii() oracle")
+  }
+
   test("jaccard of identical docs is 1.0") {
     import spark.implicits._
     val pairs = Seq((0L, 100L)).toDF("id_a", "id_b")
