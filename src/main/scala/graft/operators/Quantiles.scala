@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   * global_rank = cum_count(buckets below) + local_rank, exactly. Buckets
   * where bmin == bmax (point-mass skew: one value dominating the column)
   * are answered from the histogram alone — the skewed case is the CHEAP
-  * case. The final interpolation is the same fixed IEEE expression as the
-  * DuckDB oracle, so bit-for-bit hash matches are preserved.
+  * case. A bucket can exceed ~n/65536 rows only when many DISTINCT values
+  * crowd into one 1/65536th of the value range; if that ever mattered the
+  * fix is one recursive level (re-histogram [bmin, bmax] of the oversized
+  * bucket — same jobs, 65536× finer), but with the point-mass fast path
+  * the single level already covers the realistic skew shapes. The final
+  * interpolation is the same fixed IEEE expression as the DuckDB oracle,
+  * so bit-for-bit hash matches are preserved.
   *
   * Precondition: no NULLs in the quantile columns (the reference drops NA
   * first; the TPC-H measure columns are NOT NULL).

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Single-node local baseline for BASELINE.md: time the headline queries'
+DuckDB oracle SQL (the exact same semantics the Spark plans compute)
+at a given scale factor. The reference itself is pandas notebooks with no
+published figures; DuckDB is a *stronger* single-node baseline than
+pandas (vectorized, parallel), so matching it is a conservative claim.
+
+Usage: tools/baseline_duckdb.py [sf_dir] [oracle_sql.json] [reps]
+"""
+import sys, os, json, time, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+HEADLINE = ["q01_agg", "q03_join_agg", "q05_window", "q10_corr",
+            "dd_minhash", "sim_brute_topk", "tx_quality", "st_window_agg"]
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sql_path = sys.argv[2] if len(sys.argv) > 2 else "target/verify/oracle_sql.json"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    oracle = json.load(open(sql_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out = {}
+    for q in HEADLINE:
+        if q not in oracle:
+            continue
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            con.execute(oracle[q]).fetchall()
+            times.append(time.time() - t0)
+        out[q] = min(times)
+    print(json.dumps({"baseline": "duckdb", "sf": sf, "reps": reps,
+                      "queries": {k: round(v, 3) for k, v in out.items()},
+                      "total": round(sum(out.values()), 3)}))
+
+if __name__ == "__main__":
+    main()
