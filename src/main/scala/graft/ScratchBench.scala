@@ -23,18 +23,24 @@ object ScratchBench {
     }
 
     graft.functions.GraftFunctions.register(spark)
-    val shingled = Dedup.withShingles(Tables.documents(spark, d), "text")
-    val exploded = graft.Exact.fanout(shingled)
+    val docs = Tables.documents(spark, d)
+
+    // A: the string-shingle pipeline (transform+substr → distinct →
+    // explode strings → poly_hash each → custom agg)
+    val shingled = Dedup.withShingles(docs, "text")
+    val explodedStrings = graft.Exact.fanout(shingled)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("x", expr("graft_poly_hash(sh)"))
-
-    time("sig_64cols") {
-      Dedup.minhashSig(shingled, "doc_id")
+    time("sig_string_shingles") {
+      explodedStrings.groupBy(col("doc_id"))
+        .agg(call_function("graft_minhash_agg", col("x")).as("sig"))
         .write.format("noop").mode("overwrite").save()
     }
-    time("sig_custom_agg") {
-      exploded.groupBy(col("doc_id"))
-        .agg(call_function("graft_minhash_agg", col("x")).as("sig"))
+
+    // B: the one-expression path (graft_shingle_hashes → explode longs →
+    // custom agg) — what minhashSig now runs
+    time("sig_shingle_hashes_expr") {
+      Dedup.minhashSig(docs, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
     spark.stop()

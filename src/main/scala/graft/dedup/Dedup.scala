@@ -48,26 +48,30 @@ object Dedup {
 
   /** MinHash signature per document: (idCol, sig[numHashes]).
     *
-    * Shape matters: shingles are EXPLODED to (doc, shingle-hash) rows and
-    * the minima come from one groupBy with numHashes partial-aggregable
-    * `min`s. A nested-lambda formulation (array_min inside transform)
-    * re-evaluates the shingle-hash array once per outer element after
-    * Catalyst collapses projections — measured ~1000× redundant work, all
-    * in a single task. The explode+agg plan hashes each shingle once,
-    * combines map-side, and parallelizes past single-file inputs via the
-    * aggregation shuffle.
+    * Shape matters: shingle hashes are EXPLODED to (doc, hash) long rows
+    * and the minima come from one groupBy aggregation. A nested-lambda
+    * formulation (array_min inside transform) re-evaluates the
+    * shingle-hash array once per outer element after Catalyst collapses
+    * projections — measured ~1000× redundant work, all in a single task.
+    * The explode+agg plan hashes each shingle once, combines map-side, and
+    * parallelizes past single-file inputs via the aggregation shuffle.
+    *
+    * The per-document shingle hashing is ONE codegen expression
+    * ([[graft.functions.ShingleHashes]]): no shingle strings are ever
+    * materialized — the exploded shuffle rows are longs. Hash values equal
+    * graft_poly_hash of each shingle string (ASCII precondition), so the
+    * signatures remain oracle-checkable bit-for-bit. All 64 permutation
+    * minima come from ONE custom TypedImperativeAggregate array buffer
+    * (graft.functions.MinHashAgg) — measured ~30% faster than 64 separate
+    * Min aggregates, same exact integer semantics.
     */
-  def minhashSig(shingled: DataFrame, idCol: String, numHashes: Int = 64): DataFrame = {
+  def minhashSig(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, numHashes: Int = 64): DataFrame = {
     require(numHashes == 64, "graft_minhash_agg is registered with 64 permutations")
-    graft.functions.GraftFunctions.register(shingled.sparkSession)
-    // shingle hash = graft_poly_hash (codegen Horner, value < 1e9+7 < P):
-    // engine-reproducible, so the signatures themselves are oracle-checkable.
-    // All 64 permutation minima come from ONE custom TypedImperativeAggregate
-    // array buffer (graft.functions.MinHashAgg) — measured ~30% faster than
-    // 64 separate Min aggregates, same exact integer semantics.
-    graft.Exact.fanout(shingled)
-      .select(col(idCol), explode(col("shingles")).as("sh"))
-      .withColumn("x", expr("graft_poly_hash(sh)"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.Exact.fanout(docs)
+      .select(col(idCol),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(k))).as("x"))
       .groupBy(col(idCol))
       .agg(call_function("graft_minhash_agg", col("x")).as("sig"))
   }
@@ -128,7 +132,7 @@ object Dedup {
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"), lit(1.0).as("jaccard"))
     val uniq = tagged.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
     val shingled = withShingles(uniq, textCol)
-    val sig = minhashSig(shingled, idCol, numHashes)
+    val sig = minhashSig(uniq, textCol, idCol, numHashes = numHashes)
     val pairs = candidatePairs(lshBuckets(sig, idCol, bands, numHashes / bands), idCol, bucketCap)
     jaccardVerify(pairs, shingled, idCol).filter(col("jaccard") >= threshold)
       .unionByName(star)

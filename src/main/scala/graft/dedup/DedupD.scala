@@ -46,8 +46,8 @@ object DedupD extends Module {
   private val ddMinhash = Q(
     "dd_minhash",
     (s, d) => {
-      val sig = Dedup.minhashSig(Dedup.withShingles(
-        Tables.documents(s, d).filter(length(col("text")) >= 5), "text"), "doc_id")
+      val sig = Dedup.minhashSig(
+        Tables.documents(s, d).filter(length(col("text")) >= 5), "text", "doc_id")
       sig.select(col("doc_id"), posexplode(col("sig")))
         .toDF("doc_id", "perm", "minhash")
         .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))

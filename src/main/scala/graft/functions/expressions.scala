@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -83,6 +83,70 @@ object DotLong {
   }
 }
 
+/** Distinct k-shingle poly-hashes of a text in one pass: left = text,
+  * right = shingle width k. Replaces the
+  * `array_distinct(transform(sequence, substr)) → explode → poly_hash`
+  * chain in the MinHash hot path: no per-shingle UTF8String allocation, no
+  * string-array distinct, and the exploded shuffle rows carry longs
+  * instead of strings. Hash values are exactly PolyHash over each k-byte
+  * window (== the per-shingle poly hash for ASCII text, the documented
+  * dd_minhash precondition); texts shorter than k hash whole, matching
+  * `substr(text, 1, k)` of the formulation it replaces. Deduplicating by
+  * hash instead of by string cannot change any MinHash minimum — duplicate
+  * hash values are idempotent under min — so signatures stay bit-identical.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  protected override def nullSafeEval(t: Any, k: Any): Any =
+    ShingleHashes.eval(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleHashes.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleHashes {
+  def eval(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    if (n <= k) return new GenericArrayData(Array(PolyHash.hash(s)))
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * PolyHash.Base + (b(i + j) & 0xffL)) % PolyHash.Mod
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var cnt = 1
+    var p = 1
+    while (p < m) { if (hs(p) != hs(p - 1)) cnt += 1; p += 1 }
+    if (cnt == m) new GenericArrayData(hs)
+    else {
+      val out = new Array[Long](cnt)
+      out(0) = hs(0)
+      var q = 1
+      var w = 1
+      while (q < m) {
+        if (hs(q) != hs(q - 1)) { out(w) = hs(q); w += 1 }
+        q += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 /** Sign-LSH bucket id in one pass: left = embedding (array<float|double>),
   * right = the nBits hyperplanes flattened row-major into one
   * array<double> literal. Bit j of the result is the sign of
@@ -146,6 +210,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
       (args: Seq[Expression]) => DotLong(args(0), args(1))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), args(1))),
     (FunctionIdentifier("graft_dot_planes"),
       new ExpressionInfo(classOf[DotPlanes].getName, "graft_dot_planes"),
       (args: Seq[Expression]) => DotPlanes(args(0), args(1))),

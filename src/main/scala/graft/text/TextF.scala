@@ -184,5 +184,113 @@ object TextF extends Module {
       |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint, txShingles)
+  // tx_repetition — duplicate n-gram fractions, the MassiveText/Gopher
+  // repetition signals used to drop boilerplate from pretraining corpora:
+  // 1 − distinct/total over word 2-grams and char 5-grams. Pure integer
+  // counts + one fixed IEEE division per ratio.
+  private val txRepetition = Q(
+    "tx_repetition",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val w2 = transform(
+        sequence(lit(1), greatest(size(words) - 1, lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(2))))
+      val c5 = transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(w2).cast("long").as("n_w2"),
+          size(array_distinct(w2)).cast("long").as("n_w2_distinct"),
+          size(c5).cast("long").as("n_c5"),
+          size(array_distinct(c5)).cast("long").as("n_c5_distinct"))
+        .select(col("doc_id"), col("n_w2"), col("n_w2_distinct"),
+          (lit(1.0) - col("n_w2_distinct").cast("double") / col("n_w2").cast("double")).as("dup_w2_frac"),
+          col("n_c5"), col("n_c5_distinct"),
+          (lit(1.0) - col("n_c5_distinct").cast("double") / col("n_c5").cast("double")).as("dup_c5_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')) AS w2,
+      |    list_transform(
+      |      generate_series(1, greatest(length(text) - 4, 1)),
+      |      i -> substr(text, i, 5)) AS c5
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    CAST(len(w2) AS BIGINT) AS n_w2,
+      |    CAST(len(list_distinct(w2)) AS BIGINT) AS n_w2_distinct,
+      |    CAST(len(c5) AS BIGINT) AS n_c5,
+      |    CAST(len(list_distinct(c5)) AS BIGINT) AS n_c5_distinct
+      |  FROM g)
+      |SELECT doc_id, n_w2, n_w2_distinct,
+      |  1.0 - CAST(n_w2_distinct AS DOUBLE) / CAST(n_w2 AS DOUBLE) AS dup_w2_frac,
+      |  n_c5, n_c5_distinct,
+      |  1.0 - CAST(n_c5_distinct AS DOUBLE) / CAST(n_c5 AS DOUBLE) AS dup_c5_frac
+      |FROM n ORDER BY doc_id""".stripMargin)
+  )
+
+  // tx_filter_flags — the Gopher-rule keep/drop decision per document:
+  // integer-threshold flags over the quality + repetition signals, emitted
+  // as 0/1 BIGINT so the oracle compare is type-stable. This is the actual
+  // corpus-filter operator a pretraining pipeline runs after scoring.
+  private val txFilterFlags = Q(
+    "tx_filter_flags",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val w2 = transform(
+        sequence(lit(1), greatest(size(words) - 1, lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(2))))
+      def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+      Tables.documents(s, d)
+        .withColumn("n_w", size(words).cast("long"))
+        .withColumn("n_punct",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+        .withColumn("n_stop", stopCount(stopwords.toMap.apply("en")))
+        .withColumn("dup_w2",
+          lit(1.0) - size(array_distinct(w2)).cast("double") / size(w2).cast("double"))
+        .select(col("doc_id"),
+          flag(col("n_w") < 50).as("f_too_short"),
+          flag(col("n_stop") < 2).as("f_low_stopword"),
+          flag(col("n_punct").cast("double") / length(col("text")).cast("double") > 0.1).as("f_high_punct"),
+          flag(col("dup_w2") > 0.3).as("f_repetitive"))
+        .withColumn("keep",
+          flag(col("f_too_short") + col("f_low_stopword") +
+            col("f_high_punct") + col("f_repetitive") === 0L))
+        .orderBy("doc_id")
+    },
+    Some {
+      val en = stopCountSql(stopwords.toMap.apply("en"))
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_w,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST(length(text) AS BIGINT) AS n_c,
+         |    CAST($en AS BIGINT) AS n_stop,
+         |    1.0 - CAST(len(list_distinct(list_transform(
+         |        generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')))) AS DOUBLE)
+         |      / CAST(len(list_transform(
+         |        generate_series(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+         |        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))) AS DOUBLE) AS dup_w2
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_w < 50 THEN 1 ELSE 0 END AS BIGINT) AS f_too_short,
+         |    CAST(CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS BIGINT) AS f_low_stopword,
+         |    CAST(CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_c AS DOUBLE) > 0.1 THEN 1 ELSE 0 END AS BIGINT) AS f_high_punct,
+         |    CAST(CASE WHEN dup_w2 > 0.3 THEN 1 ELSE 0 END AS BIGINT) AS f_repetitive
+         |  FROM m)
+         |SELECT doc_id, f_too_short, f_low_stopword, f_high_punct, f_repetitive,
+         |  CAST(CASE WHEN f_too_short + f_low_stopword + f_high_punct + f_repetitive = 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    }
+  )
+
+  override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
+    txShingles, txRepetition, txFilterFlags)
 }

@@ -35,6 +35,28 @@ class FunctionsSpec extends SparkSpec {
     assert(both.head.getLong(0) === 32L)
   }
 
+  test("graft_shingle_hashes equals the substr+poly_hash formulation") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf).limit(50)
+    // the chain it replaced: string shingles → distinct → poly_hash each;
+    // compare as sorted sets (dedup by hash == dedup by string under min)
+    val both = docs.select(
+      sort_array(call_function("graft_shingle_hashes", col("text"), lit(5))).as("fast"),
+      sort_array(array_distinct(transform(
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)))),
+        sh => call_function("graft_poly_hash", sh)))).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+    // short-text edge: whole text hashes as the single shingle
+    import spark.implicits._
+    val short = Seq("ab").toDF("text").select(
+      call_function("graft_shingle_hashes", col("text"), lit(5)).as("h"),
+      expr("graft_poly_hash(text)").as("w"))
+    val r = short.head
+    assert(r.getSeq[Long](0) === Seq(r.getLong(1)))
+  }
+
   test("graft_dot_planes equals the per-plane HOF formulation") {
     GraftFunctions.register(spark)
     import graft.similarity.Similarity
