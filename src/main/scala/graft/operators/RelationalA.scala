@@ -787,7 +787,34 @@ object RelationalA extends Module {
       |ORDER BY o_orderkey""".stripMargin)
   )
 
+  // q39 — 7-row trailing moving average of order value per customer
+  // (rolling-mean EDA). The frame sum runs on the exact integer grid so
+  // the sliding-window accumulation order (Spark's add/remove incremental
+  // evaluation vs DuckDB's) cannot perturb the float result; the average
+  // is one fixed IEEE expression over the exact sum and the frame count.
+  private val q39 = Q(
+    "q39_moving_avg",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("s_qz", sum(Exact.qzl(col("o_totalprice"), 1000.0)).over(w))
+        .withColumn("n_f", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          (col("s_qz").cast("double") / lit(1000.0) / col("n_f").cast("double")).as("moving_avg"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 1000.0) AS BIGINT)) OVER w AS DOUBLE) / 1000.0
+      |    / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, apDistinct, apQuantiles)
+    q36, q37, q38, q39, apDistinct, apQuantiles)
 }

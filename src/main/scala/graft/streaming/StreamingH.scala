@@ -82,7 +82,40 @@ object StreamingH extends Module {
       |FROM events ORDER BY event_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup)
+  // st_asof — as-of join: every click event carries the user's most
+  // recent STRICTLY PRIOR purchase (value + event id). Implemented as one
+  // shuffle on user_id + an ignore-nulls last_value window — the scalable
+  // as-of shape (no range-join blowup, no per-key state larger than one
+  // row). Deterministic tiebreak (ts, event_id) on both sides.
+  private val stAsof = Q(
+    "st_asof",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("asof_value",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .withColumn("asof_event_id",
+          last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "asof_event_id", "asof_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH t AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER w AS asof_value,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER w AS asof_event_id
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, ts, asof_event_id, asof_value FROM t
+      |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
