@@ -787,6 +787,29 @@ object RelationalA extends Module {
       |ORDER BY o_orderkey""".stripMargin)
   )
 
+  // q40 — full cube (all 2^k grouping sets, the rollup sibling): one pass,
+  // grouping_id disambiguates subtotal rows whose key is genuinely NULL.
+  // Same exact-grid sum recipe as q35.
+  private val q40 = Q(
+    "q40_cube",
+    (s, d) => {
+      Exact.fanout(Tables.lineitem(s, d))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id(col("l_returnflag"), col("l_linestatus")).cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          (sum(Exact.qzl(col("l_quantity"), 1000.0)).cast("double") / lit(1000.0)).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  )
+
   // q39 — 7-row trailing moving average of order value per customer
   // (rolling-mean EDA). The frame sum runs on the exact integer grid so
   // the sliding-window accumulation order (Spark's add/remove incremental
@@ -816,5 +839,5 @@ object RelationalA extends Module {
 
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, apDistinct, apQuantiles)
+    q36, q37, q38, q39, q40, apDistinct, apQuantiles)
 }

@@ -173,6 +173,47 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  case class AsofEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class AsofOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      asof_event_id: Option[Long], asof_value: Option[Double])
+
+  /** Streaming twin of st_asof: per-user state is exactly ONE row — the
+    * most recent purchase seen so far (keyed by (event-time, event_id) so
+    * in-batch ordering matches the batch window's tiebreak). Clicks emit
+    * immediately with the state attached. State is O(users) and must not
+    * expire: a purchase arbitrarily far in the past is still the "most
+    * recent prior" — that retention is inherent to as-of semantics, not a
+    * leak. Like all streaming as-of implementations, events arriving in a
+    * later micro-batch than a click they precede in event time cannot
+    * retro-correct it; the watermark bounds that reordering window.
+    */
+  def asofStream(events: Dataset[AsofEvent]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double), AsofOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[AsofEvent], state: GroupState[(Long, Long, Double)]) =>
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var last = state.getOption // (order-key us, purchase event_id, value)
+          val out = scala.collection.mutable.ListBuffer[AsofOut]()
+          sorted.foreach { e =>
+            if (e.event_type == "click")
+              out += AsofOut(e.event_id, e.user_id, e.ts,
+                last.map(_._2), last.map(_._3))
+            if (e.event_type == "purchase")
+              last = Some((us(e.ts), e.event_id, e.value))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

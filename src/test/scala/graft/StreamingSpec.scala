@@ -100,6 +100,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => Streaming.AsofEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Streaming.AsofEvent]
+    val q = Streaming.asofStream(input.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("asof")
+        .select("event_id", "user_id", "ts", "asof_event_id", "asof_value")
+        .collect().map(_.toSeq).toSet
+      val batch = SparkEntry.queries("st_asof")(spark, sf)
+        .select("event_id", "user_id", "ts", "asof_event_id", "asof_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
