@@ -115,7 +115,26 @@ object StreamingH extends Module {
       |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof)
+  // st_interval_join — every (click, purchase) pair of the same user with
+  // the purchase inside the 24 h window before the click. Batch plan: one
+  // shuffle on user_id, sort-merge equi-join + range residual — never a
+  // cartesian. The streaming twin is the watermarked STREAM-STREAM inner
+  // join (Streaming.intervalJoinStream): both sides buffer state bounded
+  // by watermark + join window, the canonical Structured Streaming shape.
+  private val stIntervalJoin = Q(
+    "st_interval_join",
+    (s, d) => Streaming.intervalJoin(Tables.events(s, d))
+      .orderBy("click_id", "purchase_id"),
+    Some("""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 24 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof, stIntervalJoin)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -172,6 +191,40 @@ object Streaming {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  private def clicksAndPurchases(events: DataFrame): (DataFrame, DataFrame) = (
+    events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value")))
+
+  private def intervalCond = expr(
+    "user_id = p_user AND purchase_ts <= click_ts AND purchase_ts > click_ts - INTERVAL 24 HOURS")
+
+  /** (click, purchase-within-24h-before) pairs — batch twin. Equi-join on
+    * user_id with a range residual: shuffles once per side, never a
+    * cartesian.
+    */
+  def intervalJoin(events: DataFrame): DataFrame =
+    clicksAndPurchases(events) match { case (c, p) =>
+      c.join(p, intervalCond)
+        .select("click_id", "user_id", "click_ts", "purchase_id",
+          "purchase_ts", "purchase_value")
+    }
+
+  /** Watermarked stream-stream inner join twin: the purchase side's
+    * watermark covers the 24 h join window plus reordering slack, so both
+    * sides' buffered state expires — bounded state under continuous
+    * ingest.
+    */
+  def intervalJoinStream(events: DataFrame): DataFrame =
+    clicksAndPurchases(events) match { case (c, p) =>
+      c.withWatermark("click_ts", "2 hours")
+        .join(p.withWatermark("purchase_ts", "26 hours"), intervalCond)
+        .select("click_id", "user_id", "click_ts", "purchase_id",
+          "purchase_ts", "purchase_value")
+    }
 
   case class AsofEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.intervalJoinStream(streamDf)
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ij").collect().map(_.toSeq).toSet
+      val batch = Streaming.intervalJoin(batchEvents).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming as-of join matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
