@@ -72,7 +72,38 @@ object MultimodalG extends Module {
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample)
+  // mm_features — typed feature extraction over the opaque payload: byte
+  // class counts + ratios (the oracle-checkable stand-in for the pixel /
+  // spectral statistics a real decoder would emit — the real extractor is
+  // MediaDecode.decodeBatch/resizeBatch, same schema discipline). ASCII
+  // corpus ⇒ DuckDB reproduces the byte-class counts through its regex
+  // engine.
+  private val mmFeatures = Q(
+    "mm_features",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_bytes"),
+          regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+          regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_upper"),
+          regexp_count(col("text"), lit("[a-z]")).cast("long").as("n_lower"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_space"))
+        .withColumn("alpha_ratio",
+          (col("n_upper") + col("n_lower")).cast("double") / col("n_bytes").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+      |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+      |  CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_lower,
+      |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+      |  CAST(len(regexp_extract_all(text, '[A-Z]')) + len(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media
@@ -111,6 +142,52 @@ object MediaDecode {
           while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
           val mean = if (bytes.length == 0) 0.0 else s.toDouble / bytes.length
           Decoded(id, w, h, c, bytes.length.toLong, mean)
+        }
+      }
+  }
+
+  /** Typed output row of the resize stage. */
+  case class Resized(doc_id: Long, in_w: Int, in_h: Int, out_w: Int, out_h: Int,
+      out_md5: String, out_mean: Double)
+
+  /** Resize stage: 2×2 average pooling over the stub-decoded W×H byte
+    * grid (payload bytes cycled to fill the grid — the deterministic fake
+    * pixel source, same domain as [[decodeStub]]). Same mapPartitions
+    * batch boundary as decodeBatch: a real resampler (libyuv / swscale)
+    * slots in per-partition without changing schema or partitioning, and
+    * the output stays an opaque-but-checksummed byte image.
+    */
+  def resizeBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+      payloadCol: String): org.apache.spark.sql.Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition setup
+        it.map { case (id, bytes) =>
+          val (w, h, _) = decodeStub(bytes)
+          def px(r: Int, c: Int): Int =
+            if (bytes.length == 0) 0 else bytes(((r * w + c) % bytes.length + bytes.length) % bytes.length) & 0xff
+          val ow = w / 2
+          val oh = h / 2
+          val out = new Array[Byte](ow * oh)
+          var s = 0L
+          var r = 0
+          while (r < oh) {
+            var c = 0
+            while (c < ow) {
+              val v = (px(2 * r, 2 * c) + px(2 * r, 2 * c + 1) +
+                px(2 * r + 1, 2 * c) + px(2 * r + 1, 2 * c + 1)) / 4
+              out(r * ow + c) = v.toByte
+              s += v
+              c += 1
+            }
+            r += 1
+          }
+          md.reset()
+          val hex = md.digest(out).map("%02x".format(_)).mkString
+          Resized(id, w, h, ow, oh, hex, s.toDouble / (ow * oh))
         }
       }
   }

@@ -19,6 +19,22 @@ class MultimodalSpec extends SparkSpec {
     assert(r.byte_mean > 0.0 && r.byte_mean < 255.0)
   }
 
+  test("resizeBatch halves the stub dimensions deterministically") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("payload", col("text").cast("binary"))
+    val a = MediaDecode.resizeBatch(docs, "doc_id", "payload").collect()
+      .map(r => r.doc_id -> r).toMap
+    val b = MediaDecode.resizeBatch(docs, "doc_id", "payload").collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(a.nonEmpty)
+    a.values.foreach { r =>
+      assert(r.out_w === r.in_w / 2 && r.out_h === r.in_h / 2)
+      assert(r.out_mean >= 0.0 && r.out_mean <= 255.0)
+      // deterministic: identical checksums across runs
+      assert(b(r.doc_id).out_md5 === r.out_md5)
+    }
+  }
+
   test("mm_framesample frames tile the payload deterministically") {
     val frames = SparkEntry.queries("mm_framesample")(spark, sf)
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()
