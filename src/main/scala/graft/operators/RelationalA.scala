@@ -700,6 +700,33 @@ object RelationalA extends Module {
     None
   )
 
+  // ap_topk — heavy hitters via a count-min sketch (single pass, fixed
+  // memory, mergeable across 1000 executors — the streaming/at-scale
+  // frequency path). The sketch is built distributed by Spark's
+  // count_min_sketch aggregate; only the serialized sketch (bytes,
+  // size-bounded by eps/confidence, independent of data volume) and the
+  // tiny key dictionary reach the driver. Deterministic under the fixed
+  // seed; ApproxSpec bounds the overestimate against exact counts.
+  private val apTopk = Q(
+    "ap_topk",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val bytes = o.agg(
+          expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("cms"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val keys = o.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted
+      import s.implicits._
+      keys.map(k => (k, cms.estimateCount(k)))
+        .sortBy(r => (-r._2, r._1))
+        .zipWithIndex.map { case ((k, c), i) => (i.toLong + 1L, k, c) }
+        .toSeq.toDF("rank", "o_orderpriority", "est_count")
+    },
+    None
+  )
+
   private val apQuantiles = Q(
     "ap_quantiles",
     (s, d) => {
@@ -839,5 +866,5 @@ object RelationalA extends Module {
 
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, apDistinct, apQuantiles)
+    q36, q37, q38, q39, q40, apDistinct, apQuantiles, apTopk)
 }

@@ -18,6 +18,21 @@ class ApproxSpec extends SparkSpec {
     assert(err <= 0.06, f"error $err%.4f exceeds 3x rsd")
   }
 
+  test("count-min top-k brackets the exact frequencies from above") {
+    val est = SparkEntry.queries("ap_topk")(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (k, c) =>
+      // CMS never underestimates; overestimate bounded by eps·n (3x slack)
+      assert(est(k) >= c, s"$k: est ${est(k)} < exact $c")
+      assert(est(k) - c <= (0.003 * n).ceil.toLong + 1, s"$k: est ${est(k)} vs $c")
+    }
+  }
+
   test("approx quantiles track the exact quantiles") {
     val approx = SparkEntry.queries("ap_quantiles")(spark, sf)
       .orderBy("idx").collect().map(_.getDouble(1))
