@@ -240,6 +240,46 @@ object Dedup {
       .unionByName(star)
   }
 
+  /** Connected components over near-dup pairs: the dedup last mile
+    * (pairs → clusters → keep min-id representative per cluster).
+    * Iterative min-label propagation — each round every node takes the
+    * minimum label in its neighborhood (one shuffle join per round), so
+    * convergence needs O(component diameter) rounds: near-dup clusters
+    * are star/clique-shaped after [[candidatePairs]]' anchor guard, so a
+    * handful. localCheckpoint truncates lineage per round (the standard
+    * iterative-DataFrame discipline — without it the plan doubles every
+    * iteration).
+    *
+    * Returns (id, cluster_id) for every id in `ids`, cluster_id = min id
+    * of its component; isolated ids map to themselves.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("ch"))
+      val next = updated.select(col("id"), col("label"),
+        when(col("ch"), 1L).otherwise(0L).as("ch"))
+        .localCheckpoint(eager = true)
+      changed = next.agg(coalesce(sum(col("ch")), lit(0L))).head.getLong(0)
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Distinct word n-gram set per document. */
   def withWordNgrams(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("words", split(col(textCol), " "))

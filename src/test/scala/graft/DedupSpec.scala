@@ -101,6 +101,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 === 0L && p._2 === 101L))
   }
 
+  test("connected components collapse pair chains to min-id clusters") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    // a 3-chain (transitive, as anchor-star pairs produce), a 2-clique,
+    // and an isolated node
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("end-to-end dedup keeps one representative per planted cluster") {
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id", threshold = 0.6)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(corpus.select("doc_id"), "doc_id", pairs)
+    val clusters = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {0,100,101} and {1,102,103} collapse; every other doc is its own rep
+    assert(clusters(100L) === 0L && clusters(101L) === 0L)
+    assert(clusters(102L) === 1L && clusters(103L) === 1L)
+    val keep = clusters.values.toSet
+    assert(keep.size === corpus.count() - 4)
+  }
+
   test("dd_minhash oracle preconditions hold for the synthetic corpus") {
     // the DuckDB twin reproduces graft_poly_hash via ascii() power sums of
     // 5-char shingles — valid only for ASCII text of >= shingle width;
