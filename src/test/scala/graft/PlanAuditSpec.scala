@@ -53,6 +53,21 @@ class PlanAuditSpec extends SparkSpec {
       "projection not pruned to the 5 needed columns")
   }
 
+  test("round-2 operators keep their scale shapes") {
+    // interval join: equi-join + range residual — never a cartesian
+    val ij = plan("st_interval_join")
+    assert(!ij.contains("CartesianProduct") && !ij.contains("BroadcastNestedLoopJoin"), ij)
+    // as-of: partitioned window, no single-partition funnel
+    val asof = plan("st_asof")
+    assert(!asof.contains("Exchange SinglePartition"), asof)
+    // moving average: partitioned frame window only
+    assert(!plan("q39_moving_avg").contains("Exchange SinglePartition"))
+    // cube: one scan expanded to all grouping sets — not a union of scans
+    val cube = plan("q40_cube")
+    assert(scans(cube) === 1, cube)
+    assert(cube.contains("Expand"), cube)
+  }
+
   test("st_window_agg is a single aggregation (streaming-compatible shape)") {
     val p = plan("st_window_agg")
     assert("HashAggregate".r.findAllIn(p).length <= 2, p) // partial + final only
