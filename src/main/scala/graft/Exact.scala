@@ -76,12 +76,18 @@ object Exact {
     * per file, which caps scan (and therefore scan-side partial
     * aggregation) parallelism at 1 task no matter how the file is split.
     * When input partitions < cores, redistribute before heavy per-row
-    * work. On a real cluster with splittable inputs this is a no-op — the
-    * condition gates it, so the production plan carries no extra shuffle.
+    * work. On a real cluster with splittable inputs set
+    * SPARK_GRAFT_FANOUT=off: the check itself costs a physical-planning
+    * pass per invocation (toRdd plans the subtree — cheaper than df.rdd's
+    * extra deserializer layer, but not free), and with splittable inputs
+    * the condition is never true anyway.
     */
+  private lazy val fanoutEnabled = sys.env.getOrElse("SPARK_GRAFT_FANOUT", "on") != "off"
+
   def fanout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (!fanoutEnabled) return df
     val sc = df.sparkSession.sparkContext
-    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+    if (df.queryExecution.toRdd.getNumPartitions < sc.defaultParallelism)
       df.repartition(sc.defaultParallelism)
     else df
   }

@@ -240,15 +240,25 @@ object Dedup {
       .unionByName(star)
   }
 
+  /** Test instrumentation: rounds the last [[connectedComponents]] call
+    * took to converge (driver-single-threaded).
+    */
+  private[graft] var lastCcIterations: Int = 0
+
   /** Connected components over near-dup pairs: the dedup last mile
     * (pairs → clusters → keep min-id representative per cluster).
-    * Iterative min-label propagation — each round every node takes the
-    * minimum label in its neighborhood (one shuffle join per round), so
-    * convergence needs O(component diameter) rounds: near-dup clusters
-    * are star/clique-shaped after [[candidatePairs]]' anchor guard, so a
-    * handful. localCheckpoint truncates lineage per round (the standard
-    * iterative-DataFrame discipline — without it the plan doubles every
-    * iteration).
+    * Each round does (a) min-label propagation — every node takes the
+    * minimum label in its neighborhood (one shuffle join) — then (b) a
+    * POINTER-JUMP shortcut l(v) ← l(l(v)) (labels are node ids, so this
+    * is a self-join on label = id). Propagation alone needs O(component
+    * diameter) rounds — fine for the star/clique shapes
+    * [[candidatePairs]] emits, a scale-killer on a pathological chain.
+    * The shortcut doubles the effective hop distance per round
+    * (Shiloach–Vishkin-style label doubling), so a D-diameter component
+    * converges in O(log D) rounds: DedupSpec plants a 1000-node chain
+    * and asserts ≤ 12 rounds. localCheckpoint truncates lineage per
+    * round (the standard iterative-DataFrame discipline — without it the
+    * plan doubles every iteration).
     *
     * Returns (id, cluster_id) for every id in `ids`, cluster_id = min id
     * of its component; isolated ids map to themselves.
@@ -263,20 +273,27 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // (a) propagate: l(v) ← min(l(v), min over neighbors' labels)
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels
+      val prop = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      // (b) shortcut: l(v) ← l(l(v)) — halves remaining chain depth
+      val parents = prop.select(col("id").as("pid"), col("label").as("plabel"))
+      val next = prop.join(parents, col("label") === col("pid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("ch"))
-      val next = updated.select(col("id"), col("label"),
-        when(col("ch"), 1L).otherwise(0L).as("ch"))
+          coalesce(col("plabel"), col("label")).as("label"),
+          when(coalesce(col("plabel"), col("label")) < col("old_label"), 1L)
+            .otherwise(0L).as("ch"))
         .localCheckpoint(eager = true)
       changed = next.agg(coalesce(sum(col("ch")), lit(0L))).head.getLong(0)
       labels = next.select("id", "label")
       iter += 1
     }
+    lastCcIterations = iter
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -113,46 +113,81 @@ object MlC extends Module {
   // ml_search — the optuna analog (reference optimize/after_params_objective,
   // modeling.py:213-233): a SEEDED random search — 6 logreg trials drawing
   // regParam log-uniform in [1e-4, 1] and elasticNetParam uniform, plus 4
-  // GBT maxDepth trials — each scored by 3-fold CV mean AUC, reported as a
-  // per-trial table ranked by score. Deterministic under the fixed seed
-  // (draws, fold split, and tree seeds all pinned). MedianPruner is an
-  // early-stop optimization, not a semantics change — all trials report.
+  // GBT maxDepth trials — each scored by seeded 3-fold CV mean AUC and
+  // reported as a per-trial table ranked by score. Deterministic under
+  // the fixed seed (draws, hash-based fold split, and tree seeds pinned).
+  // MedianPruner analog (modeling.py:213's pruner): a trial whose fold-0
+  // AUC falls below the running median of earlier trials' fold-0 AUCs is
+  // pruned — folds 1-2 never fit (1 fit instead of 3), exactly optuna's
+  // intermediate-value rule. Pruned trials report their fold-0 score with
+  // pruned=true and rank after completed trials. MlSpec asserts the
+  // pruned search keeps the same top trial with strictly fewer fits.
+
+  /** One searchable trial; `est` is pre-configured with the drawn params. */
+  private case class Trial(id: Long, model: String, reg: Option[Double],
+      en: Option[Double], depth: Option[Long],
+      est: org.apache.spark.ml.Estimator[_])
+
+  /** Run the seeded trial sequence; returns (per-trial rows, fold-fits
+    * performed). Exposed for MlSpec's pruning-equivalence check.
+    */
+  private[graft] def searchTrials(s: SparkSession, d: String, prune: Boolean)
+      : (Seq[(Long, String, Option[Double], Option[Double], Option[Long], Double, Boolean)], Int) = {
+    val df = assembler.transform(customerFeatures(s, d))
+      .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
+      .cache()
+    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+    var fits = 0
+    def foldScore(est: org.apache.spark.ml.Estimator[_], f: Int): Double = {
+      fits += 1
+      val m = est.fit(df.filter(col("fold") =!= f))
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      ev.evaluate(m.transform(df.filter(col("fold") === f)))
+    }
+    val rnd = new scala.util.Random(42L)
+    val trials: Seq[Trial] =
+      (0 until 6).map { i =>
+        val reg = math.pow(10.0, -4.0 + 4.0 * rnd.nextDouble())
+        val en = rnd.nextDouble()
+        Trial(i.toLong, "logreg", Some(reg), Some(en), None,
+          new LogisticRegression().setMaxIter(20).setRegParam(reg).setElasticNetParam(en))
+      } ++
+      Seq(2, 3, 4, 5).zipWithIndex.map { case (dep, i) =>
+        Trial((6 + i).toLong, "gbt", None, None, Some(dep.toLong),
+          new GBTClassifier().setMaxIter(5).setMaxDepth(dep).setSeed(42L))
+      }
+    def median(v: Seq[Double]): Double = {
+      val ss = v.sorted
+      if (ss.size % 2 == 1) ss(ss.size / 2)
+      else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2.0
+    }
+    val fold0s = scala.collection.mutable.ArrayBuffer[Double]()
+    val rows = trials.map { t =>
+      val s0 = foldScore(t.est, 0)
+      val pruneThis = prune && fold0s.size >= 3 && s0 < median(fold0s.toSeq)
+      fold0s += s0
+      if (pruneThis) (t.id, t.model, t.reg, t.en, t.depth, s0, true)
+      else {
+        val mean = (s0 + foldScore(t.est, 1) + foldScore(t.est, 2)) / 3.0
+        (t.id, t.model, t.reg, t.en, t.depth, mean, false)
+      }
+    }
+    df.unpersist()
+    (rows, fits)
+  }
+
   private val mlSearch = Q(
     "ml_search",
     (s, d) => {
-      val df = assembler.transform(customerFeatures(s, d))
-      val rnd = new scala.util.Random(42L)
-      val lrTrials = (0 until 6).map { i =>
-        (i.toLong, math.pow(10.0, -4.0 + 4.0 * rnd.nextDouble()), rnd.nextDouble())
-      }
-      val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
-      val lr = new LogisticRegression().setMaxIter(20)
-      val lrGrid = lrTrials.map { case (_, reg, en) =>
-        new ParamMap().put(lr.regParam, reg).put(lr.elasticNetParam, en)
-      }.toArray
-      val lrMetrics = new CrossValidator().setEstimator(lr).setEvaluator(ev)
-        .setEstimatorParamMaps(lrGrid).setNumFolds(3).setSeed(42L)
-        .fit(df).avgMetrics
-      val depths = Seq(2, 3, 4, 5)
-      val gbt = new GBTClassifier().setMaxIter(5).setSeed(42L)
-      val gbtGrid = depths.map(dep => new ParamMap().put(gbt.maxDepth, dep)).toArray
-      val gbtMetrics = new CrossValidator().setEstimator(gbt).setEvaluator(ev)
-        .setEstimatorParamMaps(gbtGrid).setNumFolds(3).setSeed(42L)
-        .fit(df).avgMetrics
-      val rows =
-        lrTrials.zip(lrMetrics).map { case ((i, reg, en), m) =>
-          (i, "logreg", Some(reg), Some(en), Option.empty[Long], m)
-        } ++
-        depths.zipWithIndex.zip(gbtMetrics).map { case ((dep, i), m) =>
-          ((6 + i).toLong, "gbt", Option.empty[Double], Option.empty[Double],
-            Some(dep.toLong), m)
-        }
-      val ranked = rows.sortBy(-_._6).zipWithIndex.map { case (r, k) =>
-        (r._1, r._2, r._3, r._4, r._5, r._6, (k + 1).toLong)
+      val (rows, _) = searchTrials(s, d, prune = true)
+      val completed = rows.filter(!_._7).sortBy(r => (-r._6, r._1))
+      val pruned = rows.filter(_._7).sortBy(r => (-r._6, r._1))
+      val ranked = (completed ++ pruned).zipWithIndex.map { case (r, k) =>
+        (r._1, r._2, r._3, r._4, r._5, r._6, r._7, (k + 1).toLong)
       }
       import s.implicits._
       ranked.toDF("trial_id", "model", "reg_param", "elastic_net", "max_depth",
-        "mean_auc", "rank")
+        "mean_auc", "pruned", "rank")
         .orderBy("trial_id")
     },
     None

@@ -27,18 +27,34 @@ import org.apache.spark.sql.functions._
   * where bmin == bmax (point-mass skew: one value dominating the column)
   * are answered from the histogram alone — the skewed case is the CHEAP
   * case. A bucket can exceed ~n/65536 rows only when many DISTINCT values
-  * crowd into one 1/65536th of the value range; if that ever mattered the
-  * fix is one recursive level (re-histogram [bmin, bmax] of the oversized
-  * bucket — same jobs, 65536× finer), but with the point-mass fast path
-  * the single level already covers the realistic skew shapes. The final
-  * interpolation is the same fixed IEEE expression as the DuckDB oracle,
-  * so bit-for-bit hash matches are preserved.
+  * crowd into one 1/65536th of the value range; such buckets (population
+  * above [[RefineLimit]]) are RECURSIVELY re-histogrammed over their own
+  * [bmin, bmax] — same jobs, 65536× finer per level, at most
+  * [[MaxRefineDepth]] levels (65536³ ≈ 2.8e14 effective buckets) before
+  * falling back to the in-bucket rank. So no task ever sorts more than
+  * max(n/65536, RefineLimit) rows regardless of the value distribution.
+  * The final interpolation is the same fixed IEEE expression as the
+  * DuckDB oracle, so bit-for-bit hash matches are preserved.
   *
   * Precondition: no NULLs in the quantile columns (the reference drops NA
   * first; the TPC-H measure columns are NOT NULL).
   */
 object Quantiles {
   val Buckets = 65536
+
+  /** An in-bucket sort above this row count triggers one recursive
+    * re-histogram level instead (4M doubles ≈ 32 MB — a comfortable
+    * single-task sort; parameterized so specs can force the path).
+    */
+  val RefineLimit: Long = 1L << 22
+
+  /** Recursion cap: bounded work even on adversarial distributions. */
+  val MaxRefineDepth = 3
+
+  /** Test instrumentation: recursive refinements performed by the most
+    * recent driver-side quantile call (driver-single-threaded).
+    */
+  private[graft] var lastRefineCount: Int = 0
 
   private def bucketCol(x: Column, lo: Double, hi: Double): Column =
     least(width_bucket(x, lit(lo), lit(hi), lit(Buckets)), lit(Buckets.toLong))
@@ -75,13 +91,131 @@ object Quantiles {
         Window.partitionBy(col("b")).orderBy(col("x"))).cast("long"))
   }
 
+  /** Grouped job-2 shape (q33): ONE scan histogramming every group against
+    * its own [lo, hi] — a pure partial+final hash aggregate keyed on
+    * (group, bucket), so parallelism is groups·65536, never group
+    * cardinality. Group keys are strings (the boxplot-per-category case).
+    */
+  def groupedBucketHistogram(df: DataFrame, g: String, x: String,
+      bounds: Seq[(String, Double, Double)]): DataFrame = {
+    // restrict to the live (non-degenerate) groups: degenerate groups have
+    // no bucket arm in the when-chain, and the IN-list prunes them at the
+    // scan instead of surfacing NULL buckets
+    val base = df.filter(col(g).isin(bounds.map(_._1): _*))
+      .select(col(g).as("g"), col(x).cast("double").as("x"))
+    val b = coalesce(bounds.map { case (gv, lo, hi) =>
+      when(col("g") === gv, bucketCol(col("x"), lo, hi))
+    }: _*)
+    base.groupBy(col("g"), b.as("b"))
+      .agg(count(lit(1)).as("bc"), min(col("x")).as("bmin"), max(col("x")).as("bmax"))
+  }
+
+  /** Grouped job-3 shape: rank within (group, bucket) — the window
+    * partition key has groups·buckets cardinality, and the (group = v AND
+    * x in range) disjunction pushes to the parquet scan.
+    */
+  def groupedSelectionDf(df: DataFrame, g: String, x: String,
+      bounds: Map[String, (Double, Double)],
+      picks: Seq[(String, Double, Double)]): DataFrame = {
+    val cond = picks.map { case (gv, bmin, bmax) =>
+      col(g) === gv && col(x) >= bmin && col(x) <= bmax
+    }.reduce(_ || _)
+    val base = df.filter(cond).select(col(g).as("g"), col(x).cast("double").as("x"))
+    val b = coalesce(bounds.toSeq.map { case (gv, (lo, hi)) =>
+      when(col("g") === gv, bucketCol(col("x"), lo, hi))
+    }: _*)
+    base.withColumn("b", b)
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("g"), col("b")).orderBy(col("x"))).cast("long"))
+  }
+
+  /** Walk the sorted histogram accumulating cumulative counts; for each
+    * needed global rank return (bucket, local rank, bmin, bmax, bucket
+    * count). Pure driver arithmetic over bounded metadata.
+    */
+  private def locate(hist: Seq[(Long, Long, Double, Double)], needed: Seq[Long])
+      : Map[Long, (Long, Long, Double, Double, Long)] = {
+    val m = scala.collection.mutable.Map[Long, (Long, Long, Double, Double, Long)]()
+    var cum = 0L
+    hist.foreach { case (b, bc, bmin, bmax) =>
+      needed.foreach { rn =>
+        if (rn > cum && rn <= cum + bc) m(rn) = (b, rn - cum, bmin, bmax, bc)
+      }
+      cum += bc
+    }
+    m.toMap
+  }
+
+  /** Resolve exact order statistics (1-based ranks of `df`'s `c`, whose
+    * values all lie in [lo, hi]) given an already-collected histogram of
+    * that range. Point-mass buckets answer from metadata; crowded buckets
+    * above `refineLimit` recurse one histogram level; the rest rank
+    * in-bucket via [[selectionDf]].
+    */
+  private def resolveWithHist(df: DataFrame, c: String, lo: Double, hi: Double,
+      hist: Seq[(Long, Long, Double, Double)], ranks: Seq[Long], depth: Int,
+      refineLimit: Long): Map[Long, Double] = {
+    val located = locate(hist, ranks.distinct)
+    val fast = located.collect { case (rn, (_, _, bmin, bmax, _)) if bmin == bmax => rn -> bmin }
+    val rest = located.filterNot { case (_, (_, _, bmin, bmax, _)) => bmin == bmax }
+    val (big, small) = rest.partition {
+      case (_, (_, _, _, _, bc)) => bc > refineLimit && depth < MaxRefineDepth
+    }
+    val smallResolved: Map[Long, Double] =
+      if (small.isEmpty) Map.empty
+      else {
+        val buckets = small.values.map(p => (p._3, p._4)).toSeq.distinct
+        val sel = selectionDf(df, c, lo, hi, buckets)
+        val wanted = small.map { case (rn, (b, lrn, _, _, _)) => (b, lrn) -> rn }
+        val cond = wanted.keys.map { case (b, lrn) =>
+          col("b") === b && col("lrn") === lrn
+        }.reduce(_ || _)
+        sel.filter(cond).select(col("b"), col("lrn"), col("x")).collect()
+          .map(row => wanted((row.getLong(0), row.getLong(1))) -> row.getDouble(2)).toMap
+      }
+    val bigResolved: Map[Long, Double] = big.toSeq
+      .groupBy { case (_, (b, _, bmin, bmax, _)) => (b, bmin, bmax) }
+      .flatMap { case ((_, bmin, bmax), picks) =>
+        lastRefineCount += 1
+        val sub = df.filter(col(c) >= bmin && col(c) <= bmax)
+        val localRanks = picks.map { case (_, (_, lrn, _, _, _)) => lrn }
+        val resolved = resolveRanks(sub, c, bmin, bmax, localRanks, depth + 1, refineLimit)
+        picks.map { case (rn, (_, lrn, _, _, _)) => rn -> resolved(lrn) }
+      }
+    fast ++ smallResolved ++ bigResolved
+  }
+
+  /** Histogram [lo, hi] of `df`'s `c`, then resolve `ranks` — the
+    * recursive refinement level ([[resolveWithHist]] re-enters here for
+    * value-crowded buckets with the bucket's own [bmin, bmax] range).
+    */
+  private def resolveRanks(df: DataFrame, c: String, lo: Double, hi: Double,
+      ranks: Seq[Long], depth: Int, refineLimit: Long): Map[Long, Double] =
+    if (lo == hi) ranks.map(_ -> lo).toMap
+    else {
+      val hist = bucketHistogram(df, Seq((c, lo, hi))).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSeq.sortBy(_._1)
+      resolveWithHist(df, c, lo, hi, hist, ranks, depth, refineLimit)
+    }
+
+  /** Ranks bracketing each requested quantile: h = q·(n−1), 1-based. */
+  private def ranksFor(qs: Seq[Double], n: Long): Seq[(Double, Double, Long, Long)] =
+    qs.map { q =>
+      val h = q * (n.toDouble - 1.0)
+      val rlo = math.floor(h).toLong + 1L
+      val rhi = math.min(rlo + 1L, n)
+      (q, h, rlo, rhi)
+    }
+
   /** (col, q, value) for every requested quantile of every column, driver-
     * assembled from distributed order statistics. Everything collected is
     * bounded metadata (histogram rows / bracketing order statistics), never
     * data-proportional.
     */
-  def exactQuantiles(df: DataFrame, cols: Seq[String],
-      qs: Seq[Double]): Seq[(String, Double, Double)] = {
+  def exactQuantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double],
+      refineLimit: Long = RefineLimit): Seq[(String, Double, Double)] = {
+    lastRefineCount = 0
     // job 1 — per-column bounds + count in one aggregate
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"${c}__lo"),
@@ -92,68 +226,122 @@ object Quantiles {
       c -> (r.getAs[Double](s"${c}__lo"), r.getAs[Double](s"${c}__hi"), r.getAs[Long](s"${c}__n"))
     }.toMap
 
-    // ranks bracketing each requested quantile: h = q·(n−1), 1-based
-    def ranksFor(n: Long): Seq[(Double, Double, Long, Long)] = qs.map { q =>
-      val h = q * (n.toDouble - 1.0)
-      val rlo = math.floor(h).toLong + 1L
-      val rhi = math.min(rlo + 1L, n)
-      (q, h, rlo, rhi)
-    }
-
     // job 2 — one stacked histogram scan for all non-degenerate columns
     val histSpecs = cols.filter(c => bounds(c)._3 > 0 && bounds(c)._1 != bounds(c)._2)
       .map(c => (c, bounds(c)._1, bounds(c)._2))
-    val hist: Map[String, Array[(Long, Long, Double, Double)]] =
+    val hist: Map[String, Seq[(Long, Long, Double, Double)]] =
       if (histSpecs.isEmpty) Map.empty
       else bucketHistogram(df, histSpecs).collect()
         .map(row => (row.getString(0), row.getLong(1), row.getLong(2), row.getDouble(3), row.getDouble(4)))
         .groupBy(_._1)
         .map { case (c, rows) =>
-          c -> rows.map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
+          c -> rows.map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1)
         }
 
     cols.flatMap { c =>
       val (lo, hi, n) = bounds(c)
       if (n == 0L) Seq.empty
-      else if (lo == hi) ranksFor(n).map { case (q, _, _, _) => (c, q, lo) }
+      else if (lo == hi) qs.map(q => (c, q, lo))
       else {
-        val rks = ranksFor(n)
+        val rks = ranksFor(qs, n)
         val needed = rks.flatMap { case (_, _, rlo, rhi) => Seq(rlo, rhi) }.distinct
-        // cumulative offsets over the sorted histogram → (bucket, local rank)
-        val h = hist(c)
-        var cum = 0L
-        val located: Map[Long, (Long, Long, Double, Double)] = {
-          val m = scala.collection.mutable.Map[Long, (Long, Long, Double, Double)]()
-          h.foreach { case (b, bc, bmin, bmax) =>
-            needed.foreach { rn =>
-              if (rn > cum && rn <= cum + bc) m(rn) = (b, rn - cum, bmin, bmax)
-            }
-            cum += bc
-          }
-          m.toMap
-        }
-        val fast = located.collect { case (rn, (_, _, bmin, bmax)) if bmin == bmax => rn -> bmin }
-        val slowPicks = located.filter { case (_, (_, _, bmin, bmax)) => bmin != bmax }
-        val slow: Map[Long, Double] =
-          if (slowPicks.isEmpty) Map.empty
-          else {
-            // job 3 — rank only inside the bracketing buckets
-            val slowBuckets = slowPicks.values.map(p => (p._3, p._4)).toSeq.distinct
-            val sel = selectionDf(df, c, lo, hi, slowBuckets)
-            val wanted = slowPicks.map { case (rn, (b, lrn, _, _)) => (b, lrn) -> rn }
-            val cond = wanted.keys.map { case (b, lrn) =>
-              col("b") === b && col("lrn") === lrn
-            }.reduce(_ || _)
-            sel.filter(cond).select(col("b"), col("lrn"), col("x")).collect()
-              .map(row => wanted((row.getLong(0), row.getLong(1))) -> row.getDouble(2)).toMap
-          }
-        val at = fast ++ slow
+        // job 3 — point-mass fast path / in-bucket rank / recursive refine
+        val at = resolveWithHist(df, c, lo, hi, hist(c), needed, 0, refineLimit)
         rks.map { case (q, hh, rlo, rhi) =>
           val xLo = at(rlo)
           val xHi = at(rhi)
           // same fixed IEEE interpolation as the DuckDB oracle
           (c, q, xLo + (xHi - xLo) * (hh - math.floor(hh)))
         }
+      }
+    }
+  }
+
+  /** (group, q, value) — per-group exact quantiles (q33, the EDA
+    * boxplot-per-category) with the SAME jobs as [[exactQuantiles]] but
+    * keyed on (group, bucket): one stats pass, one grouped histogram
+    * pass, one grouped in-bucket rank pass, all partial-aggregable. The
+    * point is LOW-cardinality groups — a `row_number() over
+    * partitionBy(group)` plan caps parallelism at the number of groups
+    * (3 for l_returnflag), while the (group, bucket) key fans out to
+    * groups·65536. (High-cardinality groups don't need this: there the
+    * plain grouped window already has parallelism ≥ cores.) Per-group
+    * driver metadata is bounded by groups·65536 histogram rows — the
+    * documented precondition is that group cardinality is dashboard-
+    * scale, which is exactly when this path is needed.
+    */
+  def groupedExactQuantiles(df: DataFrame, g: String, x: String, qs: Seq[Double],
+      refineLimit: Long = RefineLimit): Seq[(String, Double, Double)] = {
+    lastRefineCount = 0
+    // job 1 — per-group bounds + count
+    val stats = df.groupBy(col(g)).agg(
+        min(col(x).cast("double")).as("lo"),
+        max(col(x).cast("double")).as("hi"),
+        count(col(x)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+
+    // job 2 — one (group, bucket) histogram scan for all live groups
+    val histSpecs = stats.filter(s => s._4 > 0 && s._2 != s._3)
+      .map(s => (s._1, s._2, s._3))
+    val boundsMap = histSpecs.map(s => s._1 -> (s._2, s._3)).toMap
+    val hist: Map[String, Seq[(Long, Long, Double, Double)]] =
+      if (histSpecs.isEmpty) Map.empty
+      else groupedBucketHistogram(df, g, x, histSpecs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1)
+        .map { case (gv, rows) =>
+          gv -> rows.map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1)
+        }
+
+    // locate every needed rank; split into fast / small / refine picks
+    case class Need(gv: String, rn: Long, b: Long, lrn: Long,
+        bmin: Double, bmax: Double, bc: Long)
+    val needs: Seq[Need] = histSpecs.flatMap { case (gv, _, _) =>
+      val n = stats.find(_._1 == gv).get._4
+      val needed = ranksFor(qs, n).flatMap { case (_, _, rlo, rhi) => Seq(rlo, rhi) }.distinct
+      locate(hist(gv), needed).toSeq.map { case (rn, (b, lrn, bmin, bmax, bc)) =>
+        Need(gv, rn, b, lrn, bmin, bmax, bc)
+      }
+    }
+    val fast: Map[(String, Long), Double] =
+      needs.filter(nd => nd.bmin == nd.bmax).map(nd => (nd.gv, nd.rn) -> nd.bmin).toMap
+    val rest = needs.filter(nd => nd.bmin != nd.bmax)
+    val (big, small) = rest.partition(nd => nd.bc > refineLimit)
+
+    // job 3 — ONE grouped selection pass for all in-bucket ranks
+    val smallResolved: Map[(String, Long), Double] =
+      if (small.isEmpty) Map.empty
+      else {
+        val picks = small.map(nd => (nd.gv, nd.bmin, nd.bmax)).distinct
+        val sel = groupedSelectionDf(df, g, x, boundsMap, picks)
+        val wanted = small.map(nd => (nd.gv, nd.b, nd.lrn) -> (nd.gv, nd.rn)).toMap
+        val cond = wanted.keys.map { case (gv, b, lrn) =>
+          col("g") === gv && col("b") === b && col("lrn") === lrn
+        }.reduce(_ || _)
+        sel.filter(cond).select(col("g"), col("b"), col("lrn"), col("x")).collect()
+          .map(row => wanted((row.getString(0), row.getLong(1), row.getLong(2))) -> row.getDouble(3))
+          .toMap
+      }
+
+    // refine value-crowded buckets per (group, bucket), group-filtered
+    val bigResolved: Map[(String, Long), Double] = big
+      .groupBy(nd => (nd.gv, nd.b, nd.bmin, nd.bmax))
+      .flatMap { case ((gv, _, bmin, bmax), picks) =>
+        lastRefineCount += 1
+        val sub = df.filter(col(g) === gv && col(x) >= bmin && col(x) <= bmax)
+        val resolved = resolveRanks(sub, x, bmin, bmax, picks.map(_.lrn), 1, refineLimit)
+        picks.map(nd => (nd.gv, nd.rn) -> resolved(nd.lrn))
+      }
+
+    val at = fast ++ smallResolved ++ bigResolved
+    stats.filter(_._4 > 0).flatMap { case (gv, lo, hi, n) =>
+      if (lo == hi) qs.map(q => (gv, q, lo))
+      else ranksFor(qs, n).map { case (q, hh, rlo, rhi) =>
+        val xLo = at((gv, rlo))
+        val xHi = at((gv, rhi))
+        (gv, q, xLo + (xHi - xLo) * (hh - math.floor(hh)))
       }
     }
   }

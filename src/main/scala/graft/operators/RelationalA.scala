@@ -568,21 +568,32 @@ object RelationalA extends Module {
       |FROM lineitem, f GROUP BY bin ORDER BY bin""".stripMargin)
   )
 
-  // q32 — groupwise standardization (pandas groupby().transform): one
-  // shuffle on the group key serves the unordered window aggregates
-  // (integer-grid exact mean/std per group, ddof=0) and the narrow z-map.
+  // q32 — groupwise standardization (pandas groupby().transform), as a
+  // two-phase fit+transform (the q25/q30 shape): a tiny
+  // groupBy(segment).agg computes exact integer-grid moments per group
+  // (5 rows — partial-aggregated map-side, so the segment-keyed exchange
+  // carries ≤ groups·partitions partial rows, never data), broadcast back
+  // into a narrow z-map. NOT a Window.partitionBy(segment): with 5
+  // distinct segments that plan funnels every row of a segment through
+  // ONE task — parallelism capped at group cardinality regardless of
+  // cluster size. The exact decimal group sums equal the window long
+  // sums bit-for-bit, and the z expression applies the identical IEEE
+  // ops in the oracle's order, so the hash-match is unchanged.
   private val q32 = Q(
     "q32_group_zscore",
     (s, d) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-      val sx = sum(Exact.qzl(col("c_acctbal"), 1000.0)).over(w).cast("double")
-      val sxx = sum(Exact.qzl(col("c_acctbal"), 1000.0) * Exact.qzl(col("c_acctbal"), 1000.0)).over(w).cast("double")
-      val n = count(lit(1)).over(w).cast("double")
-      val mu = sx / n / lit(1000.0)
-      val sigma = sqrt((sxx - (sx * sx) / n) / n) / lit(1000.0)
-      Tables.customer(s, d)
+      val c = Tables.customer(s, d)
+      val z = Exact.qzl(col("c_acctbal"), 1000.0)
+      val fit = c.groupBy(col("c_mktsegment").as("seg"))
+        .agg(sum(z.cast(DecimalType(38, 0))).cast("double").as("sx"),
+          sum((z * z).cast(DecimalType(38, 0))).cast("double").as("sxx"),
+          count(lit(1)).cast("double").as("n"))
+        .select(col("seg"),
+          (col("sx") / col("n") / lit(1000.0)).as("mu"),
+          (sqrt((col("sxx") - (col("sx") * col("sx")) / col("n")) / col("n")) / lit(1000.0)).as("sigma"))
+      c.join(broadcast(fit), col("c_mktsegment") === col("seg"))
         .select(col("c_custkey"), col("c_mktsegment"),
-          ((col("c_acctbal") - mu) / sigma).as("acctbal_z"))
+          ((col("c_acctbal") - col("mu")) / col("sigma")).as("acctbal_z"))
         .orderBy("c_custkey")
     },
     Some("""WITH g AS (
@@ -597,34 +608,21 @@ object RelationalA extends Module {
       |FROM g ORDER BY c_custkey""".stripMargin)
   )
 
-  // q33 — grouped exact quantiles (the EDA boxplot-per-category): unlike
-  // the global q07 sort, the rank window partitions by the group key, so
-  // this is ONE ordinary shuffle that scales horizontally — the shape to
-  // prefer whenever quantiles are per-category. Bracketing order
-  // statistics come from a single broadcast OR-join, like q07.
+  // q33 — grouped exact quantiles (the EDA boxplot-per-category). NOT a
+  // `row_number() over partitionBy(l_returnflag)` rank: with 3 groups
+  // that plan sorts ~n/3 rows per task — parallelism capped at group
+  // cardinality. Instead the q07 bucket-histogram machinery keyed on
+  // (group, bucket): one grouped stats pass, one (group, bucket)
+  // histogram, one in-bucket rank pass over only the bracketing buckets
+  // — all partial-aggregable, parallelism groups·65536. Same driver-side
+  // IEEE interpolation as the oracle, so the hash-match is unchanged.
   private val q33 = Q(
     "q33_group_quantiles",
     (s, d) => {
-      val l = Tables.lineitem(s, d)
-      val qs = Seq(0.25, 0.5, 0.75)
-      val ranked = l.select(col("l_returnflag").as("g"), col("l_quantity").as("x"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("g")).orderBy(col("x"))))
-      val counts = l.groupBy(col("l_returnflag").as("g"))
-        .agg(count(lit(1)).cast("double").as("cnt"))
-      val probe = counts
-        .select(col("g"), col("cnt"),
-          explode(array(qs.map(lit(_)): _*)).as("q"))
-        .withColumn("h", col("q") * (col("cnt") - lit(1.0)))
-        .withColumn("rlo", floor(col("h")).cast("long") + lit(1L))
-        .withColumn("rhi", least(floor(col("h")).cast("long") + lit(2L), col("cnt").cast("long")))
-      ranked.join(broadcast(probe.withColumnRenamed("g", "pg")),
-          col("g") === col("pg") && (col("rn") === col("rlo") || col("rn") === col("rhi")))
-        .groupBy(col("g"), col("q"), col("h"))
-        .agg(max(when(col("rn") === col("rlo"), col("x"))).as("x_lo"),
-          max(when(col("rn") === col("rhi"), col("x"))).as("x_hi"))
-        .select(col("g").as("l_returnflag"), col("q"),
-          (col("x_lo") + (col("x_hi") - col("x_lo")) * (col("h") - floor(col("h")))).as("value"))
+      import s.implicits._
+      Quantiles.groupedExactQuantiles(
+          Tables.lineitem(s, d), "l_returnflag", "l_quantity", Seq(0.25, 0.5, 0.75))
+        .toDF("l_returnflag", "q", "value")
         .orderBy("l_returnflag", "q")
     },
     Some("""WITH r AS (
@@ -704,25 +702,42 @@ object RelationalA extends Module {
   // memory, mergeable across 1000 executors — the streaming/at-scale
   // frequency path). The sketch is built distributed by Spark's
   // count_min_sketch aggregate; only the serialized sketch (bytes,
-  // size-bounded by eps/confidence, independent of data volume) and the
-  // tiny key dictionary reach the driver. Deterministic under the fixed
-  // seed; ApproxSpec bounds the overestimate against exact counts.
+  // size-bounded by eps/confidence, independent of data volume) reaches
+  // the driver. Candidates are generated DISTRIBUTED too — per-partition
+  // SpaceSaving summaries (any key above 1/cap global frequency is
+  // guaranteed to survive in some partition, see [[SpaceSaving]]) probe
+  // the re-broadcast sketch, and a TakeOrdered top-k hands the driver
+  // O(k) rows. Never the key dictionary: for a billion-key column the
+  // dictionary IS the unbounded thing the sketch path exists to avoid.
+  // Deterministic: the candidate SET may vary with partitioning, but
+  // every true top-k key is in it, and rank order is (est desc, key).
+  // ApproxSpec bounds the overestimate against exact counts.
   private val apTopk = Q(
     "ap_topk",
     (s, d) => {
+      import s.implicits._
       val o = Tables.orders(s, d)
+      val k = 5
+      val cap = 64
       val bytes = o.agg(
           expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("cms"))
         .head.getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      val keys = o.select("o_orderpriority").distinct()
-        .collect().map(_.getString(0)).sorted
-      import s.implicits._
-      keys.map(k => (k, cms.estimateCount(k)))
-        .sortBy(r => (-r._2, r._1))
-        .zipWithIndex.map { case ((k, c), i) => (i.toLong + 1L, k, c) }
-        .toSeq.toDF("rank", "o_orderpriority", "est_count")
+      val bc = s.sparkContext.broadcast(bytes)
+      val candidates = o.select(col("o_orderpriority")).as[String]
+        .mapPartitions(it => SpaceSaving.candidates(it, cap))
+        .distinct()
+      val est = candidates.mapPartitions { it =>
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        it.map(key => (key, cms.estimateCount(key)))
+      }
+      val top = est.toDF("o_orderpriority", "est_count")
+        .orderBy(col("est_count").desc, col("o_orderpriority"))
+        .limit(k)
+        .collect() // TakeOrdered: exactly k rows cross the wire
+      top.toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong + 1L, r.getString(0), r.getLong(1)) }
+        .toDF("rank", "o_orderpriority", "est_count")
     },
     None
   )

@@ -14,12 +14,30 @@ object Sources {
 
   /** CSV with a pinned schema: a schema-inference pass is a full extra
     * scan at scale, and silently drifting types break plan stability.
+    * The nullValue marker matches [[writeCsv]] so a write→read cycle
+    * round-trips NULL vs empty-string faithfully.
     */
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true): DataFrame =
     spark.read.schema(schema)
       .option("header", header.toString)
+      .option("nullValue", "\\N")
       .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** CSV writer — the reference persists `processed_*.csv` /
+    * `featured_*.csv` (eda_processing / feature_engineering notebooks).
+    * Explicit NULL marker (distinct from empty string) and Java's
+    * shortest-roundtrip double rendering mean a schema-pinned [[csv]]
+    * read returns the frame bit-exactly (SourcesSpec). Writes one file
+    * per partition in parallel; CSV is the interchange sink — the scale
+    * sinks are the parquet writers below.
+    */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("nullValue", "\\N")
+      .option("emptyValue", "\"\"")
       .csv(path)
 
   /** JSON-lines with a pinned schema (PERMISSIVE: corrupt rows → nulls). */

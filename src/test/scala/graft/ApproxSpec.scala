@@ -33,6 +33,27 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("space-saving candidates always contain the above-1/cap heavy hitters") {
+    // planted stream: one heavy key (20%) drowned in unique noise keys —
+    // the candidate summary must retain it at cap 64 (guarantee: any key
+    // above n_p/cap in-partition frequency survives eviction)
+    val r = new scala.util.Random(13)
+    val stream = r.shuffle(
+      Seq.fill(2000)("HEAVY") ++ (0 until 8000).map(i => s"noise_$i"))
+    val cands = graft.operators.SpaceSaving.candidates(stream.iterator, 64).toSet
+    assert(cands.size <= 64)
+    assert(cands.contains("HEAVY"))
+  }
+
+  test("ap_topk hands the driver O(k) rows, never the key dictionary") {
+    // the result is assembled from a TakeOrdered top-k over distributed
+    // candidates — a LocalTableScan of exactly k rows, no dictionary-
+    // sized collect anywhere in the final frame
+    val df = SparkEntry.queries("ap_topk")(spark, sf)
+    assert(df.count() === 5)
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("approx quantiles track the exact quantiles") {
     val approx = SparkEntry.queries("ap_quantiles")(spark, sf)
       .orderBy("idx").collect().map(_.getDouble(1))

@@ -112,6 +112,23 @@ class DedupSpec extends SparkSpec {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("pointer jumping converges on a 1000-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // worst case for plain min-label propagation: diameter 999 would need
+    // 999 rounds; the per-round l(v) <- l(l(v)) shortcut doubles covered
+    // distance, so 2^(r+1)-2 >= 999 converges by round 9 (+1 to observe
+    // no change)
+    val n = 1000
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === n)
+    assert(cc.forall(_._2 == 0L), "all chain nodes must label to the min id")
+    assert(Dedup.lastCcIterations <= 12,
+      s"${Dedup.lastCcIterations} rounds — pointer jumping not effective")
+  }
+
   test("end-to-end dedup keeps one representative per planted cluster") {
     val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id", threshold = 0.6)
       .select("id_a", "id_b")

@@ -39,14 +39,39 @@ class MlSpec extends SparkSpec {
     })
     assert(a.filter(_.getAs[String]("model") == "gbt")
       .map(_.getAs[Long]("max_depth")).sorted.toSeq === Seq(2L, 3L, 4L, 5L))
-    // ranks are a permutation of 1..10 ordered by mean_auc
+    // ranks are a permutation of 1..10; completed trials rank before
+    // pruned ones, each section ordered by its score
     val byRank = a.sortBy(_.getAs[Long]("rank"))
     assert(byRank.map(_.getAs[Long]("rank")).toSeq === (1L to 10L))
-    val aucs = byRank.map(_.getAs[Double]("mean_auc"))
-    assert(aucs.zip(aucs.tail).forall { case (x, y) => x >= y })
+    val (completed, pruned) = byRank.partition(!_.getAs[Boolean]("pruned"))
+    assert(completed.map(_.getAs[Long]("rank")).toSeq ===
+      (1L to completed.length.toLong), "completed trials must rank first")
+    def descending(rs: Array[org.apache.spark.sql.Row]): Boolean = {
+      val aucs = rs.map(_.getAs[Double]("mean_auc"))
+      aucs.zip(aucs.tail).forall { case (x, y) => x >= y }
+    }
+    assert(descending(completed) && descending(pruned))
     // determinism: a second run draws the same params and scores
     val b = SparkEntry.queries("ml_search")(spark, sf).collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("median pruning keeps the top trial with strictly fewer fits") {
+    val (full, fullFits) = MlC.searchTrials(spark, sf, prune = false)
+    val (prunedRows, prunedFits) = MlC.searchTrials(spark, sf, prune = true)
+    assert(fullFits === 30, "full search fits 10 trials x 3 folds")
+    assert(prunedFits < fullFits, "pruning must skip some fold fits")
+    assert(prunedRows.count(_._7) === (fullFits - prunedFits) / 2,
+      "each pruned trial saves exactly its folds 1-2")
+    // the winning trial survives pruning (the MedianPruner contract the
+    // reference relies on: below-median fold-0 trials can't win)
+    val topFull = full.maxBy(r => (r._6, -r._1))._1
+    val topPruned = prunedRows.filter(!_._7).maxBy(r => (r._6, -r._1))._1
+    assert(topPruned === topFull)
+    // completed trials score identically in both runs (pruning never
+    // perturbs surviving trials)
+    val fullById = full.map(r => r._1 -> r._6).toMap
+    prunedRows.filter(!_._7).foreach(r => assert(r._6 === fullById(r._1)))
   }
 
   test("ml_impute_eval scores the masked hold-out consistently and above chance") {

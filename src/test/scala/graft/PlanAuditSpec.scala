@@ -53,6 +53,53 @@ class PlanAuditSpec extends SparkSpec {
       "projection not pruned to the 5 needed columns")
   }
 
+  test("q32 group-zscore is broadcast two-phase, not a segment window") {
+    val p = plan("q32_group_zscore")
+    // no Window: a partitionBy(c_mktsegment) window caps parallelism at
+    // the 5 segment values
+    assert(!p.contains("Window"), p)
+    // the fit joins back via broadcast — no shuffled join of the data
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // any exchange keyed on the segment column must move partial-
+    // aggregate rows (<= segments x partitions), never the customer rows
+    // themselves: in the printed tree the exchange's child is the next
+    // line — it must be a partial HashAggregate
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(c_mktsegment"))
+      .foreach { case (_, i) =>
+        assert(lines(i + 1).contains("partial_"),
+          s"segment-keyed exchange over non-partial rows:\n$p")
+      }
+  }
+
+  test("q33 grouped quantiles never rank through a group-cardinality stage") {
+    // assembled result is driver-built from bounded order statistics
+    assert(!plan("q33_group_quantiles").contains("Window"),
+      "q33 reintroduced a window")
+    import org.apache.spark.sql.functions.col
+    val l = Tables.lineitem(spark, sf)
+    // grouped histogram: pure partial+final hash aggregate on
+    // (group, bucket) — parallelism groups x 65536, not |groups|
+    val hp = operators.Quantiles.groupedBucketHistogram(
+      l, "l_returnflag", "l_quantity", Seq(("A", 1.0, 50.0), ("N", 1.0, 50.0), ("R", 1.0, 50.0)))
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Window"), hp)
+    assert(!hp.contains("Exchange SinglePartition"), hp)
+    assert(hp.contains("hashpartitioning(g"), hp)
+    // grouped selection: window partitions by (group, bucket), and the
+    // (group AND value-range) disjunction reaches the parquet scan
+    val sel = operators.Quantiles.groupedSelectionDf(
+      l, "l_returnflag", "l_quantity",
+      Map("A" -> (1.0, 50.0)), Seq(("A", 10.0, 12.0)))
+    val sp = sel.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange SinglePartition"), sp)
+    assert(sp.contains("hashpartitioning(g, b") || sp.contains("hashpartitioning(g#"), sp)
+    assert(sp.contains("PushedFilters") && sp.contains("EqualTo(l_returnflag,A)"),
+      "group+range filter not pushed to the parquet scan: " + sp)
+  }
+
   test("round-2 operators keep their scale shapes") {
     // interval join: equi-join + range residual — never a cartesian
     val ij = plan("st_interval_join")

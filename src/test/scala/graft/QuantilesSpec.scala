@@ -59,4 +59,61 @@ class QuantilesSpec extends SparkSpec {
     assert(got("a") === ref(rows.map(_._1), 0.5))
     assert(got("b") === ref(rows.map(_._2), 0.5))
   }
+
+  test("value-crowded bucket recursively re-histograms and stays exact") {
+    // adversarial shape the design doc names: 20k DISTINCT values inside
+    // 1/65536th of the range (outliers at 0 and 2e9 stretch it), so one
+    // bucket holds ~all rows with bmin != bmax — the point-mass fast
+    // path can't answer it and a naive in-bucket sort would be ~n rows.
+    import spark.implicits._
+    val crowded = (0 until 20000).map(i => 1000.0 + i * 1e-6)
+    val xs = crowded ++ Seq(0.0, 2.0e9)
+    val got = Quantiles.exactQuantiles(xs.toDF("x"), Seq("x"), qs, refineLimit = 100L)
+      .map { case (_, q, v) => q -> v }.toMap
+    qs.foreach(q => assert(got(q) === ref(xs, q), s"q=$q"))
+    assert(Quantiles.lastRefineCount > 0, "refinement path did not trigger")
+  }
+
+  test("refinement stays exact at ulp granularity") {
+    // two distinct values 1 ulp apart inside one bucket: the recursive
+    // re-histogram runs over an ulp-wide [bmin, bmax] range — the
+    // floating-point edge where bucket boundaries could misbehave; it
+    // must split the two point masses (fast path) and stay exact.
+    import spark.implicits._
+    val a = 1000.0
+    val b = java.lang.Math.nextUp(a)
+    val xs = Seq.fill(300)(a) ++ Seq.fill(300)(b) ++ Seq(0.0, 2.0e9)
+    val got = Quantiles.exactQuantiles(xs.toDF("x"), Seq("x"), qs, refineLimit = 10L)
+      .map { case (_, q, v) => q -> v }.toMap
+    qs.foreach(q => assert(got(q) === ref(xs, q), s"q=$q"))
+  }
+
+  test("grouped quantiles match the per-group reference bit-for-bit") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val groups = Seq("A", "B", "C")
+    val rows = Seq.fill(6000)((groups(r.nextInt(3)), r.nextDouble() * 1e4 - 5e3))
+    val got = Quantiles.groupedExactQuantiles(rows.toDF("g", "x"), "g", "x", qs)
+      .map { case (g, q, v) => (g, q) -> v }.toMap
+    groups.foreach { g =>
+      val xs = rows.filter(_._1 == g).map(_._2)
+      qs.foreach(q => assert(got((g, q)) === ref(xs, q), s"g=$g q=$q"))
+    }
+  }
+
+  test("grouped quantiles handle constant, tiny, and crowded groups") {
+    import spark.implicits._
+    val crowded = (0 until 5000).map(i => ("E", 1000.0 + i * 1e-6))
+    val rows = Seq.fill(500)(("D", 42.5)) ++ Seq(("F", 7.25)) ++
+      crowded ++ Seq(("E", 0.0), ("E", 2.0e9))
+    val got = Quantiles.groupedExactQuantiles(rows.toDF("g", "x"), "g", "x", qs,
+        refineLimit = 100L)
+      .map { case (g, q, v) => (g, q) -> v }.toMap
+    qs.foreach { q =>
+      assert(got(("D", q)) === 42.5)
+      assert(got(("F", q)) === 7.25)
+      assert(got(("E", q)) === ref(rows.filter(_._1 == "E").map(_._2), q), s"q=$q")
+    }
+    assert(Quantiles.lastRefineCount > 0, "grouped refinement path did not trigger")
+  }
 }

@@ -18,6 +18,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("writeCsv round-trips a frame bit-exactly, nulls included") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val rows = Seq(
+      (1L, Some("alpha"), Some(1.5), Some(10)),
+      (2L, None, Some(math.Pi * 1e15), None),
+      (3L, Some(""), None, Some(-7)),
+      (4L, Some("comma, \"quote\""), Some(-0.0625), Some(0)))
+    val df = rows.toDF("id", "name", "v", "k")
+      .select(col("id"), col("name"), col("v"), col("k").cast("int").as("k"))
+    Sources.writeCsv(df, dir)
+    val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE, k INT")
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.schema === schema)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
   test("withJsonField extracts typed props") {
     val e = Sources.withJsonField(Tables.events(spark, sf), "props", "k BIGINT")
     assert(e.columns.contains("k"))
