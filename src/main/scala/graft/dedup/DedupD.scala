@@ -161,6 +161,54 @@ object DedupD extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // dd_clusters — the dedup last mile as ONE oracle-checked query:
+  // candidate pairs (dd_ngram_jaccard's semantics, thresholded at the
+  // corpus's weak-similarity level — the synthetic corpus plants no true
+  // dups, so 0.01 is what yields multi-hop components: sizes 8/7/3/2/2/2
+  // at sf0.01) → distributed connected components (min-label propagation
+  // + pointer jumping) → (doc_id, cluster_id = min id of component) for
+  // EVERY document, isolated docs mapping to themselves. The DuckDB twin
+  // recomputes the pairs and closes them transitively with a recursive
+  // CTE, so the iterative distributed fixpoint is hash-verified against
+  // a declarative one — including the chain shapes where plain
+  // propagation would need diameter rounds.
+  private val ddClusters = Q(
+    "dd_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ng = Dedup.withWordNgrams(docs.filter(col("doc_id") < 40), "text")
+        .select(col("doc_id"), col("ngrams"))
+      val a = ng.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"))
+      val b = ng.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter((size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+          size(array_union(col("ng_a"), col("ng_b"))).cast("double")) >= 0.01)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngrams
+      |  FROM documents WHERE doc_id < 40),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.ngrams, b.ngrams))) AS DOUBLE) >= 0.01),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      |SELECT id AS doc_id, MIN(label) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+  )
+
   // dd_embed_cosine — embedding-cosine near-dup pairs over a bounded
   // subset, exact integer-grid cosine (threshold 0.3 yields real pairs in
   // this corpus; at scale candidates would come from sim_lsh buckets).
@@ -195,5 +243,6 @@ object DedupD extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgramJaccard, ddEmbedCosine)
+  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgramJaccard,
+    ddClusters, ddEmbedCosine)
 }
