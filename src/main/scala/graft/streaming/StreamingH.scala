@@ -134,7 +134,48 @@ object StreamingH extends Module {
       |ORDER BY click_id, purchase_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof, stIntervalJoin)
+  // st_topk — per-window heavy hitters (top-3 users by event count per 1h
+  // window): the windowed frequency leaderboard every ingest pipeline
+  // tracks. Scale shape: one (window, user) count aggregate, then a LOCAL
+  // top-k per (window, shuffle partition) prunes candidates to ≤
+  // k·partitions rows per window BEFORE the global per-window rank — the
+  // final rank never sorts more than that, so per-window user cardinality
+  // can't funnel one task (the q32/ap_topk two-phase trick; pruning is
+  // lossless because a global top-k row is ≤ rank k inside whatever
+  // partition holds it). Streaming twin: the same watermarked
+  // (window, user) count aggregate runs incrementally with bounded state;
+  // rank is a per-closed-window post-pass (StreamingSpec asserts equality
+  // with this batch twin).
+  private val stTopk = Q(
+    "st_topk",
+    (s, d) => {
+      val counts = Streaming.userWindowCounts(Tables.events(s, d))
+      val localW = Window.partitionBy(col("window_start"), spark_partition_id())
+        .orderBy(col("n_events").desc, col("user_id"))
+      val globalW = Window.partitionBy(col("window_start"))
+        .orderBy(col("n_events").desc, col("user_id"))
+      counts
+        .withColumn("lr", row_number().over(localW))
+        .filter(col("lr") <= 3)
+        .withColumn("rank", row_number().over(globalW).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("window_start"), col("rank"), col("user_id"), col("n_events"))
+        .orderBy("window_start", "rank")
+    },
+    Some("""WITH c AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, user_id, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT window_start, user_id, n_events,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+      |      ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT window_start, rank, user_id, n_events FROM r
+      |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
+    stIntervalJoin, stTopk)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -157,6 +198,22 @@ object Streaming {
   /** Watermarked streaming twin of windowAgg. */
   def windowAggStream(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
+
+  /** (window_start, user_id, n_events) — the shared count surface of
+    * st_topk's batch and streaming twins. Pure partial+final aggregate on
+    * (window, user); the streaming variant below runs it incrementally.
+    */
+  def userWindowCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+
+  /** Watermarked streaming twin of userWindowCounts: state is bounded to
+    * open windows; closed (window, user) counts emit in append mode and
+    * the top-k rank is a cheap per-window post-pass downstream.
+    */
+  def userWindowCountsStream(events: DataFrame): DataFrame =
+    userWindowCounts(events.withWatermark("ts", "2 hours"))
 
   /** Exactly-once ingest dedup by event_id — batch twin. One shuffle on
     * the id; at 100 TB this is the only full-data shuffle ingest needs.

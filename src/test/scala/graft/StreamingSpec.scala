@@ -48,6 +48,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k matches the batch twin after the rank post-pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.select("ts", "user_id")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    val input = MemoryStream[(Timestamp, Long)]
+    val streamDf = input.toDF.toDF("ts", "user_id")
+    val q = Streaming.userWindowCountsStream(streamDf)
+      .writeStream.format("memory").queryName("twk")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      // the same rank post-pass st_topk applies downstream of the counts
+      def rank(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).toSeq.flatMap { case (w, g) =>
+          g.toSeq.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex
+            .map { case ((_, u, n), i) => (w, i + 1, u, n) }
+        }.toSet
+      val streamed = rank(spark.table("twk")
+        .select("window_start", "user_id", "n_events"))
+      val batch = rank(Streaming.userWindowCounts(batchEvents)
+        .select("window_start", "user_id", "n_events"))
+      assert(streamed === batch)
+      // and the registered batch query agrees with the post-pass
+      val fromQuery = SparkEntry.queries("st_topk")(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1).toInt, r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(fromQuery === batch.map { case (w, rk, u, n) => (w, rk, u, n) })
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark matches the batch twin on a duplicated feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
