@@ -92,6 +92,22 @@ object Exact {
     else df
   }
 
+  /** [[fanout]] variant that redistributes BY KEY instead of round-robin:
+    * when the query's next wide operator groups or joins on `keys`, the
+    * parallelism shuffle then doubles as that operator's required
+    * distribution (HashPartitioning on a subset of the grouping keys
+    * satisfies its ClusteredDistribution), eliminating the second
+    * exchange. Same gating as fanout — a no-op on splittable inputs.
+    */
+  def fanoutBy(df: org.apache.spark.sql.DataFrame,
+      keys: Column*): org.apache.spark.sql.DataFrame = {
+    if (!fanoutEnabled) return df
+    val sc = df.sparkSession.sparkContext
+    if (df.queryExecution.toRdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, keys: _*)
+    else df
+  }
+
   // ---- SQL fragments (DuckDB side of the same recipe) ----
   def sqlSumd(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"

@@ -83,7 +83,11 @@ object RelationalA extends Module {
   private val q03 = Q(
     "q03_join_agg",
     (s, d) => {
-      val l = Exact.fanout(Tables.lineitem(s, d))
+      // fanoutBy(l_orderkey): the local-parallelism shuffle is keyed on
+      // the order id, so it doubles as the (segment, orderkey) level-1
+      // aggregation's distribution (orderkey is a subset of the grouping
+      // key ⇒ no second exchange of the joined rows); the dims broadcast.
+      val l = Exact.fanoutBy(Tables.lineitem(s, d), col("l_orderkey"))
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       // countDistinct(orderkey) forces a (segment, orderkey) expansion

@@ -46,6 +46,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
   }
 
+  test("q03's fanout shuffle doubles as the aggregation distribution") {
+    val p = plan("q03_join_agg")
+    // keyed fanout, not round-robin — so the level-1 (segment, orderkey)
+    // aggregate reuses the orderkey partitioning instead of re-exchanging
+    // the joined rows
+    assert(!p.contains("RoundRobinPartitioning"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "q03 regained an exchange:\n" + p)
+  }
+
   test("filters and projections reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.linesIterator.toSeq.last)
