@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Budget-bounded selection: keep rows from the highest `score` down
+  * until the cumulative `weight` reaches `frac` of the total — the
+  * training-mix construction primitive ("fill N tokens from best quality
+  * down", the data-budgeting step after quality scoring / dedup).
+  *
+  * The naive formulation is a running sum over a GLOBAL (score DESC, id)
+  * sort — one task sorts and scans the whole corpus. This computes the
+  * identical prefix with no single-partition stage, the same
+  * bounded-metadata pattern as [[Quantiles]]:
+  *
+  *   job 1  score bounds + total weight — one aggregate scan.
+  *   job 2  per-score-bucket weight sums + population min (65536 uniform
+  *          buckets); ≤ 65536 metadata rows to the driver, which walks
+  *          them top-down to find the bracket bucket where the running
+  *          total crosses the budget, and the cumulative weight ABOVE
+  *          each surviving bucket.
+  *   job 3  only rows at or above the bracket bucket's population min are
+  *          rescanned (range filter pushed to the scan); each row's exact
+  *          cumulative weight = broadcast bucket offset + an intra-bucket
+  *          running sum windowed by (bucket), so parallelism is the
+  *          number of surviving buckets, and no task scans more than one
+  *          bucket (~n/65536 rows; value-crowded buckets share the
+  *          Quantiles caveat — one recursive level would fix, not yet
+  *          needed).
+  *
+  * All weight arithmetic is exact LONG (token counts); the budget
+  * comparison promotes the long prefix sum to double, exact below 2^53
+  * total weight (9e15 tokens — beyond any current corpus). Ties are
+  * impossible in the cumulative order (score, id) since ids are unique,
+  * so the kept prefix is deterministic and reproducible in SQL.
+  *
+  * Degenerate constant-score input (no meaningful quality order) falls
+  * back to id-order selection through a single-partition window —
+  * documented, guarded, and irrelevant at scale.
+  */
+object BudgetSelect {
+  val Buckets = 65536
+
+  private def bucketCol(x: Column, lo: Double, hi: Double): Column =
+    least(width_bucket(x, lit(lo), lit(hi), lit(Buckets)), lit(Buckets.toLong))
+
+  /** Rows of `df` whose (score DESC, id ASC) cumulative `w` stays within
+    * frac·total(w), with their exact cumulative weight as `cum_w`.
+    */
+  def selectToBudget(df: DataFrame, id: String, score: String, w: String,
+      frac: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // job 1 — bounds + total
+    val r = df.agg(min(col(score).cast("double")).as("lo"),
+      max(col(score).cast("double")).as("hi"),
+      coalesce(sum(col(w)), lit(0L)).as("tot"), count(lit(1)).as("n")).head()
+    val n = r.getAs[Long]("n")
+    val budget = frac * r.getAs[Long]("tot").toDouble
+    val keep = col(id) +: Seq(col(score), col(w), col("cum_w"))
+    if (n == 0L)
+      return df.select(col(id), col(score), col(w))
+        .withColumn("cum_w", lit(0L)).limit(0)
+    val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+    if (lo == hi) {
+      // degenerate: constant score — id-order prefix (single window;
+      // guarded fallback for inputs with no quality order)
+      return df.withColumn("cum_w", sum(col(w)).over(
+          Window.orderBy(col(id))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum_w").cast("double") <= budget)
+        .select(keep: _*)
+    }
+
+    // job 2 — per-bucket weight totals + population min score
+    val hist = df.select(bucketCol(col(score).cast("double"), lo, hi).as("b"),
+        col(score).cast("double").as("s"), col(w).as("w"))
+      .groupBy("b").agg(sum(col("w")).as("bw"), min(col("s")).as("bmin"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+      .sortBy(-_._1) // highest scores first
+    var cum = 0L
+    var bracketMin = lo
+    val offsets = Seq.newBuilder[(Long, Long)]
+    var crossed = false
+    hist.foreach { case (b, bw, bmin) =>
+      if (!crossed) {
+        offsets += (b -> cum)
+        cum += bw
+        bracketMin = bmin
+        if (cum.toDouble > budget) crossed = true
+      }
+    }
+
+    // job 3 — rescan only the surviving buckets; exact cum = broadcast
+    // bucket offset + intra-bucket running sum
+    val offDf = broadcast(offsets.result().toDF("b", "off"))
+    df.filter(col(score) >= bracketMin)
+      .withColumn("b", bucketCol(col(score).cast("double"), lo, hi))
+      .join(offDf, "b")
+      .withColumn("cum_w",
+        col("off") + sum(col(w)).over(
+          Window.partitionBy(col("b")).orderBy(col(score).desc, col(id))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_w").cast("double") <= budget)
+      .select(keep: _*)
+  }
+}

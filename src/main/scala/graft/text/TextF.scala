@@ -291,6 +291,68 @@ object TextF extends Module {
     }
   )
 
+  // tx_budget_sample — the data-budgeting step after scoring: keep
+  // documents from the highest quality_score down until 40% of the
+  // corpus's whitespace tokens are spent, emitting each kept doc's exact
+  // cumulative token position. Runs through
+  // [[graft.operators.BudgetSelect]] — bucket-histogram offsets + intra-
+  // bucket running sums, never a global single-task sort — while the
+  // DuckDB twin IS the naive global cumulative window, so the scale
+  // formulation is hash-verified against the textbook one. Score and
+  // token expressions are tx_quality / tx_token_count's, so the same
+  // IEEE doubles order both sides.
+  private val txBudgetSample = Q(
+    "tx_budget_sample",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("n_c", length(col("text")).cast("long"))
+        .withColumn("n_w", size(tokens).cast("long"))
+        .withColumn("n_punct",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+        .withColumn("n_stop", stopCount(stopwords.toMap.apply("en")))
+        .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_c").cast("double"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_w").cast("double"))
+        .withColumn("avg_word_len",
+          (col("n_c").cast("double") - (col("n_w").cast("double") - lit(1.0))) / col("n_w").cast("double"))
+        .withColumn("quality_score",
+          lit(0.3) * least(lit(1.0), col("n_c").cast("double") / lit(500.0)) +
+            lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+            lit(0.2) * col("stop_ratio") +
+            lit(0.2) * least(lit(1.0), col("avg_word_len") / lit(8.0)))
+        .select(col("doc_id"), col("quality_score"), col("n_w").as("n_tokens"))
+      graft.operators.BudgetSelect
+        .selectToBudget(scored, "doc_id", "quality_score", "n_tokens", 0.4)
+        .withColumnRenamed("cum_w", "cum_tokens")
+        .orderBy("doc_id")
+    },
+    Some {
+      val en = stopCountSql(stopwords.toMap.apply("en"))
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_c,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_w,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |    CAST($en AS BIGINT) AS n_stop
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, n_w,
+         |    0.3 * LEAST(1.0, CAST(n_c AS DOUBLE) / 500.0) +
+         |    0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_c AS DOUBLE)) +
+         |    0.2 * (CAST(n_stop AS DOUBLE) / CAST(n_w AS DOUBLE)) +
+         |    0.2 * LEAST(1.0, ((CAST(n_c AS DOUBLE) - (CAST(n_w AS DOUBLE) - 1.0)) / CAST(n_w AS DOUBLE)) / 8.0) AS quality_score
+         |  FROM c),
+         |r AS (
+         |  SELECT doc_id, quality_score, n_w,
+         |    SUM(n_w) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, quality_score, n_w AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM r
+         |WHERE CAST(cum AS DOUBLE) <= 0.4 * (SELECT CAST(SUM(n_w) AS DOUBLE) FROM t)
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
-    txShingles, txRepetition, txFilterFlags)
+    txShingles, txRepetition, txFilterFlags, txBudgetSample)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.BudgetSelect
+
+/** Unit coverage for the distributed budget selection — the edge cases
+  * the tx_budget_sample oracle (one well-behaved score column) doesn't
+  * exercise.
+  */
+class BudgetSpec extends SparkSpec {
+
+  private def naive(rows: Seq[(Long, Double, Long)], frac: Double): Map[Long, Long] = {
+    val budget = frac * rows.map(_._3).sum.toDouble
+    var cum = 0L
+    val kept = scala.collection.mutable.Map[Long, Long]()
+    rows.sortBy(t => (-t._2, t._1)).foreach { case (i, _, w) =>
+      cum += w
+      if (cum.toDouble <= budget) kept(i) = cum
+    }
+    kept.toMap
+  }
+
+  private def run(rows: Seq[(Long, Double, Long)], frac: Double): Map[Long, Long] = {
+    import spark.implicits._
+    BudgetSelect.selectToBudget(rows.toDF("id", "score", "w"), "id", "score", "w", frac)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+  }
+
+  test("budget selection equals the naive global-sort prefix") {
+    val r = new scala.util.Random(21)
+    val rows = (0L until 3000L).map(i =>
+      (i, r.nextDouble() * 10.0 - 5.0, (r.nextInt(50) + 1).toLong))
+    assert(run(rows, 0.3) === naive(rows, 0.3))
+  }
+
+  test("tied scores break by id, exactly as the SQL formulation") {
+    val rows = (0L until 100L).map(i => (i, (i % 5).toDouble, 10L))
+    assert(run(rows, 0.33) === naive(rows, 0.33))
+  }
+
+  test("constant-score input degrades to id-order selection") {
+    val rows = (0L until 50L).map(i => (i, 1.25, i % 7 + 1L))
+    assert(run(rows, 0.5) === naive(rows, 0.5))
+  }
+
+  test("zero and full budgets") {
+    val rows = (0L until 40L).map(i => (i, i.toDouble, 2L))
+    assert(run(rows, 0.0) === Map.empty)
+    assert(run(rows, 1.0) === naive(rows, 1.0))
+    assert(run(rows, 1.0).size === 40)
+  }
+}
