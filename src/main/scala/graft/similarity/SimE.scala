@@ -69,5 +69,19 @@ object SimE extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf)
+  // sim_pq_topk — product quantization: 8-byte codes + ADC candidate scan
+  // + exact re-rank (the memory-bound ANN shape); rows-checked here,
+  // recall + exactness of the re-ranked scores asserted in
+  // SimilaritySpec.
+  private val simPq = Q(
+    "sim_pq_topk",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      Pq.pqTopK(q, c, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    None
+  )
+
+  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.similarity.{Ivf, Similarity}
+import graft.similarity.{Ivf, Pq, Similarity}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -88,6 +88,46 @@ class SimilaritySpec extends SparkSpec {
       assert(bruteAll.contains(key), s"LSH returned unknown pair $key")
       assert(bruteAll(key) === r.getDouble(2), s"cosine mismatch for $key")
     }
+  }
+
+  test("pq top-k recall beats blind candidate coverage and is deterministic") {
+    // ADC over 4·k candidates from PQ codes: with near-isotropic vectors
+    // the quantization is coarse, but candidate selection is informed, so
+    // recall must beat the blind-coverage floor (20/490 ≈ 4%) clearly
+    val run1 = Pq.pqTopK(queries, corpus, "vec_id", "embedding", k = 5)
+    val pq = topSets(run1)
+    val recall = brute.keys.map { q =>
+      (brute(q) & pq.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.sum / brute.size
+    info(f"PQ recall@5 = $recall%.2f (blind coverage would be ~0.04)")
+    assert(recall >= 0.1, f"recall $recall%.2f below floor")
+    // deterministic: seeded codebooks + lowest-index tie-breaks
+    val run2 = Pq.pqTopK(queries, corpus, "vec_id", "embedding", k = 5)
+    assert(run1.collect().map(_.toSeq).toSeq === run2.collect().map(_.toSeq).toSeq)
+  }
+
+  test("pq re-ranked results carry exact cosines") {
+    val bruteAll = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 490)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Pq.pqTopK(queries, corpus, "vec_id", "embedding", k = 5).collect()
+    assert(pq.nonEmpty)
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteAll(key) === r.getDouble(2), s"cosine mismatch for $key")
+    }
+  }
+
+  test("pq codes compress to m small ints per vector") {
+    graft.functions.GraftFunctions.register(spark)
+    val norm = Similarity.withQuantized(corpus, "embedding")
+      .withColumn("nvec", transform(col("qvec"),
+        x => x.cast("double") / sqrt(col("qnorm").cast("double"))))
+    // a degenerate 1-centroid codebook: every code must be 0, length m
+    val books = Seq.fill(8 * 1 * 8)(0.0)
+    val codes = norm.select(
+        call_function("graft_pq_encode", col("nvec"), typedLit(books), lit(8)).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(_ == 0L)))
   }
 
   test("self-similarity is exactly 1.0") {
