@@ -125,6 +125,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(cube.contains("Expand"), cube)
   }
 
+  test("st_topk prunes candidates before the per-window rank") {
+    val p = plan("st_topk")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // two rank windows: the local (window, partition-id) prune, then the
+    // global per-window rank over <= k*partitions survivors
+    assert("Window".r.findAllIn(p).length >= 2, p)
+  }
+
   test("st_window_agg is a single aggregation (streaming-compatible shape)") {
     val p = plan("st_window_agg")
     assert("HashAggregate".r.findAllIn(p).length <= 2, p) // partial + final only
