@@ -270,11 +270,12 @@ object Quantiles {
     * documented precondition is that group cardinality is dashboard-
     * scale, which is exactly when this path is needed.
     */
-  def groupedExactQuantiles(df: DataFrame, g: String, x: String, qs: Seq[Double],
-      refineLimit: Long = RefineLimit): Seq[(String, Double, Double)] = {
-    lastRefineCount = 0
-    // job 1 — per-group bounds + count
-    val stats = df.groupBy(col(g)).agg(
+  /** Job-1 shape shared by the grouped entry points: per-group
+    * (lo, hi, n) — bounded by group cardinality (the documented
+    * precondition of the grouped histogram path).
+    */
+  def groupedStats(df: DataFrame, g: String, x: String): Seq[(String, Double, Double, Long)] =
+    df.groupBy(col(g)).agg(
         min(col(x).cast("double")).as("lo"),
         max(col(x).cast("double")).as("hi"),
         count(col(x)).as("n"))
@@ -282,8 +283,17 @@ object Quantiles {
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
       .toSeq.sortBy(_._1)
 
+  /** Core of the grouped path: resolve explicit per-group 1-based ranks
+    * to exact order statistics — one (group, bucket) histogram scan, one
+    * grouped in-bucket rank scan, recursion for value-crowded buckets.
+    */
+  private def groupedResolve(df: DataFrame, g: String, x: String,
+      stats: Seq[(String, Double, Double, Long)],
+      neededPerGroup: Map[String, Seq[Long]],
+      refineLimit: Long): Map[(String, Long), Double] = {
     // job 2 — one (group, bucket) histogram scan for all live groups
     val histSpecs = stats.filter(s => s._4 > 0 && s._2 != s._3)
+      .filter(s => neededPerGroup.getOrElse(s._1, Nil).nonEmpty)
       .map(s => (s._1, s._2, s._3))
     val boundsMap = histSpecs.map(s => s._1 -> (s._2, s._3)).toMap
     val hist: Map[String, Seq[(Long, Long, Double, Double)]] =
@@ -299,8 +309,7 @@ object Quantiles {
     case class Need(gv: String, rn: Long, b: Long, lrn: Long,
         bmin: Double, bmax: Double, bc: Long)
     val needs: Seq[Need] = histSpecs.flatMap { case (gv, _, _) =>
-      val n = stats.find(_._1 == gv).get._4
-      val needed = ranksFor(qs, n).flatMap { case (_, _, rlo, rhi) => Seq(rlo, rhi) }.distinct
+      val needed = neededPerGroup(gv).distinct
       locate(hist(gv), needed).toSeq.map { case (rn, (b, lrn, bmin, bmax, bc)) =>
         Need(gv, rn, b, lrn, bmin, bmax, bc)
       }
@@ -335,7 +344,20 @@ object Quantiles {
         picks.map(nd => (nd.gv, nd.rn) -> resolved(nd.lrn))
       }
 
-    val at = fast ++ smallResolved ++ bigResolved
+    fast ++ smallResolved ++ bigResolved
+  }
+
+  /** (group, q, value) — per-group exact quantiles over the grouped
+    * machinery above; see [[groupedBucketHistogram]] for the shape.
+    */
+  def groupedExactQuantiles(df: DataFrame, g: String, x: String, qs: Seq[Double],
+      refineLimit: Long = RefineLimit): Seq[(String, Double, Double)] = {
+    lastRefineCount = 0
+    val stats = groupedStats(df, g, x)
+    val neededPerGroup = stats.filter(s => s._4 > 0 && s._2 != s._3).map { s =>
+      s._1 -> ranksFor(qs, s._4).flatMap { case (_, _, rlo, rhi) => Seq(rlo, rhi) }
+    }.toMap
+    val at = groupedResolve(df, g, x, stats, neededPerGroup, refineLimit)
     stats.filter(_._4 > 0).flatMap { case (gv, lo, hi, n) =>
       if (lo == hi) qs.map(q => (gv, q, lo))
       else ranksFor(qs, n).map { case (q, hh, rlo, rhi) =>
@@ -344,5 +366,25 @@ object Quantiles {
         (gv, q, xLo + (xHi - xLo) * (hh - math.floor(hh)))
       }
     }
+  }
+
+  /** Per-group nth-smallest value (1-based): group → the exact order
+    * statistic, from the same (group, bucket) machinery. Groups with
+    * ≤ nth rows (or a constant value) return their max, so
+    * `x <= threshold` keeps the whole group — the contract
+    * q41's exact-n-per-group sampler relies on.
+    */
+  def groupedNth(df: DataFrame, g: String, x: String, nth: Long,
+      refineLimit: Long = RefineLimit): Map[String, Double] = {
+    lastRefineCount = 0
+    val stats = groupedStats(df, g, x)
+    val neededPerGroup = stats
+      .filter(s => s._4 > nth && s._2 != s._3)
+      .map(s => s._1 -> Seq(nth)).toMap
+    val at = groupedResolve(df, g, x, stats, neededPerGroup, refineLimit)
+    stats.filter(_._4 > 0).map { case (gv, lo, hi, n) =>
+      if (n <= nth || lo == hi) gv -> hi
+      else gv -> at((gv, nth))
+    }.toMap
   }
 }

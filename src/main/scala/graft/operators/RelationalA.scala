@@ -883,7 +883,39 @@ object RelationalA extends Module {
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
+  // q41 — stratified sampling: EXACTLY n rows per group (pandas
+  // groupby().sample/head), deterministic under a multiplicative hash
+  // order. NOT a `row_number() over partitionBy(segment)` rank — 5
+  // segments would funnel every row through 5 tasks. Instead the
+  // per-group n-th smallest hash (an exact order statistic from the
+  // (group, bucket) histogram machinery, Quantiles.groupedNth) becomes a
+  // per-group threshold, broadcast back into a narrow filter. The hash
+  // k·2654435761 mod (1e9+7) is injective on the key domain (prime
+  // modulus, coprime multiplier), so `hash <= threshold` keeps exactly n
+  // rows per group — bit-identical to the oracle's rank formulation.
+  private val q41 = Q(
+    "q41_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      val h = (col("c_custkey") * lit(2654435761L)) % lit(1000000007L)
+      val c = Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), h.cast("double").as("h"))
+      val thr = Quantiles.groupedNth(c, "c_mktsegment", "h", 100L)
+      val thrDf = broadcast(thr.toSeq.toDF("seg", "thr"))
+      c.join(thrDf, col("c_mktsegment") === col("seg"))
+        .filter(col("h") <= col("thr"))
+        .select(col("c_mktsegment"), col("c_custkey"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey
+      |FROM (SELECT c_mktsegment, c_custkey,
+      |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |          ORDER BY (c_custkey * 2654435761) % 1000000007, c_custkey) AS rn
+      |      FROM customer)
+      |WHERE rn <= 100 ORDER BY c_mktsegment, c_custkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, apDistinct, apQuantiles, apTopk)
+    q36, q37, q38, q39, q40, q41, apDistinct, apQuantiles, apTopk)
 }

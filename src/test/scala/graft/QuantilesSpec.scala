@@ -101,6 +101,22 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("groupedNth returns the exact per-group order statistic") {
+    import spark.implicits._
+    val r = new scala.util.Random(17)
+    val groups = Seq("A", "B", "C")
+    val rows = Seq.fill(4000)((groups(r.nextInt(3)), r.nextDouble() * 1e6)) ++
+      Seq(("T", 5.0), ("T", 3.0)) // group smaller than nth -> max
+    val got = Quantiles.groupedNth(rows.toDF("g", "x"), "g", "x", 50L)
+    groups.foreach { g =>
+      val xs = rows.filter(_._1 == g).map(_._2).sorted
+      assert(got(g) === xs(49), s"g=$g")
+      // the threshold keeps exactly nth rows
+      assert(rows.count(t => t._1 == g && t._2 <= got(g)) === 50)
+    }
+    assert(got("T") === 5.0)
+  }
+
   test("grouped quantiles handle constant, tiny, and crowded groups") {
     import spark.implicits._
     val crowded = (0 until 5000).map(i => ("E", 1000.0 + i * 1e-6))
