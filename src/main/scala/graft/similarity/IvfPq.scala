@@ -1,0 +1,145 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the production billion-scale ANN layout, composing the two
+  * scale mechanisms this package already verifies separately:
+  *
+  *   - IVF ([[Ivf]]): a sample-fit coarse quantizer assigns each vector
+  *     to a cell and the corpus is written `partitionBy(cluster_id)`, so
+  *     probing nProbe cells is DIRECTORY PRUNING — unprobed cells are
+  *     never read.
+  *   - PQ ([[Pq]]): inside each cell a vector is stored as m small codes
+  *     (8 longs, not 64 floats) and scored by ADC table lookups.
+  *
+  * Probe = prune to nProbe cells → ADC-scan their codes → exact
+  * integer-grid re-rank of the top candidates. Codes here encode the
+  * normalized vector itself (not the residual to the cell centroid —
+  * the classic refinement, noted and skipped: with an exact re-rank
+  * stage the residual variant only changes candidate quality, not
+  * result exactness). Everything driver-side is bounded: the training
+  * samples, the centroid table, the codebooks, and the per-query cell
+  * lists + ADC tables.
+  */
+object IvfPq {
+
+  case class IvfPqIndex(path: String, centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], m: Int, ksub: Int, dsub: Int)
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0
+    v.foreach(x => n2 += x * x)
+    val n = math.sqrt(n2)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Coarse quantizer (MLlib KMeans on a seeded bounded sample) + PQ
+    * codebooks (driver Lloyd's on the normalized sample), then ONE pass
+    * assigning + encoding the corpus, written partitioned by cell.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
+      nClusters: Int, m: Int, ksub: Int, path: String, seed: Long = 42L,
+      maxTrainRows: Long = 10000L): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val n = corpus.count()
+    val trainDf = if (n <= maxTrainRows) corpus
+      else corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    val featurized = trainDf.withColumn("features",
+      array_to_vector(transform(col(embCol), x => x.cast("double"))))
+    val km = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster_id").fit(featurized)
+    val train = trainDf.select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).map(normalize)
+    val dim = train(0).length
+    val dsub = dim / m
+    val books = Array.tabulate(m) { j =>
+      Pq.kmeansSub(train.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, seed + j)
+    }
+    val flatBooks: Seq[Double] = books.flatMap(_.flatMap(_.toSeq)).toSeq
+    val assigned = Similarity.withQuantized(
+        km.transform(corpus.withColumn("features",
+          array_to_vector(transform(col(embCol), x => x.cast("double"))))), embCol)
+      .withColumn("nvec", transform(col("qvec"),
+        x => x.cast("double") / sqrt(col("qnorm").cast("double"))))
+      .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"),
+        col("qnorm").as("c_qnorm"),
+        call_function("graft_pq_encode", col("nvec"), typedLit(flatBooks), lit(m)).as("codes"),
+        col("cluster_id"))
+    graft.sources.Sources.writePartitioned(assigned, path, Seq("cluster_id"))
+    IvfPqIndex(path, km.clusterCenters.map(_.toArray), books, m, ksub, dsub)
+  }
+
+  /** Prune → ADC → exact re-rank. The query set is bounded by contract:
+    * cell choice and ADC tables are driver arithmetic.
+    */
+  def probeIndex(index: IvfPqIndex, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nProbe: Int, candMult: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val qRows = queries.select(col(idCol), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    // per query: nProbe nearest cells + the ADC table over the codebooks
+    val probes: Seq[(Long, Seq[Int], Seq[Double])] = qRows.toSeq.map { case (qid, emb) =>
+      val cells = index.centroids.zipWithIndex
+        .map { case (c, i) => (sqDist(emb, c), i) }.sorted.take(nProbe).map(_._2).toSeq
+      val qn = normalize(emb)
+      val tbl = new Array[Double](index.m * index.ksub)
+      for (j <- 0 until index.m; cc <- 0 until index.ksub) {
+        var s = 0.0
+        var i = 0
+        while (i < index.dsub) { s += qn(j * index.dsub + i) * index.books(j)(cc)(i); i += 1 }
+        tbl(j * index.ksub + cc) = s
+      }
+      (qid, cells, tbl.toSeq)
+    }
+    val allCells = probes.flatMap(_._2).distinct
+    // literal IN-list → directory pruning (a join key would defeat it)
+    val inv = spark.read.parquet(index.path)
+      .filter(col("cluster_id").isin(allCells: _*))
+    val qProbe = probes
+      .flatMap { case (qid, cells, tbl) => cells.map(c => (qid, c, tbl)) }
+      .toDF("query_id", "cluster_id", "tbl")
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("corpus_id"))
+    val cand = inv.join(broadcast(qProbe), "cluster_id")
+      .withColumn("adc", call_function("graft_pq_adc", col("codes"), col("tbl")))
+      .withColumn("cand_rank", row_number().over(wAdc))
+      .filter(col("cand_rank") <= k * candMult)
+    val qExact = Similarity.withQuantized(queries, embCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.join(broadcast(qExact), "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
+          col("q_qnorm"), col("c_qnorm")).as("cosine"))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** One-shot build + probe (sim_ivfpq_topk); index lands under target/. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nClusters: Int, nProbe: Int,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val base = java.nio.file.Paths.get("target")
+    val dir = (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "ivfpq_index_")
+      else java.nio.file.Files.createTempDirectory("ivfpq_index_")).toString
+    val index = buildIndex(corpus, idCol, embCol, nClusters, m, ksub, dir)
+    probeIndex(index, queries, idCol, embCol, k, nProbe)
+  }
+}

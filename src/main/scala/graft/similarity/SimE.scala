@@ -83,5 +83,18 @@ object SimE extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq)
+  // sim_ivfpq_topk — the production composition: directory-pruned IVF
+  // cells scanned as PQ codes (ADC) + exact re-rank; rows-checked here,
+  // recall/pruning/exactness in SimilaritySpec.
+  private val simIvfPq = Q(
+    "sim_ivfpq_topk",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      IvfPq.ivfPqTopK(q, c, "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None
+  )
+
+  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq)
 }

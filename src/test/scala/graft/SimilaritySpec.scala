@@ -1,6 +1,6 @@
 package graft
 
-import graft.similarity.{Ivf, Pq, Similarity}
+import graft.similarity.{Ivf, IvfPq, Pq, Similarity}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -128,6 +128,38 @@ class SimilaritySpec extends SparkSpec {
         call_function("graft_pq_encode", col("nvec"), typedLit(books), lit(8)).as("c"))
       .collect().map(_.getSeq[Long](0))
     assert(codes.forall(c => c.length == 8 && c.forall(_ == 0L)))
+  }
+
+  test("ivf-pq probes pruned cells, re-ranks exactly, stays deterministic") {
+    val bruteAll = Similarity.bruteTopK(queries, corpus, "vec_id", "embedding", 490)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val index = IvfPq.buildIndex(corpus, "vec_id", "embedding",
+      nClusters = 8, m = 8, ksub = 16, path = dir)
+    val res = IvfPq.probeIndex(index, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    // directory pruning reaches the scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"),
+      s"IVF-PQ probe is not partition-pruned:\n$plan")
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // re-ranked scores are the exact cosines
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bruteAll(key) === r.getDouble(2), s"cosine mismatch for $key")
+    }
+    // recall within the probed cells is bounded by IVF coverage; assert
+    // the same coverage-consistent floor as plain IVF
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val recall = brute.keys.map { q =>
+      (brute(q) & got.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.sum / brute.size
+    info(f"IVF-PQ recall@5 = $recall%.2f")
+    assert(recall >= 0.1, f"recall $recall%.2f below floor")
+    // deterministic probe over the same index
+    val res2 = IvfPq.probeIndex(index, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+    assert(rows.map(_.toSeq).toSeq === res2.collect().map(_.toSeq).toSeq)
   }
 
   test("self-similarity is exactly 1.0") {
