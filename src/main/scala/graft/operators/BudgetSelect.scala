@@ -23,11 +23,17 @@ import org.apache.spark.sql.functions._
   *   job 3  only rows at or above the bracket bucket's population min are
   *          rescanned (range filter pushed to the scan); each row's exact
   *          cumulative weight = broadcast bucket offset + an intra-bucket
-  *          running sum windowed by (bucket), so parallelism is the
-  *          number of surviving buckets, and no task scans more than one
-  *          bucket (~n/65536 rows; value-crowded buckets share the
-  *          Quantiles caveat — one recursive level would fix, not yet
-  *          needed).
+  *          running sum windowed by (bucket, sub-bucket), so parallelism
+  *          is the number of surviving buckets and no task scans more
+  *          than one bucket (~n/65536 rows). Value-crowded buckets
+  *          (population above `refineLimit` — many distinct scores
+  *          inside 1/65536th of the range) get ONE sub-histogram level:
+  *          their offsets refine to (bucket, sub-bucket) keys, 65536×
+  *          finer over the bucket's own [bmin, bmax], so the window
+  *          partition stays bounded (the same adaptive-range refinement
+  *          [[Quantiles]] applies recursively; one level suffices here
+  *          because the sub-range is the bucket's actual population
+  *          span).
   *
   * All weight arithmetic is exact LONG (token counts); the budget
   * comparison promotes the long prefix sum to double, exact below 2^53
@@ -42,6 +48,12 @@ import org.apache.spark.sql.functions._
 object BudgetSelect {
   val Buckets = 65536
 
+  /** In-bucket work above this row count triggers the sub-bucket level. */
+  val RefineLimit: Long = 1L << 22
+
+  /** Test instrumentation: sub-bucket refinements in the last call. */
+  private[graft] var lastRefineCount: Int = 0
+
   private def bucketCol(x: Column, lo: Double, hi: Double): Column =
     least(width_bucket(x, lit(lo), lit(hi), lit(Buckets)), lit(Buckets.toLong))
 
@@ -49,7 +61,8 @@ object BudgetSelect {
     * frac·total(w), with their exact cumulative weight as `cum_w`.
     */
   def selectToBudget(df: DataFrame, id: String, score: String, w: String,
-      frac: Double): DataFrame = {
+      frac: Double, refineLimit: Long = RefineLimit): DataFrame = {
+    lastRefineCount = 0
     val spark = df.sparkSession
     import spark.implicits._
     // job 1 — bounds + total
@@ -73,35 +86,67 @@ object BudgetSelect {
         .select(keep: _*)
     }
 
-    // job 2 — per-bucket weight totals + population min score
+    // job 2 — per-bucket weight totals + population bounds + row counts
     val hist = df.select(bucketCol(col(score).cast("double"), lo, hi).as("b"),
         col(score).cast("double").as("s"), col(w).as("w"))
-      .groupBy("b").agg(sum(col("w")).as("bw"), min(col("s")).as("bmin"))
+      .groupBy("b").agg(sum(col("w")).as("bw"), min(col("s")).as("bmin"),
+        max(col("s")).as("bmax"), count(lit(1)).as("bc"))
       .collect()
-      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+        row.getDouble(3), row.getLong(4)))
       .sortBy(-_._1) // highest scores first
     var cum = 0L
     var bracketMin = lo
-    val offsets = Seq.newBuilder[(Long, Long)]
+    // survivors: (bucket, offset-above, bmin, bmax, rows)
+    val survivors = Seq.newBuilder[(Long, Long, Double, Double, Long)]
     var crossed = false
-    hist.foreach { case (b, bw, bmin) =>
+    hist.foreach { case (b, bw, bmin, bmax, bc) =>
       if (!crossed) {
-        offsets += (b -> cum)
+        survivors += ((b, cum, bmin, bmax, bc))
         cum += bw
         bracketMin = bmin
         if (cum.toDouble > budget) crossed = true
       }
     }
 
+    // refine value-crowded survivors: one sub-histogram level over the
+    // bucket's own [bmin, bmax] gives (bucket, sub-bucket) offsets; the
+    // non-crowded keep sub-bucket 0
+    val crowded = survivors.result()
+      .filter(s => s._5 > refineLimit && s._3 != s._4)
+    val crowdedSet = crowded.map(_._1).toSet
+    val offsets = Seq.newBuilder[(Long, Long, Long)] // (b, sb, off)
+    survivors.result().foreach { case (b, off, bmin, bmax, _) =>
+      if (!crowdedSet.contains(b)) offsets += ((b, 0L, off))
+      else {
+        lastRefineCount += 1
+        val sub = df
+          .filter(col(score) >= bmin && col(score) <= bmax)
+          .select(bucketCol(col(score).cast("double"), bmin, bmax).as("sb"), col(w).as("w"))
+          .groupBy("sb").agg(sum(col("w")).as("sbw")).collect()
+          .map(r2 => (r2.getLong(0), r2.getLong(1))).sortBy(-_._1)
+        var subCum = off
+        sub.foreach { case (sb, sbw) =>
+          offsets += ((b, sb, subCum))
+          subCum += sbw
+        }
+      }
+    }
+
     // job 3 — rescan only the surviving buckets; exact cum = broadcast
-    // bucket offset + intra-bucket running sum
-    val offDf = broadcast(offsets.result().toDF("b", "off"))
+    // (bucket, sub-bucket) offset + intra running sum
+    val sb = crowded.foldLeft(lit(0L)) { case (acc, (b, _, bmin, bmax, _)) =>
+      when(col("b") === b, bucketCol(col(score).cast("double"), bmin, bmax))
+        .otherwise(acc)
+    }
+    val offDf = broadcast(offsets.result().toDF("b", "sb", "off"))
     df.filter(col(score) >= bracketMin)
       .withColumn("b", bucketCol(col(score).cast("double"), lo, hi))
-      .join(offDf, "b")
+      .withColumn("sb", sb)
+      .join(offDf, Seq("b", "sb"))
       .withColumn("cum_w",
         col("off") + sum(col(w)).over(
-          Window.partitionBy(col("b")).orderBy(col(score).desc, col(id))
+          Window.partitionBy(col("b"), col("sb")).orderBy(col(score).desc, col(id))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("cum_w").cast("double") <= budget)
       .select(keep: _*)

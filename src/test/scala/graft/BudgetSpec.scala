@@ -19,9 +19,11 @@ class BudgetSpec extends SparkSpec {
     kept.toMap
   }
 
-  private def run(rows: Seq[(Long, Double, Long)], frac: Double): Map[Long, Long] = {
+  private def run(rows: Seq[(Long, Double, Long)], frac: Double,
+      refineLimit: Long = BudgetSelect.RefineLimit): Map[Long, Long] = {
     import spark.implicits._
-    BudgetSelect.selectToBudget(rows.toDF("id", "score", "w"), "id", "score", "w", frac)
+    BudgetSelect.selectToBudget(rows.toDF("id", "score", "w"), "id", "score", "w",
+        frac, refineLimit)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
   }
 
@@ -40,6 +42,16 @@ class BudgetSpec extends SparkSpec {
   test("constant-score input degrades to id-order selection") {
     val rows = (0L until 50L).map(i => (i, 1.25, i % 7 + 1L))
     assert(run(rows, 0.5) === naive(rows, 0.5))
+  }
+
+  test("value-crowded score buckets refine to sub-buckets and stay exact") {
+    // 4000 distinct scores inside 1/65536th of the range (outliers
+    // stretch it): one bucket holds ~all kept rows, so without the
+    // sub-bucket level one task would sort the whole prefix
+    val crowded = (0L until 4000L).map(i => (i, 1000.0 + i.toDouble * 1e-6, (i % 13) + 1L))
+    val rows = crowded ++ Seq((9000L, 0.0, 5L), (9001L, 2.0e9, 7L))
+    assert(run(rows, 0.5, refineLimit = 100L) === naive(rows, 0.5))
+    assert(BudgetSelect.lastRefineCount > 0, "sub-bucket refinement did not trigger")
   }
 
   test("zero and full budgets") {
