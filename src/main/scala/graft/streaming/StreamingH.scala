@@ -324,6 +324,65 @@ object Streaming {
       }
   }
 
+  case class TkEvent(ts: java.sql.Timestamp, user_id: Long)
+  case class TkTop(window_start: java.sql.Timestamp, rank: Long, user_id: Long,
+      est_count: Long)
+
+  /** Streaming heavy hitters with BOUNDED per-window state. The exact
+    * [[userWindowCountsStream]] twin keeps one state row per
+    * (window, user) — per-window USER CARDINALITY is the unbounded
+    * dimension at 100 TB. This twin keys by the hour window and keeps a
+    * SpaceSaving summary of at most `cap` counters per window (the same
+    * guarantee [[graft.operators.SpaceSaving]] documents: any key above
+    * n_window/cap frequency survives, estimates only overestimate);
+    * the event-time timeout at window end emits the summary's top-k once
+    * the watermark closes the window and drops the state. State rows =
+    * open windows, independent of user cardinality — StreamingSpec
+    * asserts it against a 3000-user window.
+    */
+  def topkStateStream(events: Dataset[TkEvent], k: Int = 3,
+      cap: Int = 64): Dataset[TkTop] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val hourUs = 3600L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => (us(e.ts) / hourUs) * hourUs)
+      .flatMapGroupsWithState[Map[Long, Long], TkTop](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (wUs: Long, evs: Iterator[TkEvent], state: GroupState[Map[Long, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.getOption.getOrElse(Map.empty)
+            state.remove()
+            counts.toSeq.sortBy { case (u, c) => (-c, u) }.take(k).zipWithIndex
+              .map { case ((u, c), i) =>
+                TkTop(new java.sql.Timestamp(wUs / 1000L), i + 1L, u, c)
+              }.iterator
+          } else {
+            val counts = scala.collection.mutable.HashMap[Long, Long]() ++=
+              state.getOption.getOrElse(Map.empty)
+            evs.foreach { e =>
+              counts.get(e.user_id) match {
+                case Some(c) => counts(e.user_id) = c + 1L
+                case None =>
+                  if (counts.size < cap) counts(e.user_id) = 1L
+                  else {
+                    // deterministic eviction: min count, then min key
+                    val (minU, minC) = counts.minBy { case (u, c) => (c, u) }
+                    counts.remove(minU)
+                    counts(e.user_id) = minC + 1L
+                  }
+              }
+            }
+            state.update(counts.toMap)
+            state.setTimeoutTimestamp(wUs / 1000L + 3600L * 1000L) // window end
+            Iterator.empty
+          }
+      }
+  }
+
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class SessAcc(start: Long, end: Long, n: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -104,6 +104,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spacesaving streaming top-k bounds state by windows, not users") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one hour-window with a planted heavy user among 3000 uniques; a
+    // later event advances the watermark past the window end to fire the
+    // event-time timeout
+    val base = 3600L * 1000L
+    def t(ms: Long) = new Timestamp(ms)
+    val heavy = (0 until 2000).map(i => Streaming.TkEvent(t(base + i), 7L))
+    val noise = (0 until 3000).map(i => Streaming.TkEvent(t(base + 500 + i), 1000L + i))
+    val input = MemoryStream[Streaming.TkEvent]
+    val q = Streaming.topkStateStream(input.toDS(), k = 3, cap = 64)
+      .writeStream.format("memory").queryName("sstk")
+      .outputMode("append").start()
+    try {
+      input.addData(heavy ++ noise)
+      q.processAllAvailable()
+      input.addData(Seq(Streaming.TkEvent(t(base + 5L * 3600L * 1000L), 1L)))
+      q.processAllAvailable()
+      val first = spark.table("sstk").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1.getTime == base)
+      assert(first.nonEmpty, "window did not emit on watermark timeout")
+      val top = first.find(_._2 == 1L).get
+      assert(top._3 === 7L, s"heavy hitter not rank 1: $first")
+      assert(top._4 >= 2000L, "SpaceSaving must never underestimate the heavy key")
+      // state rows = open windows (2 here), never the ~3001 users the
+      // exact count aggregate would hold
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2L, s"state rows $stateRows — summary must bound state")
+    } finally q.stop()
+  }
+
   test("sessionize state stays bounded under a 10k-event hot user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
