@@ -883,6 +883,30 @@ object RelationalA extends Module {
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
+  // q42 — explicit GROUPING SETS ((flag), (status)): the two marginal
+  // tables of a pivot in ONE scan (rollup/cube's sibling for
+  // non-hierarchical margins — pandas computes these as two separate
+  // groupbys). Spark's Dataset API exposes only rollup/cube, so this
+  // goes through SQL — same Expand-based single-pass plan, same flat
+  // grid-sum shape (and overflow bound) as q35. NULL marks the
+  // aggregated-away dimension on both sides.
+  private val q42 = Q(
+    "q42_grouping_sets",
+    (s, d) => {
+      Exact.fanout(Tables.lineitem(s, d)).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  )
+
   // q41 — stratified sampling: EXACTLY n rows per group (pandas
   // groupby().sample/head), deterministic under a multiplicative hash
   // order. NOT a `row_number() over partitionBy(segment)` rank — 5
@@ -917,5 +941,5 @@ object RelationalA extends Module {
 
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, apDistinct, apQuantiles, apTopk)
+    q36, q37, q38, q39, q40, q41, q42, apDistinct, apQuantiles, apTopk)
 }
