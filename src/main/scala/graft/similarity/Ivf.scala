@@ -97,9 +97,8 @@ object Ivf {
       .select(col("query_id"), col("corpus_id"),
         Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
           col("q_qnorm"), col("c_qnorm")).as("cosine"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))).cast("long"))
-      .filter(col("rank") <= k)
+    // two-phase rank: probed-cell volume per query never funnels one task
+    Similarity.topKPerQuery(scored, "cosine", k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 

@@ -112,17 +112,25 @@ object IvfPq {
     val qProbe = probes
       .flatMap { case (qid, cells, tbl) => cells.map(c => (qid, c, tbl)) }
       .toDF("query_id", "cluster_id", "tbl")
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("corpus_id"))
-    val cand = inv.join(broadcast(qProbe), "cluster_id")
+    // ADC over the pruned cells ranks only narrow (query, id, adc) rows,
+    // two-phase (local per-partition prune → global rank), so per-query
+    // probed-cell volume never funnels one task; the O(queries·k·candMult)
+    // surviving ids are broadcast back onto the pruned index scan for the
+    // exact re-rank (stored qvecs — no re-encode, no corpus shuffle).
+    val scored = inv.select("corpus_id", "codes", "cluster_id")
+      .join(broadcast(qProbe), "cluster_id")
       .withColumn("adc", call_function("graft_pq_adc", col("codes"), col("tbl")))
-      .withColumn("cand_rank", row_number().over(wAdc))
-      .filter(col("cand_rank") <= k * candMult)
+      .select(col("query_id"), col("corpus_id"), col("adc"))
+    val candIds = Similarity.topKPerQuery(scored, "adc", k * candMult)
+      .select("query_id", "corpus_id")
     val qExact = Similarity.withQuantized(queries, embCol)
       .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
+    // bounded input: ≤ k·candMult rows per query reach this rank
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    cand.join(broadcast(qExact), "query_id")
+    inv.select(col("corpus_id"), col("c_qvec"), col("c_qnorm"))
+      .join(broadcast(candIds), "corpus_id")
+      .join(broadcast(qExact), "query_id")
       .select(col("query_id"), col("corpus_id"),
         Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
           col("q_qnorm"), col("c_qnorm")).as("cosine"))

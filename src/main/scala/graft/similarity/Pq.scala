@@ -19,12 +19,17 @@ import org.apache.spark.sql.functions._
   *            bounded query set), broadcast; `graft_pq_adc` scores every
   *            corpus row with m table lookups — no float vector is read
   *            at scan time. The ADC top candMult·k candidates per query
-  *            are then RE-RANKED with the exact integer-grid cosine, so
-  *            the emitted scores are exact and deterministic (ADC decides
-  *            only which candidates are considered).
+  *            are selected by a lossless two-phase rank (local per-input-
+  *            partition prune, then global — no per-query funnel task)
+  *            over narrow (query, id, adc) rows, then RE-RANKED with the
+  *            exact integer-grid cosine, so the emitted scores are exact
+  *            and deterministic (ADC decides only which candidates are
+  *            considered).
   *
   * Everything collected is bounded: the training sample, the codebook,
-  * and the per-query tables. The corpus is scanned, never shuffled.
+  * the per-query tables, and the candidate id set. The corpus is scanned
+  * (code pass + candidate-fetch pass), never shuffled — only the narrow
+  * ADC score rows move through the candidate-selection exchanges.
   */
 object Pq {
 
@@ -102,13 +107,13 @@ object Pq {
     val flatBooks: Seq[Double] =
       books.flatMap(_.flatMap(_.toSeq)).toSeq // [subspace][centroid][dim]
 
-    // encode: normalized corpus vectors → m codes each (codegen); the
-    // exact quantized vectors ride along for the re-rank stage
+    // encode: normalized corpus vectors → m codes each (codegen). Only
+    // (id, codes) leaves this stage — no float/quantized payload rides
+    // the candidate-selection shuffle
     val c = Similarity.withQuantized(corpus, embCol)
       .withColumn("nvec", transform(col("qvec"),
         x => x.cast("double") / sqrt(col("qnorm").cast("double"))))
-      .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"),
-        col("qnorm").as("c_qnorm"),
+      .select(col(idCol).as("corpus_id"),
         call_function("graft_pq_encode", col("nvec"), typedLit(flatBooks), lit(m)).as("codes"))
 
     // probe: per-query ADC tables (driver arithmetic over the bounded set)
@@ -127,16 +132,27 @@ object Pq {
     val qExact = Similarity.withQuantized(queries, embCol)
       .select(col(idCol).as("query_id"), col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
 
-    // ADC scan → candidates → exact re-rank
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("corpus_id"))
-    val cand = c.crossJoin(broadcast(qTables))
+    // ADC scan → two-phase candidate prune → exact re-rank. Candidate
+    // selection ranks only the narrow (query_id, corpus_id, adc) rows and
+    // prunes locally per (query, partition) before the per-query rank, so
+    // no task sorts a full per-query candidate set (the st_topk trick;
+    // [[Similarity.topKPerQuery]]). The surviving O(queries·k·candMult)
+    // ids are broadcast back onto a candidate-fetch scan for the exact
+    // integer-grid re-rank — the corpus is scanned (codes pass + fetch
+    // pass), never shuffled.
+    val scored = c.crossJoin(broadcast(qTables))
       .withColumn("adc", call_function("graft_pq_adc", col("codes"), col("tbl")))
-      .withColumn("cand_rank", row_number().over(wAdc))
-      .filter(col("cand_rank") <= k * candMult)
+      .select(col("query_id"), col("corpus_id"), col("adc"))
+    val candIds = Similarity.topKPerQuery(scored, "adc", k * candMult)
+      .select("query_id", "corpus_id")
+    val cRerank = Similarity.withQuantized(corpus, embCol)
+      .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"),
+        col("qnorm").as("c_qnorm"))
+    // bounded input: ≤ k·candMult rows per query reach this rank
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    cand.join(broadcast(qExact), "query_id")
+    cRerank.join(broadcast(candIds), "corpus_id")
+      .join(broadcast(qExact), "query_id")
       .select(col("query_id"), col("corpus_id"),
         Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
           col("q_qnorm"), col("c_qnorm")).as("cosine"))

@@ -39,9 +39,31 @@ object Similarity {
       .withColumn("qnorm", dotL(col("qvec"), col("qvec")))
   }
 
+  /** Lossless two-phase per-query top-k over a (query_id, corpus_id,
+    * `orderCol`) surface: a LOCAL top-k per (query, input partition)
+    * prunes candidates to ≤ k·partitions rows per query BEFORE the
+    * global per-query rank — so per-query candidate volume (up to the
+    * whole corpus for brute force) never sorts through one task (the
+    * st_topk/q32 two-phase trick). Pruning is lossless because a row in
+    * a query's global top k has rank ≤ k inside whichever partition
+    * holds it. Both rank shuffles move only the narrow key+score rows;
+    * callers must not attach vector payloads to `scored`.
+    */
+  def topKPerQuery(scored: DataFrame, orderCol: String, k: Int): DataFrame = {
+    val localW = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col(orderCol).desc, col("corpus_id"))
+    val globalW = Window.partitionBy(col("query_id"))
+      .orderBy(col(orderCol).desc, col("corpus_id"))
+    scored
+      .withColumn("_lr", row_number().over(localW))
+      .filter(col("_lr") <= k).drop("_lr")
+      .withColumn("rank", row_number().over(globalW).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set across one
-    * corpus scan, rank per query. The window partitions by query id so the
-    * rank shuffle is size |queries|·|corpus-matches|, never corpus².
+    * corpus scan; the per-query rank is the two-phase prune above, so no
+    * task ever sorts a full per-query candidate set.
     */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
@@ -52,10 +74,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("query_id"), col("corpus_id"),
         cosineQ(col("q_qvec"), col("c_qvec"), col("q_qnorm"), col("c_qnorm")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, "cosine", k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
@@ -95,10 +114,7 @@ object Similarity {
     val scored = c.join(broadcast(q), "bucket")
       .select(col("query_id"), col("corpus_id"),
         cosineQ(col("q_qvec"), col("c_qvec"), col("q_qnorm"), col("c_qnorm")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, "cosine", k)
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 }

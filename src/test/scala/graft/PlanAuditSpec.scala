@@ -133,6 +133,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 2, p)
   }
 
+  test("sim top-k ranks are two-phase: local prune before the per-query rank") {
+    // brute force: the per-query rank must be preceded by a local
+    // (query, partition-id) prune — corpus volume per query never sorts
+    // through one task
+    val p = plan("sim_brute_topk")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert("Window".r.findAllIn(p).length >= 2, p)
+    // pq: candidate selection shuffles only narrow (query, id, adc) rows —
+    // no vector payload (qvec/codes/tbl) rides a rank exchange
+    val pq = plan("sim_pq_topk")
+    val rankExchanges = pq.linesIterator.toVector
+      .filter(l => l.contains("Exchange hashpartitioning(query_id"))
+    assert(rankExchanges.nonEmpty, pq)
+    rankExchanges.foreach { l =>
+      assert(!l.contains("qvec") && !l.contains("codes") && !l.contains("tbl"),
+        s"payload rides a candidate-rank exchange:\n$l")
+    }
+  }
+
   test("st_window_agg is a single aggregation (streaming-compatible shape)") {
     val p = plan("st_window_agg")
     assert("HashAggregate".r.findAllIn(p).length <= 2, p) // partial + final only
