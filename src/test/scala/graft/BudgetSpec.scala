@@ -39,9 +39,25 @@ class BudgetSpec extends SparkSpec {
     assert(run(rows, 0.33) === naive(rows, 0.33))
   }
 
-  test("constant-score input degrades to id-order selection") {
+  test("constant-score input selects in id order with no single-partition stage") {
+    import spark.implicits._
     val rows = (0L until 50L).map(i => (i, 1.25, i % 7 + 1L))
     assert(run(rows, 0.5) === naive(rows, 0.5))
+    val p = BudgetSelect.selectToBudget(rows.toDF("id", "score", "w"),
+        "id", "score", "w", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("point-mass crowded buckets refine by id range and stay exact") {
+    // one score value carried by 3000 rows (a duplicate-heavy quality
+    // score): without the id-range sub-bucket level the whole point mass
+    // funnels one (b, sb=0) window partition
+    val mass = (0L until 3000L).map(i => (i, 7.0, (i % 11) + 1L))
+    val rest = (3000L until 3500L).map(i => (i, (i % 20).toDouble, 3L))
+    val rows = mass ++ rest
+    assert(run(rows, 0.6, refineLimit = 100L) === naive(rows, 0.6))
+    assert(BudgetSelect.lastRefineCount > 0, "point-mass refinement did not trigger")
   }
 
   test("value-crowded score buckets refine to sub-buckets and stay exact") {
