@@ -713,8 +713,12 @@ object RelationalA extends Module {
   // the re-broadcast sketch, and a TakeOrdered top-k hands the driver
   // O(k) rows. Never the key dictionary: for a billion-key column the
   // dictionary IS the unbounded thing the sketch path exists to avoid.
-  // Deterministic: the candidate SET may vary with partitioning, but
-  // every true top-k key is in it, and rank order is (est desc, key).
+  // Deterministic GIVEN the SpaceSaving precondition (the k-th key's
+  // frequency exceeds 1/cap — see [[SpaceSaving]]): the candidate SET
+  // may vary with partitioning, but under that precondition every true
+  // top-k key is in it, and rank order is (est desc, key). cap is sized
+  // 50·k (covers Zipf-ish skew for any realistic dictionary, ≫ the 5
+  // priority values here), not a data-independent constant.
   // ApproxSpec bounds the overestimate against exact counts.
   private val apTopk = Q(
     "ap_topk",
@@ -722,7 +726,7 @@ object RelationalA extends Module {
       import s.implicits._
       val o = Tables.orders(s, d)
       val k = 5
-      val cap = 64
+      val cap = 50 * k
       val bytes = o.agg(
           expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("cms"))
         .head.getAs[Array[Byte]](0)

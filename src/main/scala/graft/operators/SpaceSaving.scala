@@ -10,9 +10,19 @@ package graft.operators
   * GLOBAL count > N/cap therefore exceeds n_p/cap in at least one
   * partition (pigeonhole over Σ n_p = N) and appears in that partition's
   * candidate set. So the union of per-partition candidates contains every
-  * ≥ 1/cap-frequency heavy hitter while staying O(partitions · cap) —
-  * never the full key dictionary, which for a billion-key column is the
-  * unbounded thing a sketch path must not collect.
+  * key of frequency > 1/cap while staying O(partitions · cap) — never the
+  * full key dictionary, which for a billion-key column is the unbounded
+  * thing a sketch path must not collect.
+  *
+  * PRECONDITION for exact top-k recovery: the k-th most frequent key must
+  * have frequency > 1/cap. With more than cap near-uniform keys the
+  * true top-k tail can fall below 1/cap and be evicted in EVERY
+  * partition, silently dropping true members from the candidate set.
+  * Size `cap` from the expected skew (callers that want top-k under an
+  * assumed Zipf-ish law should pass cap = headroom·k, not a constant):
+  * under Zipf(s=1) over V keys, f_k ≈ 1/(k·ln V), so cap ≳ k·ln V
+  * suffices — cap = 50·k covers V up to ~5e21. The summary is heap-free
+  * because cap stays small; eviction is O(cap) per miss.
   */
 object SpaceSaving extends Serializable {
   def candidates(iter: Iterator[String], cap: Int): Iterator[String] = {

@@ -338,10 +338,12 @@ object Streaming {
     * the event-time timeout at window end emits the summary's top-k once
     * the watermark closes the window and drops the state. State rows =
     * open windows, independent of user cardinality — StreamingSpec
-    * asserts it against a 3000-user window.
+    * asserts it against a 3000-user window. Top-k recovery carries the
+    * SpaceSaving precondition (k-th key frequency within the window
+    * > 1/cap), hence the skew-sized 50·k default rather than a constant.
     */
   def topkStateStream(events: Dataset[TkEvent], k: Int = 3,
-      cap: Int = 64): Dataset[TkTop] = {
+      cap: Int = 150): Dataset[TkTop] = {
     import events.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
