@@ -14,16 +14,27 @@ object Sources {
 
   /** CSV with a pinned schema: a schema-inference pass is a full extra
     * scan at scale, and silently drifting types break plan stability.
-    * The nullValue marker matches [[writeCsv]] so a write→read cycle
-    * round-trips NULL vs empty-string faithfully.
+    * `nullValue = None` keeps Spark's default marker (empty field →
+    * NULL), which is what externally-produced CSVs — pandas `to_csv`
+    * writes NaN as empty — mean by it; pass an explicit marker only for
+    * files written with one ([[csvGraft]] for graft's own).
     */
   def csv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): DataFrame =
-    spark.read.schema(schema)
+      header: Boolean = true, nullValue: Option[String] = None): DataFrame = {
+    val r = spark.read.schema(schema)
       .option("header", header.toString)
-      .option("nullValue", "\\N")
       .option("mode", "PERMISSIVE")
-      .csv(path)
+    nullValue.fold(r)(m => r.option("nullValue", m)).csv(path)
+  }
+
+  /** Reader for graft-written CSVs ([[writeCsv]]): the explicit \N NULL
+    * marker distinguishes NULL from empty string, so the round-trip is
+    * bit-exact. Scoped here rather than defaulted in [[csv]] — foreign
+    * CSVs' empty unquoted fields must keep meaning NULL, not "".
+    */
+  def csvGraft(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    csv(spark, path, schema, header, nullValue = Some("\\N"))
 
   /** CSV writer — the reference persists `processed_*.csv` /
     * `featured_*.csv` (eda_processing / feature_engineering notebooks).

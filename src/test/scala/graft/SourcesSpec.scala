@@ -18,6 +18,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("foreign CSVs keep Spark's default null semantics: empty field is NULL") {
+    // pandas to_csv writes NaN as an empty field — the shared reader must
+    // not reinterpret that as "" (the \N marker is scoped to csvGraft)
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_foreign").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      "id,name,v\n1,,\n2,\\N,3.5\n".getBytes("UTF-8"))
+    val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE")
+    val rows = Sources.csv(spark, dir, schema).orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2),
+      "empty unquoted field must stay NULL under the default reader")
+    // a literal backslash-N in a foreign file is DATA, not a marker
+    assert(rows(1).getString(1) === "\\N")
+    // the graft-scoped reader applies the marker instead
+    val graftRows = Sources.csvGraft(spark, dir, schema).orderBy("id").collect()
+    assert(graftRows(1).isNullAt(1))
+  }
+
   test("writeCsv round-trips a frame bit-exactly, nulls included") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
@@ -30,7 +48,7 @@ class SourcesSpec extends SparkSpec {
       .select(col("id"), col("name"), col("v"), col("k").cast("int").as("k"))
     Sources.writeCsv(df, dir)
     val schema = StructType.fromDDL("id BIGINT, name STRING, v DOUBLE, k INT")
-    val back = Sources.csv(spark, dir, schema)
+    val back = Sources.csvGraft(spark, dir, schema)
     assert(back.schema === schema)
     assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
       df.orderBy("id").collect().map(_.toSeq).toSeq)
