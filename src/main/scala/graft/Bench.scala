@@ -49,13 +49,20 @@ object Bench {
     // as the noise gauge: median/min >> 1 means the box was loaded, not
     // that the plan changed.
     //
-    // SELF-CERTIFICATION: a clean run has median ≈ min per query. After
-    // the initial reps, keep adding interleaved rounds (bounded by
-    // SPARK_GRAFT_BENCH_MAX_REPS) while any query's median/min exceeds
-    // 1.2 — extra quiet rounds pull the median down to the steady state,
-    // so the DRIVER artifact carries the clean number instead of a
-    // co-tenant spike. The JSON reports certified + the worst ratio so a
-    // still-dirty run is visible as such rather than as a regression.
+    // SELF-CERTIFICATION over a FIXED-SIZE WINDOW: a clean run has
+    // median ≈ min per query. After the initial reps, keep adding
+    // interleaved rounds (bounded by SPARK_GRAFT_BENCH_MAX_REPS) while
+    // any query's stats stay noisy — but the REPORTED stats are always
+    // computed over the best contiguous `reps`-sized window of samples
+    // (the one with the lowest median), never over all accumulated
+    // samples: min over a variable, noise-conditioned rep count biases
+    // low and makes numbers non-comparable across runs that retried a
+    // different number of times. Retrying only gives a spike-free window
+    // a chance to exist; it cannot shrink the sample the headline number
+    // is drawn from. The JSON reports certified + the worst windowed
+    // ratio + per-query valid sample counts, so a still-dirty run (or a
+    // plan with genuinely bimodal latency, which no amount of retrying
+    // certifies) is visible as such rather than as a regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "25").toInt
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
@@ -70,34 +77,43 @@ object Bench {
       samples(name) = samples(name) :+ t
     }
     def median(v: Vector[Double]): Double = { val s = v.sorted; s(v.size / 2) }
+    // best fixed-size window of a query's valid samples: (min, median)
+    def windowStats(name: String): (Double, Double) = {
+      val ts = samples(name).filter(_ >= 0)
+      if (ts.isEmpty) (-1.0, -1.0)
+      else {
+        val best = ts.sliding(math.min(reps, ts.size)).minBy(median)
+        (best.min, median(best))
+      }
+    }
     def worstRatio(): Double = headline.map { n =>
-      val ts = samples(n).filter(_ >= 0)
-      if (ts.isEmpty) Double.PositiveInfinity else median(ts) / ts.min
+      val (mn, md) = windowStats(n)
+      if (mn < 0) Double.PositiveInfinity else md / mn
     }.max
     (1 to reps).foreach(_ => oneRound())
     var done = reps
     while (worstRatio() > 1.2 && done < maxReps &&
         !headline.exists(n => samples(n).forall(_ < 0))) {
-      System.err.println(f"[bench] median/min ${worstRatio()}%.2f > 1.2 — retry round ${done + 1}")
+      System.err.println(f"[bench] windowed median/min ${worstRatio()}%.2f > 1.2 — retry round ${done + 1}")
       oneRound()
       done += 1
     }
-    val results = headline.map { name =>
-      val times = samples(name).filter(_ >= 0)
-      if (times.isEmpty) name -> (-1.0, -1.0)
-      else name -> (times.min, median(times))
-    }.toMap
-    printAndExit(results, sfDir, done, worstRatio())
+    val results = headline.map(name => name -> windowStats(name)).toMap
+    val counts = headline.map(name => name -> samples(name).count(_ >= 0)).toMap
+    printAndExit(results, counts, sfDir, done, math.min(reps, done), worstRatio())
     spark.stop()
   }
 
-  private def printAndExit(results: Map[String, (Double, Double)], sfDir: String,
-      reps: Int, ratio: Double): Unit = {
+  private def printAndExit(results: Map[String, (Double, Double)],
+      counts: Map[String, Int], sfDir: String, reps: Int, window: Int,
+      ratio: Double): Unit = {
     def json(f: ((Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val sampleJson = counts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val certified = ratio <= 1.2 && ratio >= 0.0
     val ratioStr = if (ratio.isInfinite) "-1.0" else f"$ratio%.4f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"reps":$reps,"certified":$certified,"median_over_min":$ratioStr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"sf":"$sfDir"}""")
   }
 }
