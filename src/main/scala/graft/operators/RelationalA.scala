@@ -943,7 +943,66 @@ object RelationalA extends Module {
       |WHERE rn <= 100 ORDER BY c_mktsegment, c_custkey""".stripMargin)
   )
 
+  // q43 — grouped IQR winsorize (RemoveOutliers.transform applied per
+  // category — the boxplot-per-category clipping the reference does
+  // globally, q08's grouped sibling). NOT a quantile window over
+  // partitionBy(group): 3 return flags would cap parallelism at 3.
+  // Per-group exact quartiles come from the (group, bucket) histogram
+  // machinery (Quantiles.groupedExactQuantiles — the q33 path), the
+  // driver assembles the 3-row fence table with the same IEEE
+  // expressions as the oracle, and the clip is a broadcast join + narrow
+  // map. Scale shape: two bounded-metadata passes + one narrow pass.
+  private val q43 = Q(
+    "q43_grouped_winsorize",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val qr = Quantiles.groupedExactQuantiles(
+        l, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+      val fences = qr.groupBy(_._1).toSeq.map { case (gv, rows) =>
+        val q1 = rows.find(_._2 == 0.25).get._3
+        val q3 = rows.find(_._2 == 0.75).get._3
+        (gv, q3 + 1.5 * (q3 - q1), q1 - 1.5 * (q3 - q1))
+      }
+      l.join(broadcast(fences.toDF("g", "r_b", "lo_b")),
+          col("l_returnflag") === col("g"))
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          when(col("l_extendedprice") > col("r_b"), col("r_b"))
+            .when(col("l_extendedprice") < col("lo_b"), col("lo_b"))
+            .otherwise(col("l_extendedprice")).as("clipped_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""WITH r AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn
+      |  FROM lineitem),
+      |n AS (SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT g, q, q * (cnt - 1.0) AS h,
+      |    CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |    LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |  FROM n, (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL SELECT CAST(0.75 AS DOUBLE)) qs),
+      |b AS (
+      |  SELECT p.g, p.q, p.h,
+      |    MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+      |    MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+      |  FROM r JOIN p ON r.g = p.g AND (r.rn = p.rlo OR r.rn = p.rhi)
+      |  GROUP BY p.g, p.q, p.h),
+      |qv AS (SELECT g, q, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value FROM b),
+      |f AS (
+      |  SELECT g, q3 + 1.5 * (q3 - q1) AS r_b, q1 - 1.5 * (q3 - q1) AS lo_b FROM (
+      |    SELECT g, MAX(CASE WHEN q = 0.25 THEN value END) AS q1,
+      |           MAX(CASE WHEN q = 0.75 THEN value END) AS q3
+      |    FROM qv GROUP BY g))
+      |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber,
+      |  CASE WHEN l.l_extendedprice > f.r_b THEN f.r_b
+      |       WHEN l.l_extendedprice < f.lo_b THEN f.lo_b
+      |       ELSE l.l_extendedprice END AS clipped_price
+      |FROM lineitem l JOIN f ON l.l_returnflag = f.g
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, apDistinct, apQuantiles, apTopk)
+    q36, q37, q38, q39, q40, q41, q42, q43, apDistinct, apQuantiles, apTopk)
 }

@@ -353,6 +353,111 @@ object TextF extends Module {
     }
   )
 
+  // tx_contamination — benchmark decontamination, the train/eval overlap
+  // check every LLM data pipeline runs before training: a corpus document
+  // is contaminated if it shares any word 8-gram with the held-out
+  // benchmark set (docs with doc_id % 97 == 0 stand in for the eval set).
+  // Scale shape: both sides explode to distinct (doc, md5(8-gram)) rows —
+  // the join is ONE shuffle keyed on the hash (the benchmark side is
+  // pre-distincted; at real scale it is eval-set-sized, millions of
+  // grams, far below the corpus side), then one per-doc aggregate. No
+  // driver-side collection anywhere; n-gram extraction is the same
+  // narrow map dd_ngram_jaccard uses.
+  private val txContamination = Q(
+    "tx_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = 4
+      def grams(df: DataFrame) =
+        graft.dedup.Dedup.withWordNgrams(df, "text", n)
+          .select(col("doc_id"), explode(col("ngrams")).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("h"))
+      val corpus = grams(docs.filter(col("doc_id") % 97 =!= 0))
+      val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select("h").distinct().withColumn("m", lit(1))
+      corpus.join(bench, Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("m")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams").cast("double")).as("overlap_frac"),
+          (col("n_hit") > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH cg AS (
+      |  SELECT doc_id, md5(g) AS h FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' ')))) AS g
+      |    FROM documents WHERE doc_id % 97 <> 0)),
+      |bg AS (
+      |  SELECT DISTINCT md5(g) AS h FROM (
+      |    SELECT unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' ')))) AS g
+      |    FROM documents WHERE doc_id % 97 = 0)),
+      |j AS (
+      |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |    CAST(COUNT(b.h) AS BIGINT) AS n_hit
+      |  FROM cg c LEFT JOIN bg b ON c.h = b.h GROUP BY c.doc_id)
+      |SELECT doc_id, n_grams, n_hit,
+      |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
+      |  n_hit > 0 AS contaminated
+      |FROM j ORDER BY doc_id""".stripMargin)
+  )
+
+  // tx_lm_score — unigram-LM quality proxy (the CCNet-style "does this
+  // look like common language" signal) with INTEGER arithmetic so the
+  // oracle hash-matches: tokens are scored by their rank in the corpus
+  // top-V vocabulary (count DESC, token ASC — deterministic cut; V=20
+  // against this corpus's 31-token vocabulary so OOV is a real signal —
+  // production uses 1e3-1e5), OOV tokens get rank V+1; a document's score is its exact rank sum /
+  // token count. Floating-point log-probs would differ in final ulps
+  // between engines' libm — ranks carry the same ordering information
+  // exactly. Scale shape: one token-count aggregate; the top-V cut is a
+  // TakeOrdered (V rows of driver metadata, never the dictionary);
+  // scoring is a broadcast join + one per-doc aggregate.
+  private val txLmScore = Q(
+    "tx_lm_score",
+    (s, d) => {
+      import s.implicits._
+      val v = 20
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(v)
+        .collect() // TakeOrdered: exactly V rows of bounded metadata
+        .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1L) }.toSeq
+      toks.join(broadcast(vocab.toDF("t", "r")), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(coalesce(col("r"), lit(v + 1L))).as("rank_sum"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"), col("rank_sum"),
+          (col("rank_sum").cast("double") / col("n_tok").cast("double")).as("avg_rank"),
+          (col("n_oov").cast("double") / col("n_tok").cast("double")).as("oov_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |vocab AS (
+      |  SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS BIGINT) AS r
+      |  FROM toks GROUP BY t
+      |  ORDER BY COUNT(*) DESC, t LIMIT 20),
+      |j AS (
+      |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(SUM(CASE WHEN v.r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |    CAST(SUM(COALESCE(v.r, 21)) AS BIGINT) AS rank_sum
+      |  FROM toks d LEFT JOIN vocab v ON d.t = v.t GROUP BY d.doc_id)
+      |SELECT doc_id, n_tok, n_oov, rank_sum,
+      |  CAST(rank_sum AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_rank,
+      |  CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
+      |FROM j ORDER BY doc_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
-    txShingles, txRepetition, txFilterFlags, txBudgetSample)
+    txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
+    txLmScore)
 }

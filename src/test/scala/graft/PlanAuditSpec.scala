@@ -110,6 +110,13 @@ class PlanAuditSpec extends SparkSpec {
       "group+range filter not pushed to the parquet scan: " + sp)
   }
 
+  test("q43 grouped winsorize is broadcast two-phase like q32/q33") {
+    val p = plan("q43_grouped_winsorize")
+    assert(!p.contains("Window"), "q43 reintroduced a group window:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("round-2 operators keep their scale shapes") {
     // interval join: equi-join + range residual — never a cartesian
     val ij = plan("st_interval_join")
