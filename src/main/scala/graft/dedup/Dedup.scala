@@ -297,6 +297,66 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * an embedding column. k-means cells bound the quadratic — pairwise
+    * exact integer-grid cosine runs WITHIN cells only, so total pair work
+    * is n²/k and k is sized to the corpus (k ≈ n / targetCellRows keeps
+    * per-cell work one task's worth; parallelism scales with k). The
+    * quantizer fits on a bounded seeded sample, never the full corpus
+    * (the [[graft.similarity.Ivf]] discipline). Grid-identical vectors
+    * are collapsed FIRST via [[withRepresentative]] — a cell full of
+    * copies of one page must cost linear star pairs, not |cell|² — and
+    * only representatives reach the k-means/pairwise stages. Pairs ≥ tau
+    * close into components ([[connectedComponents]]); the min-id member
+    * of each group is kept. Cross-cell near-dups are the quantizer's
+    * recall loss — the paper's accepted trade; DedupSpec plants dup
+    * groups and asserts recovery.
+    *
+    * Returns (idCol, cell_id, group_id, keep) for every input row.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+      tau: Double, targetCellRows: Long = 2048L, seed: Long = 42L,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val q0 = graft.similarity.Similarity.withQuantized(df, embCol)
+    val tagged = withRepresentative(q0, idCol, md5(col("qvec").cast("string")))
+    val starPairs = tagged.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(embCol), col("qvec"), col("qnorm"))
+    val nReps = reps.count()
+    val k = math.max(2L, math.min(nReps / targetCellRows + 1L, 65536L)).toInt
+    val feat = reps.withColumn("features",
+      array_to_vector(transform(col(embCol), x => x.cast("double"))))
+    val train =
+      if (nReps <= maxTrainRows) feat
+      else feat.sample(withReplacement = false, maxTrainRows.toDouble / nReps, seed)
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell_id").fit(train)
+    val cells = model.transform(feat)
+      .select(col(idCol).as("id"), col("cell_id"), col("qvec"), col("qnorm"))
+    val a = cells.select(col("cell_id"), col("id").as("id_a"),
+      col("qvec").as("qa"), col("qnorm").as("na"))
+    val b = cells.select(col("cell_id"), col("id").as("id_b"),
+      col("qvec").as("qb"), col("qnorm").as("nb"))
+    val cellPairs = a.join(b, "cell_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.similarity.Similarity.cosineQ(
+        col("qa"), col("qb"), col("na"), col("nb")) >= tau)
+      .select("id_a", "id_b")
+    val groups = connectedComponents(df.select(col(idCol)), idCol,
+        cellPairs.unionByName(starPairs))
+      .withColumnRenamed("cluster_id", "group_id")
+    tagged.select(col(idCol), col("__rep"))
+      .join(cells.select(col("id"), col("cell_id")),
+        col("__rep") === col("id"), "left")
+      .select(col(idCol), col("cell_id"))
+      .join(groups, idCol)
+      .select(col(idCol), col("cell_id"), col("group_id"),
+        (col("group_id") === col(idCol)).as("keep"))
+  }
+
   /** Distinct word n-gram set per document. */
   def withWordNgrams(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
     df.withColumn("words", split(col(textCol), " "))

@@ -172,22 +172,28 @@ object DedupD extends Module {
   // CTE, so the iterative distributed fixpoint is hash-verified against
   // a declarative one — including the chain shapes where plain
   // propagation would need diameter rounds.
-  private val ddClusters = Q(
-    "dd_clusters",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val ng = Dedup.withWordNgrams(docs.filter(col("doc_id") < 40), "text")
-        .select(col("doc_id"), col("ngrams"))
-      val a = ng.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"))
-      val b = ng.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"))
-      val pairs = a.join(b, col("id_a") < col("id_b"))
-        .filter((size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
-          size(array_union(col("ng_a"), col("ng_b"))).cast("double")) >= 0.01)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
-        .orderBy("doc_id")
-    },
-    Some("""WITH RECURSIVE ng AS (
+  /** Shared by dd_clusters / dd_keep_best: weak-similarity candidate
+    * pairs over the doc_id < 40 slice, closed into components for EVERY
+    * document (isolated docs are their own singleton cluster).
+    */
+  private def clusterDf(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val ng = Dedup.withWordNgrams(docs.filter(col("doc_id") < 40), "text")
+      .select(col("doc_id"), col("ngrams"))
+    val a = ng.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"))
+    val b = ng.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter((size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+        size(array_union(col("ng_a"), col("ng_b"))).cast("double")) >= 0.01)
+      .select("id_a", "id_b")
+    Dedup.connectedComponents(docs.select("doc_id"), "doc_id", pairs)
+  }
+
+  /** The DuckDB twin of [[clusterDf]]: recompute the pairs declaratively
+    * and close them transitively with a recursive CTE.
+    */
+  private val clusterCte: String =
+    """WITH RECURSIVE ng AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
       |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngrams
@@ -204,9 +210,43 @@ object DedupD extends Module {
       |reach AS (
       |  SELECT doc_id AS id, doc_id AS label FROM documents
       |  UNION
-      |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id)
-      |SELECT id AS doc_id, MIN(label) AS cluster_id
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+      |  SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      |clusters AS (
+      |  SELECT id AS doc_id, MIN(label) AS cluster_id
+      |  FROM reach GROUP BY id)""".stripMargin
+
+  private val ddClusters = Q(
+    "dd_clusters",
+    (s, d) => clusterDf(s, d).orderBy("doc_id"),
+    Some(clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
+  )
+
+  // dd_keep_best — the selection policy after clustering: inside each
+  // duplicate cluster keep the LONGEST document (n_chars, min doc_id as
+  // tiebreak) — the "keep the most complete copy" rule LLM-corpus dedup
+  // uses in place of dd_exact's keep-first. One extra hash join on doc_id
+  // plus a row_number window partitioned on the HIGH-cardinality
+  // cluster_id (mostly singletons — parallelism scales with clusters).
+  private val ddKeepBest = Q(
+    "dd_keep_best",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clusterDf(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+          (col("rn") === 1).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(clusterCte +
+      """
+      |SELECT c.doc_id, c.cluster_id, d.n_chars,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
+      |FROM clusters c JOIN documents d USING (doc_id)
+      |ORDER BY doc_id""".stripMargin)
   )
 
   // dd_embed_cosine — embedding-cosine near-dup pairs over a bounded
@@ -243,6 +283,19 @@ object DedupD extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // sem_dedup — SemDeDup (Abbas et al. 2023): k-means-bucketed semantic
+  // dedup over the embedding corpus ([[Dedup.semanticDedup]]). The
+  // k-means cell assignment is not SQL-expressible, so this is rows-only
+  // by design; DedupSpec plants grid-identical and near-identical vector
+  // groups and asserts each planted group collapses to one survivor.
+  private val semDedup = Q(
+    "sem_dedup",
+    (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        tau = 0.5)
+      .orderBy("vec_id"),
+    None
+  )
+
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgramJaccard,
-    ddClusters, ddEmbedCosine)
+    ddClusters, ddKeepBest, semDedup, ddEmbedCosine)
 }

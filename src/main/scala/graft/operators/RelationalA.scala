@@ -1002,7 +1002,116 @@ object RelationalA extends Module {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 
+  // q44 — per-user ordered conversion funnel over events (view → click →
+  // purchase, each stage strictly after the previous — the classic
+  // product-analytics sequence query). Three chained unordered windows
+  // over the SAME partition key share one exchange + one sort, and the
+  // final per-user collapse reuses the window's hash partitioning, so the
+  // whole funnel is a single shuffle on user_id. user_id is
+  // high-cardinality: parallelism scales with users, never with stages.
+  private val q44 = Q(
+    "q44_funnel",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("t_view")).as("t_view"),
+          min(col("t_click")).as("t_click"),
+          min(col("t_purchase")).as("t_purchase"))
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).cast("int").as("stage"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_view FROM events),
+      |c AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_click FROM v),
+      |p AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_purchase FROM c)
+      |SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+      |  MIN(t_purchase) AS t_purchase,
+      |  CAST(CASE WHEN MIN(t_purchase) IS NOT NULL THEN 3
+      |       WHEN MIN(t_click) IS NOT NULL THEN 2
+      |       WHEN MIN(t_view) IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  // q45 — decile assignment without a global sort. The naive form is
+  // ntile(10) over an unpartitioned ORDER BY window — one task sorts the
+  // entire column. Here the 9 interpolated decile fences come from
+  // [[Quantiles]]' distributed bucket-histogram selection (bounded driver
+  // metadata: 9 doubles), and assignment is a narrow codegen map:
+  // decile = 1 + #fences strictly below the value. Fences share q07's
+  // exact machinery and the oracle recomputes them with the identical
+  // IEEE interpolation expression, so the comparison doubles match
+  // bit-for-bit.
+  private val q45 = Q(
+    "q45_decile",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val qs = (1 to 9).map(_ / 10.0)
+      val fences = Quantiles.exactQuantiles(o, Seq("o_totalprice"), qs).map(_._3)
+      val decile = fences.foldLeft(lit(1L)) { (acc, f) =>
+        acc + when(col("o_totalprice") > lit(f), lit(1L)).otherwise(lit(0L))
+      }
+      o.select(col("o_orderkey"), col("o_totalprice"), decile.as("decile"))
+        .orderBy("o_orderkey")
+    },
+    Some(
+      s"""WITH f AS (${quantileSql("orders", "o_totalprice", (1 to 9).map(_ / 10.0))})
+         |SELECT o.o_orderkey, o.o_totalprice,
+         |  CAST(1 + (SELECT COUNT(*) FROM f WHERE o.o_totalprice > f.value) AS BIGINT) AS decile
+         |FROM orders o ORDER BY o_orderkey""".stripMargin)
+  )
+
+  // q46 — full outer join of two sparse per-hour aggregates (signup vs
+  // error counts), the join-type completeness piece q15 (semi/anti) and
+  // q03/q04 (inner) don't cover. Both sides partial-aggregate BEFORE the
+  // join — at 100 TB each input shrinks to |hours| rows first, so the
+  // full-outer itself is a dashboard-cardinality join, and the coalesce
+  // marks which side of the timeline has a hole.
+  private val q46 = Q(
+    "q46_hour_outer",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def hourly(t: String, out: String): DataFrame =
+        ev.filter(col("event_type") === t)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as(out))
+      hourly("signup", "n_signup").join(hourly("error", "n_error"), Seq("h"), "full_outer")
+        .select(col("h"),
+          coalesce(col("n_signup"), lit(0L)).as("n_signup"),
+          coalesce(col("n_error"), lit(0L)).as("n_error"),
+          (col("n_signup").isNotNull && col("n_error").isNotNull).as("in_both"))
+        .orderBy("h")
+    },
+    Some("""WITH s AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_signup
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |e AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_error
+      |  FROM events WHERE event_type = 'error' GROUP BY 1)
+      |SELECT COALESCE(s.h, e.h) AS h,
+      |  COALESCE(s.n_signup, 0) AS n_signup,
+      |  COALESCE(e.n_error, 0) AS n_error,
+      |  s.h IS NOT NULL AND e.h IS NOT NULL AS in_both
+      |FROM s FULL JOIN e ON s.h = e.h ORDER BY h""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, apDistinct, apQuantiles, apTopk)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
+    apDistinct, apQuantiles, apTopk)
 }

@@ -96,5 +96,37 @@ object SimE extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq)
+  // emb_centroid — per-label mean embedding in long (label, pos) form:
+  // posexplode to (label, pos, grid-int component) then ONE partial-
+  // aggregable groupBy(label, pos) — sums are exact BIGINTs on the 1e-6
+  // grid, so the final two fixed-order double divisions (sum/n, /1e6)
+  // hash-match DuckDB bit-for-bit. The class-centroid table this emits
+  // is the build step for nearest-class-mean classification and for
+  // cluster-balance audits; output is |labels|·dim rows — tiny — while
+  // the scan is a narrow map + one shuffle of partial sums.
+  private val embCentroid = Q(
+    "emb_centroid",
+    (s, d) => {
+      Similarity.withQuantized(Tables.embeddings(s, d), "embedding")
+        .select(col("label"), posexplode(col("qvec")).as(Seq("pos", "qv")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
+        .select(col("label"), col("pos"), col("n"), col("sum_q"),
+          ((col("sum_q").cast("double") / col("n").cast("double")) / lit(1000000.0))
+            .as("centroid"))
+        .orderBy("label", "pos")
+    },
+    Some("""WITH q AS (
+      |  SELECT label,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings)
+      |SELECT label, CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(qv) AS BIGINT) AS sum_q,
+      |  (CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS centroid
+      |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
+    embCentroid)
 }

@@ -174,8 +174,37 @@ object StreamingH extends Module {
       |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin)
   )
 
+  // st_cdc — CDC log compaction: the current snapshot per key, latest
+  // event wins, with (event-time, event_id) ordering the changelog. The
+  // batch twin is one row_number window over the HIGH-cardinality
+  // user_id partition — a single shuffle, parallelism scales with keys.
+  // The streaming twin ([[Streaming.cdcStream]]) holds exactly ONE row
+  // of state per key (the winner so far) and re-emits the refreshed
+  // snapshot row in Update mode each micro-batch the key appears in —
+  // the mapGroupsWithState form of a key-compacted changelog (Kafka
+  // log-compaction / upsert-sink semantics), state O(keys) by design.
+  private val stCdc = Q(
+    "st_cdc",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
-    stIntervalJoin, stTopk)
+    stIntervalJoin, stTopk, stCdc)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -321,6 +350,34 @@ object Streaming {
           }
           last.foreach(state.update)
           out.iterator
+      }
+  }
+
+  case class CdcEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class CdcRow(user_id: Long, last_ts: java.sql.Timestamp,
+      last_event_id: Long, last_type: String, last_value: Double)
+
+  /** Streaming twin of st_cdc: one row of state per key — the winning
+    * record so far under the (event-time, event_id) order — re-emitted
+    * as a refreshed snapshot row each micro-batch the key appears in
+    * (Update-mode upsert sink). State never expires: a key's current
+    * value stays current until overwritten — compaction retention, not
+    * a leak.
+    */
+  def cdcStream(events: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcRow, CdcRow](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[CdcEvent], state: GroupState[CdcRow]) =>
+          val best = (state.getOption.iterator ++ evs.map(e =>
+              CdcRow(uid, e.ts, e.event_id, e.event_type, e.value)))
+            .maxBy(r => (us(r.last_ts), r.last_event_id))
+          state.update(best)
+          best
       }
   }
 

@@ -457,7 +457,109 @@ object TextF extends Module {
       |FROM j ORDER BY doc_id""".stripMargin)
   )
 
+  /** Ordered PII redaction rules (pattern → replacement token). Patterns
+    * use only character classes + bounded quantifiers — the portable
+    * subset of Java regex (Spark) and RE2 (DuckDB) — so both engines
+    * apply identical rewrites. Order matters: emails and dotted IPs are
+    * rewritten before the bare digit-run rule can eat their digits.
+    */
+  private[graft] val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "\\+[0-9]{7,15}" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Sequential redaction of every rule, for reuse and for the planted-PII
+    * ScalaTest (the parquet corpus itself contains no emails/phones —
+    * customer ids exercise the digit-run rule end-to-end).
+    */
+  private[graft] def piiRedact(c: Column): Column =
+    piiRules.foldLeft(c) { case (cur, (p, t)) => regexp_replace(cur, p, t) }
+
+  // tx_pii_redact — PII scrubbing, the pre-training privacy pass. A pure
+  // narrow map (regexp_replace chains are codegen'd; no shuffle, nothing
+  // to skew): each rule counts its hits on the text AS LEFT by the
+  // previous rule, then rewrites. Runs over customer names — the one
+  // column in the corpus with real hits (digit runs) — while the
+  // email/IP/phone rules are exercised by planted strings in TextSpec.
+  private val txPiiRedact = Q(
+    "tx_pii_redact",
+    (s, d) => {
+      val stages = piiRules.zipWithIndex.foldLeft(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name").as("t0"))) {
+        case (df, ((p, t), i)) =>
+          df.withColumn(s"n_$i", regexp_count(col(s"t$i"), lit(p)).cast("long"))
+            .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), p, t))
+      }
+      stages.select(col("c_custkey"), col(s"t${piiRules.size}").as("redacted"),
+          col("n_0").as("n_email"), col("n_1").as("n_ip"),
+          col("n_2").as("n_phone"), col("n_3").as("n_num"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH s0 AS (SELECT c_custkey, c_name AS t0 FROM customer),
+      |s1 AS (SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM s0),
+      |s2 AS (SELECT c_custkey, n_email,
+      |  CAST(len(regexp_extract_all(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      |  regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS t2 FROM s1),
+      |s3 AS (SELECT c_custkey, n_email, n_ip,
+      |  CAST(len(regexp_extract_all(t2, '\+[0-9]{7,15}')) AS BIGINT) AS n_phone,
+      |  regexp_replace(t2, '\+[0-9]{7,15}', '<PHONE>', 'g') AS t3 FROM s2),
+      |s4 AS (SELECT c_custkey, n_email, n_ip, n_phone,
+      |  CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS BIGINT) AS n_num,
+      |  regexp_replace(t3, '[0-9]{6,}', '<NUM>', 'g') AS t4 FROM s3)
+      |SELECT c_custkey, t4 AS redacted, n_email, n_ip, n_phone, n_num
+      |FROM s4 ORDER BY c_custkey""".stripMargin)
+  )
+
+  // tx_tfidf — per-document top-3 salient terms. Classic tf-idf shape,
+  // but with a RATIONAL idf (N/df instead of ln(N/df)): multiplication
+  // and division are IEEE-exact and identically rounded in both engines,
+  // whereas libm ln() is not guaranteed correctly-rounded and could
+  // diverge in the last ulp. Monotone in ln-idf for fixed tf, and the
+  // hash-match is exact. Plan: explode → (doc, term) partial-agg tf →
+  // term-keyed df agg → vocab-cardinality hash join (partial-aggregable
+  // everywhere) → per-doc top-3 via a row_number window partitioned on
+  // the HIGH-cardinality doc_id (parallelism scales with docs).
+  private val txTfidf = Q(
+    "tx_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+      tf.join(dfc, "t").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+          col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+      |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+      |  FROM tf JOIN df USING (t), n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rnk FROM sc)
+      |SELECT doc_id, t AS term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
-    txLmScore)
+    txLmScore, txPiiRedact, txTfidf)
 }

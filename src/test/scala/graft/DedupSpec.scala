@@ -141,6 +141,30 @@ class DedupSpec extends SparkSpec {
     assert(keep.size === corpus.count() - 4)
   }
 
+  test("semanticDedup collapses planted duplicate groups to one survivor") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().toSeq
+    val planted = Seq(
+      (2000L, base(3)._2),                               // grid-identical copy
+      (2001L, base(3)._2),                               // second identical copy
+      (2002L, base(7)._2.map(v => v * 1.0005f)))         // near copy (cos ≈ 1)
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size === base.size + 3)
+    // identical copies collapse through the pre-collapse star pairs
+    assert(out(2000L) === (base(3)._1, false), s"got ${out(2000L)}")
+    assert(out(2001L) === (base(3)._1, false))
+    assert(out(base(3)._1)._2 === true, "group min id must be the survivor")
+    // the near copy goes through k-means + in-cell pairwise cosine
+    assert(out(2002L) === (base(7)._1, false), s"got ${out(2002L)}")
+    assert(out(base(7)._1)._2 === true)
+    // isotropic corpus: nothing else merges at tau = 0.99
+    assert(out.count(_._2._2) === out.size - 3)
+  }
+
   test("dd_minhash oracle preconditions hold for the synthetic corpus") {
     // the DuckDB twin reproduces graft_poly_hash via ascii() power sums of
     // 5-char shingles — valid only for ASCII text of >= shingle width;

@@ -163,4 +163,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("st_window_agg")
     assert("HashAggregate".r.findAllIn(p).length <= 2, p) // partial + final only
   }
+
+  test("q45 decile assignment is a broadcast fence map, never a global rank") {
+    // the naive plan is ntile() over an unpartitioned ORDER BY — one task
+    // sorts the world; the fence map must carry no window at all
+    val p = plan("q45_decile")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q44 funnel's three windows and the collapse share one user_id exchange") {
+    val p = plan("q44_funnel")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
+      "funnel stages must reuse one user_id distribution:\n" + p)
+  }
 }

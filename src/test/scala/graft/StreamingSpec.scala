@@ -210,6 +210,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction converges to the batch snapshot across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => Streaming.CdcEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.CdcEvent]
+    val q = Streaming.cdcStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+    try {
+      // two micro-batches: the second batch's winners must merge against
+      // state carried from the first, not just within-batch rows
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // an upsert sink keeps each key's LAST emission — reproduce that
+      // by re-compacting the update log per key
+      val emissions = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      val streamed = emissions.groupBy(_._1).map { case (_, rows) =>
+        rows.maxBy(r => (r._2.getTime, r._3))
+      }.toSet
+      val batch = SparkEntry.queries("st_cdc")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,35 @@
+package graft
+
+import graft.text.TextF
+import org.apache.spark.sql.functions._
+
+/** The parquet corpus carries no emails/phones/IPs, so tx_pii_redact's
+  * oracle only exercises the digit-run rule on customer ids; the planted
+  * strings here drive every rule, including rule ORDER (emails and
+  * dotted IPs must be rewritten before the bare digit-run rule can eat
+  * their digits).
+  */
+class TextSpec extends SparkSpec {
+
+  test("piiRedact scrubs planted emails, IPs, phones, and id runs") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact john.doe+x@example.com or jane@sub.domain.org now"),
+      (2L, "server at 192.168.0.1 rebooted; port 8080"),
+      (3L, "call +4915123456789 today"),
+      (4L, "order 123456789 shipped to slot 42"),
+      (5L, "clean text with no pii at all"),
+      (6L, "user9876543@host.io from 10.0.0.254 ordered 55555555"))
+    val out = rows.toDF("id", "text")
+      .select(col("id"), TextF.piiRedact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "contact <EMAIL> or <EMAIL> now")
+    // short digit runs (port, slot) survive; dotted quads don't
+    assert(out(2L) === "server at <IP> rebooted; port 8080")
+    assert(out(3L) === "call <PHONE> today")
+    assert(out(4L) === "order <NUM> shipped to slot 42")
+    assert(out(5L) === "clean text with no pii at all")
+    // an email whose local part is digit-heavy is an email, not a <NUM>
+    assert(out(6L) === "<EMAIL> from <IP> ordered <NUM>")
+  }
+}
