@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom codegen'd Catalyst expressions (SURVEY §2.I).
@@ -294,6 +294,39 @@ object PqAdc {
   }
 }
 
+/** Unicode NFC normalization — Spark has no built-in normalizer, and a
+  * Scala UDF here would break whole-stage codegen for the entire cleaning
+  * pipeline it sits in. As a native expression the call stays inside the
+  * generated code (one static invoke, null-handling free via
+  * nullSafeEval/defineCodeGen). java.text.Normalizer and DuckDB's
+  * utf8proc both implement the Unicode-standard NFC algorithm, so the
+  * oracle agrees on any valid input (asserted on composed/decomposed
+  * plants in TextSpec; the ASCII corpus is a fixpoint).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  protected override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: NFC is the identity on ASCII (and quick-check-yes text)
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Registration: either install [[GraftExtensions]] via
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
   * [[GraftFunctions.register]] on an existing session (idempotent).
@@ -320,7 +353,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => PqAdc(args(0), args(1))),
     (FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
-      (args: Seq[Expression]) => MinHashAgg(args.head, 64)))
+      (args: Seq[Expression]) => MinHashAgg(args.head, 64)),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

@@ -58,6 +58,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar format large estates carry; Spark's native
+    * vectorized reader gives it the same pushdown/pruning properties as
+    * parquet (predicate pushdown asserted in SourcesSpec).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Parse a JSON string column into typed fields (events.props). */
   def withJsonField(df: DataFrame, jsonCol: String, fieldSchema: String): DataFrame =
     df.withColumn("_parsed", from_json(col(jsonCol), StructType.fromDDL(fieldSchema)))

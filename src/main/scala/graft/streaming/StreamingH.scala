@@ -203,8 +203,28 @@ object StreamingH extends Module {
       |WHERE rn = 1 ORDER BY user_id""".stripMargin)
   )
 
+  // st_sliding — sliding-window agg (1h every 15min): the overlapping
+  // sibling of st_window_agg. The oracle reproduces Spark's
+  // epoch-aligned window assignment by unnesting the 4 slide offsets
+  // per event — window starts are floor(us/slide)·slide − k·slide for
+  // k ∈ 0..3, each trivially containing ts for a 4-slide window.
+  private val stSliding = Q(
+    "st_sliding",
+    (s, d) => Streaming.slidingAgg(Tables.events(s, d))
+      .orderBy("window_start", "event_type"),
+    Some("""WITH x AS (
+      |  SELECT make_timestamp(
+      |           (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000)
+      |           AS window_start,
+      |         event_type, value
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
-    stIntervalJoin, stTopk, stCdc)
+    stIntervalJoin, stTopk, stCdc, stSliding)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -227,6 +247,24 @@ object Streaming {
   /** Watermarked streaming twin of windowAgg. */
   def windowAggStream(events: DataFrame): DataFrame =
     windowAgg(events.withWatermark("ts", "2 hours"))
+
+  /** SLIDING 1h window every 15min × event_type: each event lands in
+    * exactly 4 overlapping windows (Spark expands via Expand — a 4×
+    * row multiply BEFORE the partial aggregate, so the shuffle still
+    * moves only (window, type) partials, never 4× the data). Same plan
+    * batch/stream; the overlap factor — not user cardinality — bounds
+    * the state growth vs the tumbling twin.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(graft.Exact.qzl(col("value"), 1000.0)).cast("double") / lit(1000.0)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming twin of slidingAgg. */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
 
   /** (window_start, user_id, n_events) — the shared count surface of
     * st_topk's batch and streaming twins. Pure partial+final aggregate on

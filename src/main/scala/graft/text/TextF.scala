@@ -559,7 +559,32 @@ object TextF extends Module {
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
   )
 
+  // tx_normalize — the canonical text-cleaning pass: Unicode NFC (the
+  // custom codegen expression graft_nfc — a Scala UDF here would break
+  // whole-stage codegen for the whole pipeline), lowercase, explicit
+  // whitespace-class collapse, trim. Pure narrow map, zero shuffle. The
+  // whitespace class is written out ([ \t\n\r]) because Java's \s and
+  // RE2's \s disagree on \x0B. ASCII corpus ⇒ NFC is a fixpoint here;
+  // composed/decomposed agreement is asserted on planted strings in
+  // TextSpec.
+  private val txNormalize = Q(
+    "tx_normalize",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            lower(expr("graft_nfc(text)")), "[ \\t\\n\\r]+", " ")).as("normalized"))
+        .withColumn("n_chars_norm", length(col("normalized")).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g')) AS normalized,
+      |  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+      |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
-    txLmScore, txPiiRedact, txTfidf)
+    txLmScore, txPiiRedact, txTfidf, txNormalize)
 }

@@ -18,6 +18,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("orc round-trips and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, sf).limit(1000)
+    Sources.writeOrc(li, dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    val p = back.filter(col("l_quantity") > 25.0)
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"), p)
+  }
+
   test("foreign CSVs keep Spark's default null semantics: empty field is NULL") {
     // pandas to_csv writes NaN as an empty field — the shared reader must
     // not reinterpret that as "" (the \N marker is scoped to csvGraft)

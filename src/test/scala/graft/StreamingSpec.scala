@@ -32,6 +32,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming slidingAgg matches the batch twin across overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.select("ts", "event_type", "value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val streamDf = input.toDF.toDF("ts", "event_type", "value")
+    val q = Streaming.slidingAggStream(streamDf)
+      .writeStream.format("memory").queryName("sla")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sla")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.slidingAgg(batchEvents)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // each event fans into exactly 4 overlapping windows
+      val nTumbling = Streaming.windowAgg(batchEvents)
+        .agg(sum("n_events")).head.getLong(0)
+      val nSliding = Streaming.slidingAgg(batchEvents)
+        .agg(sum("n_events")).head.getLong(0)
+      assert(nSliding === 4 * nTumbling)
+    } finally q.stop()
+  }
+
   test("file-source readStream windowAgg matches the batch twin") {
     val q = Streaming.windowAggStream(Streaming.eventsStream(spark, sf))
       .writeStream.format("memory").queryName("fswa")

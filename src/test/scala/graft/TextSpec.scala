@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 class TextSpec extends SparkSpec {
 
+  test("graft_nfc composes decomposed unicode; normalize collapses whitespace") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // "Cafe" + combining acute accent (NFD) must compose to é (U+00E9),
+    // then the cleaning pipeline lowercases and collapses mixed whitespace
+    val decomposed = "Cafe\u0301  du\tMonde\r\n" // 'e' + combining acute (NFD)
+    val out = Seq((1L, decomposed), (2L, "already clean"), (3L, null: String))
+      .toDF("id", "text")
+      .select(col("id"),
+        trim(regexp_replace(
+          lower(expr("graft_nfc(text)")), "[ \\t\\n\\r]+", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L) === Some("café du monde"))
+    assert(out(2L) === Some("already clean"))
+    assert(out(3L) === None)
+  }
+
   test("piiRedact scrubs planted emails, IPs, phones, and id runs") {
     import spark.implicits._
     val rows = Seq(
