@@ -101,17 +101,24 @@ case class ShingleHashes(left: Expression, right: Expression)
   override def prettyName: String = "graft_shingle_hashes"
 
   protected override def nullSafeEval(t: Any, k: Any): Any =
-    ShingleHashes.eval(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+    ShingleHashes.hashes(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleHashes.eval($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleHashes.hashes($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ShingleHashes =
     copy(left = newLeft, right = newRight)
 }
 
 object ShingleHashes {
-  def eval(s: UTF8String, k: Int): ArrayData = {
+  /** Named `hashes`, NOT `eval`: a companion method sharing a name with
+    * any member of the case class (Expression.eval) suppresses the
+    * static forwarder, so generated code calling
+    * `graft.functions.ShingleHashes.eval(...)` fails to compile inside
+    * janino and the whole projection silently falls back to interpreted
+    * mode — the exact de-optimization this expression exists to avoid.
+    */
+  def hashes(s: UTF8String, k: Int): ArrayData = {
     val b = s.getBytes
     val n = b.length
     if (n <= k) return new GenericArrayData(Array(PolyHash.hash(s)))

@@ -144,7 +144,7 @@ object PreprocessB extends Module {
     * pandas describe's n-1).
     */
   private def fitMeanStd(df: DataFrame, c: String): DataFrame =
-    graft.Exact.fanout(df).agg(
+    df.agg(
       (sumd(col(c)) / count(lit(1)).cast("double")).as("mu"),
       (sqrt(
         (sum(qz(col(c)) * qz(col(c))).cast("double") -
@@ -243,7 +243,7 @@ object PreprocessB extends Module {
     (s, d) => {
       val l = Tables.lineitem(s, d)
       val (x1, x2, y) = ("l_quantity", "l_discount", "l_extendedprice")
-      val mom = graft.Exact.fanout(l).agg(
+      val mom = l.agg(
         count(lit(1)).cast("double").as("n"),
         sum(qz(col(x1))).cast("double").as("s1"),
         sum(qz(col(x2))).cast("double").as("s2"),

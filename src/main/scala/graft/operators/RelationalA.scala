@@ -22,14 +22,17 @@ object RelationalA extends Module {
   // q01 — grouped aggregation (pandas df.groupby().agg). Two-level grid
   // sum: level 1 groups by (keys, partition-id) with LONG partial sums —
   // whole-stage-codegen primitive adds, map-side combined, overflow-safe
-  // within a partition's bounded row count; level 2 merges the tiny
-  // partial set exactly in DECIMAL(38,0). One data shuffle (the level-2
-  // exchange carries partitions×groups rows). DuckDB's flat hugeint sum
-  // over the same grid integers yields the identical total.
+  // within a SCAN split's bounded row count (≤ maxPartitionBytes);
+  // level 2 merges the tiny partial set exactly in DECIMAL(38,0). NO
+  // full-data shuffle anywhere: the only exchange carries the
+  // partitions×groups level-1 partials (de-fanned in round 4 — the
+  // parallelism repartition was a pure extra shuffle for a
+  // partial-aggregable scan). DuckDB's flat hugeint sum over the same
+  // grid integers yields the identical total.
   private val q01 = Q(
     "q01_agg",
     (s, d) => {
-      val l = Exact.fanout(Tables.lineitem(s, d))
+      val l = Tables.lineitem(s, d)
       val l1 = l.groupBy(col("l_returnflag"), col("l_linestatus"),
           spark_partition_id().as("_pid"))
         .agg(
@@ -124,7 +127,7 @@ object RelationalA extends Module {
   private val q04 = Q(
     "q04_broadcast_join",
     (s, d) => {
-      val l = Exact.fanout(Tables.lineitem(s, d))
+      val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), spark_partition_id().as("_pid"))
@@ -198,7 +201,7 @@ object RelationalA extends Module {
       }
       // single scan: all four columns' moments in one aggregate, unpivoted
       // from the 1-row result (union-of-selects would scan 4×)
-      val a = Exact.fanout(l).agg(aggs.head, aggs.tail: _*)
+      val a = l.agg(aggs.head, aggs.tail: _*)
       val rows = describeCols.map { c =>
         val n = col(s"${c}_cnt").cast("double")
         struct(
@@ -353,7 +356,7 @@ object RelationalA extends Module {
         corrCols.map(c => sum(qz(c) * qz(c)).as(s"p_ss_${c._1}")) ++
         pairs.map { case (a, b) => sum(qz(a) * qz(b)).as(s"p_sp_${a._1}_${b._1}") } :+
         count(lit(1)).as("p_n")
-      val l1 = Exact.fanout(l).groupBy(spark_partition_id().as("_pid"))
+      val l1 = l.groupBy(spark_partition_id().as("_pid"))
         .agg(l1aggs.head, l1aggs.tail: _*)
       def m(a: String) = sum(col(a).cast(DecimalType(38, 0))).cast("double")
       val l2aggs = corrCols.map(c => m(s"p_s_${c._1}").as(s"s_${c._1}")) ++
@@ -560,7 +563,7 @@ object RelationalA extends Module {
       val l = Tables.lineitem(s, d)
       val nbins = 20
       val f = l.agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
-      Exact.fanout(l).crossJoin(broadcast(f))
+      l.crossJoin(broadcast(f))
         .select(least(floor((col("l_extendedprice") - col("lo")) / (col("hi") - col("lo")) * lit(nbins.toDouble)).cast("long"),
           lit(nbins - 1L)).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
@@ -677,7 +680,7 @@ object RelationalA extends Module {
   private val q35 = Q(
     "q35_rollup",
     (s, d) => {
-      Exact.fanout(Tables.lineitem(s, d))
+      Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           (sum(Exact.qzl(col("l_quantity"), 1000.0)).cast("double") / lit(1000.0)).as("sum_qty"))
@@ -843,7 +846,7 @@ object RelationalA extends Module {
   private val q40 = Q(
     "q40_cube",
     (s, d) => {
-      Exact.fanout(Tables.lineitem(s, d))
+      Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id(col("l_returnflag"), col("l_linestatus")).cast("long").as("gid"),
           count(lit(1)).as("n"),
@@ -897,7 +900,7 @@ object RelationalA extends Module {
   private val q42 = Q(
     "q42_grouping_sets",
     (s, d) => {
-      Exact.fanout(Tables.lineitem(s, d)).createOrReplaceTempView("lineitem_gs")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
       s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(l_quantity * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_qty
         |FROM lineitem_gs

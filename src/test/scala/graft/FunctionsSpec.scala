@@ -57,6 +57,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) === Seq(r.getLong(1)))
   }
 
+  test("every graft expression compiles under CODEGEN_ONLY (no silent fallback)") {
+    // Under the default FALLBACK factory mode a janino compile error
+    // demotes the whole projection to interpreted mode with only a WARN —
+    // which is how ShingleHashes' eval-named companion (static forwarder
+    // suppressed by the name clash with Expression.eval) ran interpreted
+    // for two rounds. CODEGEN_ONLY turns that class of regression into a
+    // hard test failure.
+    GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      val planes = graft.similarity.Similarity.hyperplanes(nBits = 6, dim = 3)
+      val flat = planes.flatten
+      val df = Seq(("abcdefgh", Seq(1.0f, 2.0f, 3.0f), Seq(1L, 2L, 3L)))
+        .toDF("text", "emb", "q")
+      val out = df.select(
+        expr("graft_poly_hash(text)"),
+        call_function("graft_shingle_hashes", col("text"), lit(5)),
+        call_function("graft_dot_long", col("q"), col("q")),
+        call_function("graft_dot_planes", col("emb"), typedLit(flat)),
+        expr("graft_nfc(text)"))
+      assert(out.collect().length === 1)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("graft_dot_planes equals the per-plane HOF formulation") {
     GraftFunctions.register(spark)
     import graft.similarity.Similarity
