@@ -389,6 +389,28 @@ object MlC extends Module {
     None
   )
 
+  // ml_feature_importance — the GBT split-gain importances (the
+  // xgboost feature_importances_ analog the reference's notebooks plot):
+  // one (feature, importance) row per input column, seeded model so the
+  // dump is deterministic; MlSpec asserts the simplex property (sums to
+  // 1, non-negative) and run-to-run determinism. Training cost == ml_gbt;
+  // the importance extraction itself is driver-side O(features).
+  private val mlFeatImp = Q(
+    "ml_feature_importance",
+    (s, d) => {
+      import s.implicits._
+      val (train, _) = split(customerFeatures(s, d))
+      val gbt = new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(42L)
+      val model = new Pipeline().setStages(Array(assembler, gbt)).fit(train)
+      val imp = model.stages(1)
+        .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+        .featureImportances.toArray
+      featCols.zip(imp).toSeq.toDF("feature", "importance")
+        .orderBy("feature")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
-    mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib)
+    mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp)
 }

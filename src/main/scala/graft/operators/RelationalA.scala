@@ -1113,8 +1113,37 @@ object RelationalA extends Module {
       |FROM s FULL JOIN e ON s.h = e.h ORDER BY h""".stripMargin)
   )
 
+  // q47 — set operators (INTERSECT / EXCEPT), the distinct-set siblings
+  // of q15's semi/anti joins: users who both clicked and purchased vs
+  // clicked only. Spark plans INTERSECT as distinct + left-semi and
+  // EXCEPT as distinct + left-anti — both shuffle only the DISTINCT key
+  // sets, never the event rows.
+  private val q47 = Q(
+    "q47_set_ops",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def ids(t: String): DataFrame =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      val both = ids("click").intersect(ids("purchase"))
+        .select(col("user_id"), lit("click_and_purchase").as("cohort"))
+      val only = ids("click").except(ids("purchase"))
+        .select(col("user_id"), lit("click_only").as("cohort"))
+      both.unionByName(only).orderBy("cohort", "user_id")
+    },
+    Some("""SELECT user_id, 'click_and_purchase' AS cohort FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT user_id, 'click_only' AS cohort FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY cohort, user_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     apDistinct, apQuantiles, apTopk)
 }

@@ -127,6 +127,46 @@ object SimE extends Module {
       |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin)
   )
 
+  // sim_range_search — the range-query sibling of top-k: every corpus
+  // vector with cosine ≥ τ of each query, exact integer-grid cosine,
+  // oracle-checked. Same broadcast-queries single-corpus-scan shape as
+  // brute force (no rank window needed at all — the threshold filter is
+  // a narrow map); at scale the LSH/IVF bucketing prefilters candidates
+  // exactly as in the top-k family.
+  private val simRange = Q(
+    "sim_range_search",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      val qq = Similarity.withQuantized(q, "embedding")
+        .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"),
+          col("qnorm").as("q_qnorm"))
+      val cc = Similarity.withQuantized(c, "embedding")
+        .select(col("vec_id").as("corpus_id"), col("qvec").as("c_qvec"),
+          col("qnorm").as("c_qnorm"))
+      cc.crossJoin(broadcast(qq))
+        .select(col("query_id"), col("corpus_id"),
+          Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
+            col("q_qnorm"), col("c_qnorm")).as("cosine"))
+        .filter(col("cosine") >= 0.25)
+        .orderBy("query_id", "corpus_id")
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SUM(qv * qv) AS nq FROM q GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id, SUM(a.qv * b.qv) AS dot
+      |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+      |  GROUP BY 1, 2)
+      |SELECT query_id, corpus_id,
+      |  CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
+      |FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = corpus_id
+      |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) >= 0.25
+      |ORDER BY query_id, corpus_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
-    embCentroid)
+    embCentroid, simRange)
 }

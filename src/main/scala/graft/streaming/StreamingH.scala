@@ -223,8 +223,56 @@ object StreamingH extends Module {
       |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
   )
 
+  // st_gap_fill — resample the stream to a regular hourly grid per type:
+  // missing hours appear with n_events = 0 and carry the last observed
+  // hourly value-sum forward (the time-series gap-fill / ffill pass
+  // every metrics pipeline needs before charting or joining grids). The
+  // spine is generated from the global [min,max] hour span (a 1-row
+  // aggregate); the ffill window partitions on the low-cardinality
+  // event_type, which is safe HERE because its input is the
+  // pre-aggregated |hours|×|types| surface — never the fact rows.
+  private val stGapFill = Q(
+    "st_gap_fill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(graft.Exact.qzl(col("value"), 1000.0)).cast("double") / lit(1000.0)).as("sum_value"))
+      val span = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = span
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("h", "event_type"), "left")
+        .select(col("h"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_value"))
+        .orderBy("h", "event_type")
+    },
+    Some("""WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events),
+      |spine AS (
+      |  SELECT g.h, t.event_type
+      |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span) g,
+      |       (SELECT DISTINCT event_type FROM events) t)
+      |SELECT s.h, s.event_type, COALESCE(n_events, 0) AS n_events,
+      |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY s.event_type
+      |    ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+      |FROM spine s LEFT JOIN hourly USING (h, event_type)
+      |ORDER BY h, event_type""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
-    stIntervalJoin, stTopk, stCdc, stSliding)
+    stIntervalJoin, stTopk, stCdc, stSliding, stGapFill)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)

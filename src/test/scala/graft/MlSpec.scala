@@ -27,6 +27,17 @@ class MlSpec extends SparkSpec {
       (rep.getAs[Double]("recall_1") + rep.getAs[Double]("recall_0")) / 2.0)
   }
 
+  test("GBT feature importances form a simplex and are deterministic") {
+    def run() = SparkEntry.queries("ml_feature_importance")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val a = run()
+    assert(a.map(_._1) === a.map(_._1).sorted)
+    assert(a.forall(_._2 >= 0.0))
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-9,
+      s"importances must be the normalized split-gain simplex: $a")
+    assert(run() === a, "seeded training must be run-to-run deterministic")
+  }
+
   test("ml_search reports every trial deterministically under the fixed seed") {
     val a = SparkEntry.queries("ml_search")(spark, sf).collect()
     assert(a.length === 10)
