@@ -705,6 +705,42 @@ object RelationalA extends Module {
     None
   )
 
+  // ap_bloom — Bloom-filter membership, the set sketch that completes the
+  // approximate family (HLL distinct / GK quantiles / CMS+SpaceSaving
+  // heavy hitters / MinHash similarity). Build distributed over the
+  // ordering customers' keys (stat.bloomFilter is a partial-aggregable
+  // OR of bit blocks; only the fpp-sized bitmap reaches the driver),
+  // broadcast, probe every customer, and reconcile against the exact
+  // semi-join truth: Bloom filters admit false positives, NEVER false
+  // negatives (asserted in ApproxSpec with the fpp bound). At 100 TB
+  // this is the join-pruning sketch: ship the bitmap, not the key set.
+  private val apBloom = Q(
+    "ap_bloom",
+    (s, d) => {
+      import s.implicits._
+      // the urgent-order subset leaves real negatives to mis-admit: every
+      // customer has SOME order in this data, but not an urgent one
+      val o = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      val c = Tables.customer(s, d)
+      val nKeys = o.agg(approx_count_distinct(col("o_custkey"))).head().getLong(0)
+      val bf = o.stat.bloomFilter("o_custkey", math.max(nKeys, 64L), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val probed = c.select(col("c_custkey")).as[Long]
+        .map(k => (k, bfB.value.mightContain(k))).toDF("c_custkey", "bloom_hit")
+      val truth = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(true).as("has_orders"))
+      probed.join(truth, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("bloom_hit"),
+          coalesce(col("has_orders"), lit(false)).as("has_orders"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("has_orders"), 1L).otherwise(0L)).as("n_with_orders"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("bloom_hit") && !col("has_orders"), 1L).otherwise(0L)).as("n_false_pos"),
+          sum(when(!col("bloom_hit") && col("has_orders"), 1L).otherwise(0L)).as("n_false_neg"))
+    },
+    None
+  )
+
   // ap_topk — heavy hitters via a count-min sketch (single pass, fixed
   // memory, mergeable across 1000 executors — the streaming/at-scale
   // frequency path). The sketch is built distributed by Spark's
@@ -1142,8 +1178,51 @@ object RelationalA extends Module {
       |ORDER BY cohort, user_id""".stripMargin)
   )
 
+  // q48 — EXACT global percent_rank for every row with NO global sort.
+  // The naive plan is percent_rank() over an unpartitioned ORDER BY —
+  // one task sorts the world (the same funnel q45 kills for ntile).
+  // Here: one histogram pass over 65536 value buckets → cumulative
+  // bucket offsets (bounded driver metadata, broadcast back) → a rank
+  // window partitioned on the HIGH-cardinality bucket id. Bucket ids
+  // are monotone in the value and equal values share a bucket, so
+  // global_rank = offset + in-bucket rank is exact, ties keeping
+  // min-rank — percent_rank = (rank−1)/(n−1) matches the oracle's
+  // window bit-for-bit. No task sorts more than ~n/65536 rows.
+  private val q48 = Q(
+    "q48_percent_rank",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val r = o.agg(min(col("o_totalprice")), max(col("o_totalprice")),
+        count(lit(1))).head()
+      val (lo, hi, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+      if (lo == hi) {
+        o.select(col("o_orderkey"), col("o_totalprice"), lit(0.0).as("pr"))
+          .orderBy("o_orderkey")
+      } else {
+        val bCol = least(width_bucket(col("o_totalprice"), lit(lo), lit(hi),
+          lit(65536)), lit(65536L))
+        val counts = o.select(bCol.as("b")).groupBy("b").count()
+          .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1).toSeq
+        val cum = counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }
+        val offsets = counts.map(_._1).zip(cum) // offset BEFORE each bucket
+        val offDf = offsets.toDF("b", "off")
+        val w = Window.partitionBy(col("b")).orderBy(col("o_totalprice"))
+        o.withColumn("b", bCol)
+          .join(broadcast(offDf), "b")
+          .withColumn("grank", col("off") + rank().over(w))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            ((col("grank") - lit(1L)).cast("double") / lit((n - 1).toDouble)).as("pr"))
+          .orderBy("o_orderkey")
+      }
+    },
+    Some("""SELECT o_orderkey, o_totalprice,
+      |  percent_rank() OVER (ORDER BY o_totalprice) AS pr
+      |FROM orders ORDER BY o_orderkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    apDistinct, apQuantiles, apTopk)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    apDistinct, apQuantiles, apTopk, apBloom)
 }

@@ -18,6 +18,20 @@ class ApproxSpec extends SparkSpec {
     assert(err <= 0.06, f"error $err%.4f exceeds 3x rsd")
   }
 
+  test("bloom membership: zero false negatives, false positives within fpp") {
+    val r = SparkEntry.queries("ap_bloom")(spark, sf).head
+    val n = r.getAs[Long]("n_customers")
+    val nPos = r.getAs[Long]("n_with_orders")
+    val fp = r.getAs[Long]("n_false_pos")
+    val fn = r.getAs[Long]("n_false_neg")
+    assert(fn === 0L, "a Bloom filter can NEVER produce a false negative")
+    val negatives = n - nPos
+    info(s"negatives=$negatives false_pos=$fp")
+    // configured fpp 0.01; allow generous slack for the small probe set
+    assert(negatives === 0L || fp.toDouble / negatives <= 0.05,
+      s"false-positive rate ${fp.toDouble / negatives} far above configured 0.01")
+  }
+
   test("count-min top-k brackets the exact frequencies from above") {
     val est = SparkEntry.queries("ap_topk")(spark, sf)
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap

@@ -172,6 +172,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q48 percent_rank never ranks through an unpartitioned window") {
+    val p = plan("q48_percent_rank")
+    // the rank window must partition on the bucket id — an empty
+    // partition spec is the one-task-sorts-the-world funnel
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning(b"), p)
+  }
+
   test("q44 funnel's three windows and the collapse share one user_id exchange") {
     val p = plan("q44_funnel")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
