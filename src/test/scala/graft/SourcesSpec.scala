@@ -84,6 +84,33 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(etype"), scan)
   }
 
+  test("matching bucketed tables join with zero exchanges") {
+    // the co-located join layout SURVEY §4 promises: both sides
+    // pre-hashed into the same bucket scheme ⇒ the sort-merge join reads
+    // buckets pairwise and the plan carries NO shuffle at all
+    val base = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    Sources.writeBucketed(Tables.orders(spark, sf), "graft_orders_b",
+      s"$base/orders", "o_custkey", 4)
+    Sources.writeBucketed(Tables.customer(spark, sf), "graft_cust_b",
+      s"$base/cust", "c_custkey", 4)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_orders_b")
+        .join(spark.table("graft_cust_b"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), "bucketed join must be shuffle-free:\n" + p)
+      val plain = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      assert(j.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cust_b")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val l = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
