@@ -411,6 +411,32 @@ object MlC extends Module {
     None
   )
 
+  // ml_kmeans — customer segmentation, the unsupervised sibling of the
+  // classifier surface: seeded k-means over the assembled features, one
+  // row per cluster with its size and the center snapped to a 1e-6 grid
+  // so the dump is stable. At 100 TB the fit runs on a bounded seeded
+  // sample (the Ivf/semanticDedup discipline) and assignment is one
+  // broadcast-model map. Rows-only (k-means cells aren't SQL); MlSpec
+  // pins determinism and that the cluster sizes partition the corpus.
+  private val mlKmeans = Q(
+    "ml_kmeans",
+    (s, d) => {
+      import s.implicits._
+      val feats = assembler.transform(customerFeatures(s, d))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(4).setSeed(42L)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+      val model = km.fit(feats)
+      val sizes = model.transform(feats).groupBy("cluster").count()
+      val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        (i, v.toArray.toSeq.map(x => math.rint(x * 1e6) / 1e6))
+      }.toSeq.toDF("cluster", "center")
+      sizes.join(centers, "cluster").orderBy("cluster")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
-    mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp)
+    mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
+    mlKmeans)
 }

@@ -27,6 +27,16 @@ class MlSpec extends SparkSpec {
       (rep.getAs[Double]("recall_1") + rep.getAs[Double]("recall_0")) / 2.0)
   }
 
+  test("seeded k-means segmentation is deterministic and partitions the corpus") {
+    def run() = SparkEntry.queries("ml_kmeans")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+    val a = run()
+    assert(a.size === 4)
+    val n = Tables.customer(spark, sf).count()
+    assert(a.map(_._2).sum === n, "cluster sizes must partition the customers")
+    assert(run() === a, "seeded fit must be run-to-run deterministic")
+  }
+
   test("GBT feature importances form a simplex and are deterministic") {
     def run() = SparkEntry.queries("ml_feature_importance")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq
