@@ -1221,8 +1221,30 @@ object RelationalA extends Module {
       |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 
+  // q49 — ordered string aggregation (LISTAGG / string_agg / pandas
+  // groupby().agg(','.join)): names per market segment, concatenated in
+  // a deterministic order. collect_list carries NO ordering guarantee
+  // across retries/partitions, so the deterministic form sorts inside
+  // the aggregate's result: array_join(array_sort(collect_list(...))).
+  // Partial-aggregable; per-group memory is bounded by group size — this
+  // is the dashboard-cardinality concatenation op (giant groups should
+  // cap or sample first).
+  private val q49 = Q(
+    "q49_string_agg",
+    (s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
     apDistinct, apQuantiles, apTopk, apBloom)
 }

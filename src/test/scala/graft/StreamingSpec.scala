@@ -32,6 +32,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode windowed agg drops events later than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 00:30:00")
+    def plus(h: Int) = new Timestamp(t0.getTime + h * 3600000L)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = Streaming.windowAggStream(input.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      input.addData((t0, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the [00:00, 01:00) window's close
+      input.addData((plus(10), "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("late")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .collect()
+      assert(closed.length === 1 && closed.head.getAs[Long]("n_events") === 1L)
+      // an event 12h behind the watermark must be DROPPED, not re-emitted
+      input.addData((t0, "click", 5.0))
+      q.processAllAvailable()
+      val after = spark.table("late")
+        .filter(col("window_start") === Timestamp.valueOf("2024-01-01 00:00:00"))
+        .collect()
+      assert(after.length === 1 && after.head.getAs[Long]("n_events") === 1L,
+        "late event leaked past the watermark")
+    } finally q.stop()
+  }
+
   test("streaming slidingAgg matches the batch twin across overlapping windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
