@@ -372,8 +372,11 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach { case (id, info, builder) =>
       ext.injectFunction((id, info, builder))
     }
+    // the grouped-top-k operator (custom LogicalPlan → physical pair)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+  }
 }

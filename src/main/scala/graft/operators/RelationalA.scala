@@ -1243,8 +1243,32 @@ object RelationalA extends Module {
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 
+  // q50 — grouped top-k through the CUSTOM OPERATOR (graft.plans.
+  // GroupedTopK: logical node → planner strategy → partial/final
+  // physical pair): each customer's 3 most expensive orders. The window
+  // formulation shuffles every order row and sorts whole groups; the
+  // operator's map-side heaps emit ≤ k rows per (group, partition)
+  // BEFORE the exchange. Oracle is the row_number window — the operator
+  // must reproduce it bit-for-bit.
+  private val q50 = Q(
+    "q50_grouped_topk",
+    (s, d) => {
+      graft.plans.GraftOps.groupedTopK(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    apDistinct, apQuantiles, apTopk, apBloom)
+    q50, apDistinct, apQuantiles, apTopk, apBloom)
 }

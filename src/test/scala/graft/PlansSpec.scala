@@ -1,0 +1,75 @@
+package graft
+
+import graft.plans.{FinalTopKExec, GraftOps, PartialTopKExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The custom grouped-top-k operator (logical node → strategy →
+  * partial/final physical pair): result parity with the window
+  * formulation it replaces, the plan shape that makes it cheaper, and
+  * the edge cases (ties, k ≥ group size, hot groups).
+  */
+class PlansSpec extends SparkSpec {
+
+  private def windowTopK(k: Int) = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  test("groupedTopK reproduces the row_number window exactly") {
+    for (k <- Seq(1, 3, 100)) { // 100 > any group size ⇒ identity
+      val fast = GraftOps.groupedTopK(
+        Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k)
+        .collect().map(_.toSeq).toSet
+      val slow = windowTopK(k).collect().map(_.toSeq).toSet
+      assert(fast === slow, s"mismatch at k=$k")
+    }
+  }
+
+  test("groupedTopK breaks score ties by the smallest tie key") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 7.0))
+      .toDF("g", "id", "v")
+    val kept = GraftOps.groupedTopK(df, Seq("g"), "v", "id", k = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept === Set(13L, 10L), s"expected {13 (7.0), 10 (first tie at 5.0)}, got $kept")
+  }
+
+  test("the plan is the partial/final pair with the exchange between them") {
+    val df = GraftOps.groupedTopK(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3)
+    val p = df.queryExecution.executedPlan
+    val s = p.toString
+    assert(s.contains("FinalTopK"), s)
+    assert(s.contains("PartialTopK"), s)
+    // partial must sit BELOW the exchange (map side): in the printed tree
+    // Final > Exchange > Partial
+    val lines = s.linesIterator.toVector
+    val iFinal = lines.indexWhere(_.contains("FinalTopK"))
+    val iEx = lines.indexWhere(_.contains("Exchange"), iFinal)
+    val iPartial = lines.indexWhere(_.contains("PartialTopK"), iFinal)
+    assert(iFinal >= 0 && iEx > iFinal && iPartial > iEx,
+      "exchange must move the partial's bounded rows, not the input:\n" + s)
+  }
+
+  test("a hot group never holds more than k rows per heap") {
+    import spark.implicits._
+    // one group with 10k rows across partitions: the partial emits <= k
+    // rows per partition, so the final's input stays tiny
+    val df = (0L until 10000L).map(i => (1L, i, (i % 97).toDouble))
+      .toDF("g", "id", "v").repartition(8)
+    val out = GraftOps.groupedTopK(df, Seq("g"), "v", "id", k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length === 5)
+    // top values are the five ids with v == 96 and smallest ids
+    assert(out.forall(_._2 === 96.0))
+    assert(out.map(_._1).sorted === Seq(96L, 193L, 290L, 387L, 484L))
+  }
+}
