@@ -377,6 +377,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     // the grouped-top-k operator (custom LogicalPlan → physical pair)
+    // and the optimizer rule that rewrites window-top-k idioms onto it
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKPushdown)
   }
 }

@@ -3,16 +3,16 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Cast, Descending, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Grouped top-k as a first-class operator: custom logical node +
-  * planner strategy + two physical operators (SURVEY §2.I — the brief's
-  * extension path (c): LogicalPlan + SparkStrategy + SparkPlan via
-  * SparkSessionExtensions).
+  * optimizer rule + planner strategy + two physical operators — the
+  * complete extension path (SURVEY §2.I / brief path (c)).
   *
   * WHY an operator instead of the `row_number().over(partitionBy(g))`
   * window: the window plan shuffles EVERY row to its group's reducer and
@@ -26,16 +26,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * row in a group's global top k is in that group's top k of whichever
   * partition holds it.
   *
-  * Semantics: keep each group's k rows with the LARGEST `score`, ties
-  * broken by SMALLEST `tie` — exactly `row_number() over (partition by
-  * group order by score desc, tie asc) <= k`, with the original schema
-  * (no rank column; derive it downstream if needed, the group is ≤ k
-  * rows). Score/tie must be non-null.
+  * Semantics: keep each group's FIRST k rows under `order` (any
+  * SortOrder list over any orderable types) — exactly the rows
+  * `row_number() over (partition by group order by order) <= k` keeps.
+  * Schema unchanged; no rank column (the surviving groups are ≤ k rows,
+  * so re-deriving it is cheap — which is exactly what [[TopKPushdown]]
+  * exploits).
   */
 case class GroupedTopK(
     group: Seq[Expression],
-    score: Expression,
-    tie: Expression,
+    order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -43,80 +43,119 @@ case class GroupedTopK(
     copy(child = newChild)
 }
 
+/** Injected optimizer rule: rewrites the user-written window idiom
+  *
+  *   df.withColumn("rn", row_number().over(partitionBy(g).orderBy(o)))
+  *     .filter($"rn" <= k)
+  *
+  * by inserting [[GroupedTopK]] BELOW the window. The window and the
+  * filter stay in place: over the pruned input (each group reduced to
+  * exactly the k rows the filter would keep, in the same order), the
+  * re-computed row_number values for surviving rows are identical, so
+  * semantics are preserved even when `rn` is referenced downstream —
+  * the rewrite never needs to inspect anything above the Filter.
+  *
+  * Fires only for row_number (rank/dense_rank admit > k ties), only when
+  * it is the window's single expression, with a non-empty deterministic
+  * order, and k ≤ [[TopKPushdown.MaxK]] (heaps hold k rows per group per
+  * task). `rn <= k`, `rn < k`, and `rn = k` conjuncts all bound k.
+  */
+object TopKPushdown extends Rule[LogicalPlan] {
+  val MaxK = 1000
+
+  private def boundOf(cond: Expression, rn: Attribute): Option[Int] = {
+    val conjuncts = cond match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => Seq(l, r)
+      case other => Seq(other)
+    }
+    conjuncts.collectFirst {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k - 1
+      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
+      case EqualTo(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _)),
+          part, order, child, _))
+        if order.nonEmpty && !child.isInstanceOf[GroupedTopK] =>
+      boundOf(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 && k <= MaxK =>
+          f.copy(child = w.copy(child = GroupedTopK(part, order, k, child)))
+        case _ => f
+      }
+  }
+}
+
 object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopK(g, s, t, k, child) =>
-      FinalTopKExec(g, s, t, k, PartialTopKExec(g, s, t, k, planLater(child))) :: Nil
+    case GroupedTopK(g, o, k, child) =>
+      FinalTopKExec(g, o, k, PartialTopKExec(g, o, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-/** The shared heap pass: one bounded min-heap of (score desc, tie asc)
-  * per group key in the partition. Rows and keys are copied (Spark reuses
-  * row buffers across an iterator).
+/** The shared heap pass: one bounded heap per group key holding the k
+  * FIRST rows under `order`; heap head = the worst kept row (last in
+  * order), replaced when a better row arrives. Rows and keys are copied
+  * (Spark reuses row buffers across an iterator).
   */
 private[plans] object TopKPass {
   def run(iter: Iterator[InternalRow], output: Seq[Attribute],
-      group: Seq[Expression], score: Expression, tie: Expression,
+      group: Seq[Expression], order: Seq[SortOrder],
       k: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(group, output)
-    val scoreB = BindReferences.bindReference(score, output)
-    val tieB = BindReferences.bindReference(tie, output)
-    // heap head = the WORST kept row (smallest score; among those, largest
-    // tie), so a new row replaces the head iff it beats it
-    implicit val ord: Ordering[(Double, Long, InternalRow)] =
-      Ordering.by { case (s, t, _) => (-s, t) }
-    val heaps = scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]]()
+    val rowOrd = RowOrdering.create(order, output) // first-in-order = smallest
+    implicit val heapOrd: Ordering[InternalRow] = rowOrd // head = max = worst
+    val heaps = scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
     iter.foreach { row =>
-      val s = scoreB.eval(row).asInstanceOf[Double]
-      val t = tieB.eval(row).asInstanceOf[Long]
       val key = keyProj(row)
       heaps.get(key) match {
         case None =>
-          val h = scala.collection.mutable.PriorityQueue[(Double, Long, InternalRow)]()
-          h.enqueue((s, t, row.copy()))
+          val h = scala.collection.mutable.PriorityQueue[InternalRow]()
+          h.enqueue(row.copy())
           heaps.put(key.copy(), h)
         case Some(h) =>
-          if (h.size < k) h.enqueue((s, t, row.copy()))
-          else {
-            val (ws, wt, _) = h.head
-            if (s > ws || (s == ws && t < wt)) { h.dequeue(); h.enqueue((s, t, row.copy())) }
-          }
+          if (h.size < k) h.enqueue(row.copy())
+          else if (rowOrd.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
       }
     }
-    heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    heaps.valuesIterator.flatMap(_.iterator)
   }
 }
 
 /** Map-side bounded top-k: no distribution requirement, emits ≤ k rows
   * per (group, input partition). This is what keeps the exchange small.
   */
-case class PartialTopKExec(group: Seq[Expression], score: Expression,
-    tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+case class PartialTopKExec(group: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
-      TopKPass.run(_, child.output, group, score, tie, k),
+      TopKPass.run(_, child.output, group, order, k),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
     copy(child = newChild)
 }
 
-/** Reduce-side exact top-k: requires clustering on the group key (the
-  * planner inserts the exchange over the partial's ≤ k·groups rows), and
-  * the same heap pass is now exact because each group is co-located.
+/** Reduce-side exact top-k: clusters on the group key (ALL tuples in one
+  * partition for the global, group-less case), so the same heap pass is
+  * exact because each group is co-located — over the partial's bounded
+  * rows, never the input.
   */
-case class FinalTopKExec(group: Seq[Expression], score: Expression,
-    tie: Expression, k: Int, child: SparkPlan) extends UnaryExecNode {
+case class FinalTopKExec(group: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    if (group.isEmpty) UnspecifiedDistribution :: Nil
+    if (group.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(group) :: Nil
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions(
-      TopKPass.run(_, child.output, group, score, tie, k),
+      TopKPass.run(_, child.output, group, order, k),
       preservesPartitioning = true)
   override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKExec =
     copy(child = newChild)
@@ -144,8 +183,8 @@ object GraftOps {
       .getOrElse(throw new IllegalArgumentException(s"no column $n"))
     val node = GroupedTopK(
       groupCols.map(attr),
-      Cast(attr(scoreCol), DoubleType),
-      Cast(attr(tieCol), LongType),
+      Seq(SortOrder(Cast(attr(scoreCol), DoubleType), Descending),
+        SortOrder(Cast(attr(tieCol), LongType), Ascending)),
       k, analyzed)
     org.apache.spark.sql.GraftBridge.ofRows(spark, node)
   }

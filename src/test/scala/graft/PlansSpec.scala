@@ -59,6 +59,47 @@ class PlansSpec extends SparkSpec {
       "exchange must move the partial's bounded rows, not the input:\n" + s)
   }
 
+  test("TopKPushdown rewrites the window idiom onto the operator; rank() is untouched") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    // an extensions-enabled session over the SAME SparkContext: clear the
+    // default so the builder constructs a fresh session with
+    // GraftExtensions applied (never stop it — the context is shared)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def idiom(s: org.apache.spark.sql.SparkSession) =
+        Tables.orders(s, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+      val rewritten = idiom(s2)
+      val p = rewritten.queryExecution.executedPlan.toString
+      assert(p.contains("PartialTopK"),
+        "optimizer rule did not fire on the row_number idiom:\n" + p)
+      assert(p.contains("Window"), "the window must stay to recompute rn:\n" + p)
+      // bit-identical to the un-rewritten plan, INCLUDING the rn column
+      val expected = idiom(orig).collect().map(_.toSeq).toSet
+      assert(idiom(orig).queryExecution.executedPlan.toString.indexOf("PartialTopK") < 0)
+      assert(rewritten.collect().map(_.toSeq).toSet === expected)
+      // rank() admits >k ties — the rule must NOT touch it
+      val ranked = Tables.orders(s2, sf)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
+      assert(!ranked.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("a hot group never holds more than k rows per heap") {
     import spark.implicits._
     // one group with 10k rows across partitions: the partial emits <= k
