@@ -289,7 +289,7 @@ object Dedup {
           when(coalesce(col("plabel"), col("label")) < col("old_label"), 1L)
             .otherwise(0L).as("ch"))
         .localCheckpoint(eager = true)
-      changed = next.agg(coalesce(sum(col("ch")), lit(0L))).head.getLong(0)
+      changed = next.agg(coalesce(sum(col("ch")), lit(0L))).head().getLong(0)
       labels = next.select("id", "label")
       iter += 1
     }

@@ -768,7 +768,7 @@ object RelationalA extends Module {
       val cap = 50 * k
       val bytes = o.agg(
           expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("cms"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val bc = s.sparkContext.broadcast(bytes)
       val candidates = o.select(col("o_orderpriority")).as[String]
         .mapPartitions(it => SpaceSaving.candidates(it, cap))

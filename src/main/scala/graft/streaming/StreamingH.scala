@@ -271,8 +271,46 @@ object StreamingH extends Module {
       |ORDER BY h, event_type""".stripMargin)
   )
 
+  // st_session_window — the same 30-minute-gap sessions through Spark's
+  // BUILT-IN session_window aggregate (the plan Structured Streaming
+  // runs natively with merging session state), cross-validated against
+  // the declarative oracle. Boundary semantics differ from the custom
+  // sessionizer by design: session_window merges an event iff the gap
+  // is STRICTLY below the threshold (diff >= gap ⇒ new session), so the
+  // oracle uses >= where st_sessionize's uses > — pinning exactly the
+  // off-by-an-instant contract a user switching between the two needs
+  // to know.
+  private val stSessionWindow = Q(
+    "st_session_window",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH s AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sid AS (
+      |  SELECT user_id, ts, CAST(SUM(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM s)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sid GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
-    stIntervalJoin, stTopk, stCdc, stSliding, stGapFill)
+    stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
