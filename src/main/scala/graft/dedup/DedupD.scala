@@ -161,6 +161,42 @@ object DedupD extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // dd_containment — ASYMMETRIC overlap (|A∩B| / |A|), the signal Jaccard
+  // misses: a short document wholly quoted inside a long one has low
+  // Jaccard but containment ≈ 1 from the short side — the
+  // excerpt/boilerplate-inclusion detector LLM dedup pipelines run beside
+  // symmetric near-dup. Same bounded candidate surface and set
+  // arithmetic as dd_ngram_jaccard, both directions emitted per pair.
+  private val ddContainment = Q(
+    "dd_containment",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+      val ng = Dedup.withWordNgrams(docs, "text")
+        .select(col("doc_id"), col("ngrams"))
+      val a = ng.select(col("doc_id").as("id_a"), col("ngrams").as("ng_a"))
+      val b = ng.select(col("doc_id").as("id_b"), col("ngrams").as("ng_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+            size(col("ng_a")).cast("double")).as("containment_a"),
+          (size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
+            size(col("ng_b")).cast("double")).as("containment_b"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ng AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      |    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS ngrams
+      |  FROM documents WHERE doc_id < 40)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+      |  CAST(len(a.ngrams) AS DOUBLE) AS containment_a,
+      |  CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
+      |  CAST(len(b.ngrams) AS DOUBLE) AS containment_b
+      |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin)
+  )
+
   // dd_clusters — the dedup last mile as ONE oracle-checked query:
   // candidate pairs (dd_ngram_jaccard's semantics, thresholded at the
   // corpus's weak-similarity level — the synthetic corpus plants no true
@@ -297,5 +333,5 @@ object DedupD extends Module {
   )
 
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgramJaccard,
-    ddClusters, ddKeepBest, semDedup, ddEmbedCosine)
+    ddContainment, ddClusters, ddKeepBest, semDedup, ddEmbedCosine)
 }

@@ -1267,8 +1267,28 @@ object RelationalA extends Module {
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   )
 
+  // q51 — exact distinct users per hour. COUNT(DISTINCT) is the classic
+  // scale trap; Spark plans it as the two-phase Expand — dedupe on
+  // (hour, user) with partial aggregation, then count per hour — so no
+  // task ever holds a window's full user set as state. The plan is the
+  // rewrite you'd hand-build; declaring it keeps Catalyst in charge.
+  private val q51 = Q(
+    "q51_distinct_per_window",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("h")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS h,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1 ORDER BY h""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, apDistinct, apQuantiles, apTopk, apBloom)
+    q50, q51, apDistinct, apQuantiles, apTopk, apBloom)
 }
