@@ -436,7 +436,38 @@ object MlC extends Module {
     None
   )
 
+  // ml_threshold_sweep — the ROC/PR curve as a table (the reference
+  // notebooks' roc_curve plots): confusion counts + precision/recall/fpr
+  // at 21 thresholds, ONE pass over the scored hold-out — thresholds
+  // are a crossJoined literal spine, counts partial-aggregate per
+  // threshold, so the scan doesn't repeat per point. Rows-only (seeded
+  // model); MlSpec asserts monotonicity and reconciliation with
+  // ml_report's 0.5 operating point.
+  private val mlSweep = Q(
+    "ml_threshold_sweep",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+      val thr = preds.sparkSession.range(0, 21)
+        .select((col("id").cast("double") / 20.0).as("thr"))
+      def safeDiv(num: Column, den: Column): Column =
+        when(den === 0.0, 0.0).otherwise(num / den)
+      preds.crossJoin(broadcast(thr))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("prob_1") >= col("thr") && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("prob_1") >= col("thr") && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("prob_1") < col("thr") && col("label") === 1.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("prob_1") < col("thr") && col("label") === 0.0, 1L).otherwise(0L)).as("tn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          safeDiv(col("tp").cast("double"), (col("tp") + col("fp")).cast("double")).as("precision"),
+          safeDiv(col("tp").cast("double"), (col("tp") + col("fn")).cast("double")).as("recall"),
+          safeDiv(col("fp").cast("double"), (col("fp") + col("tn")).cast("double")).as("fpr"))
+        .orderBy("thr")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans)
+    mlKmeans, mlSweep)
 }

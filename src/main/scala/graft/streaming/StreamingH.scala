@@ -309,8 +309,54 @@ object StreamingH extends Module {
       |ORDER BY user_id, session_start""".stripMargin)
   )
 
+  // st_anomaly — z-score anomaly flags over the hourly count series per
+  // event type: the metrics-alerting pass. Two-phase like q32 — the
+  // per-type mean/std fit is a tiny aggregate over the ALREADY
+  // pre-aggregated |hours|×|types| surface, broadcast back into a
+  // narrow flag map; counts are integers so the z expression is the
+  // same fixed IEEE arithmetic on both sides.
+  private val stAnomaly = Q(
+    "st_anomaly",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val fit = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n_events")).as("s1"),
+          sum(col("n_events") * col("n_events")).as("s2"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n_hours").cast("double")).as("mu"),
+          sqrt((col("s2").cast("double") -
+            (col("s1").cast("double") * col("s1").cast("double")) / col("n_hours").cast("double")) /
+            col("n_hours").cast("double")).as("sigma"))
+      hourly.join(broadcast(fit), "event_type")
+        .select(col("h"), col("event_type"), col("n_events"),
+          ((col("n_events").cast("double") - col("mu")) / col("sigma")).as("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 3.0)
+        .orderBy("h", "event_type")
+    },
+    Some("""WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |fit AS (
+      |  SELECT event_type,
+      |    CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+      |    SQRT((CAST(SUM(n_events * n_events) AS DOUBLE) -
+      |      (CAST(SUM(n_events) AS DOUBLE) * CAST(SUM(n_events) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)) /
+      |      CAST(COUNT(*) AS DOUBLE)) AS sigma
+      |  FROM hourly GROUP BY event_type)
+      |SELECT h, hourly.event_type, n_events,
+      |  (CAST(n_events AS DOUBLE) - mu) / sigma AS z,
+      |  ABS((CAST(n_events AS DOUBLE) - mu) / sigma) > 3.0 AS is_anomaly
+      |FROM hourly JOIN fit ON hourly.event_type = fit.event_type
+      |ORDER BY h, hourly.event_type""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
-    stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow)
+    stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow,
+    stAnomaly)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)

@@ -27,6 +27,22 @@ class MlSpec extends SparkSpec {
       (rep.getAs[Double]("recall_1") + rep.getAs[Double]("recall_0")) / 2.0)
   }
 
+  test("threshold sweep is a valid ROC surface and anchors at its extremes") {
+    val rows = SparkEntry.queries("ml_threshold_sweep")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(6), r.getDouble(7)))
+    assert(rows.length === 21)
+    val nPos = rows.head._2 + rows.head._4 // tp + fn is constant
+    assert(rows.forall(r => r._2 + r._4 === nPos))
+    // thr = 0 classifies everything positive
+    assert(rows.head._2 === nPos && rows.head._5 === 0L)
+    // recall and fpr are non-increasing in the threshold
+    val recalls = rows.map(_._6)
+    val fprs = rows.map(_._7)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a })
+    assert(fprs.zip(fprs.tail).forall { case (a, b) => b <= a })
+  }
+
   test("seeded k-means segmentation is deterministic and partitions the corpus") {
     def run() = SparkEntry.queries("ml_kmeans")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
