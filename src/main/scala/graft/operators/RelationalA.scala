@@ -1287,8 +1287,71 @@ object RelationalA extends Module {
       |FROM events GROUP BY 1 ORDER BY h""".stripMargin)
   )
 
+  // q52 — RANGE-framed window (the time-based sibling of q39's
+  // ROWS-framed moving average): each order carries the customer's spend
+  // over the TRAILING 7 DAYS — a value-range frame over event time, so
+  // frame membership depends on timestamps, not row offsets (two orders
+  // the same day both include each other). Ordered by epoch micros so
+  // both engines share the numeric range arithmetic; exact decimal sum.
+  // Window partitions on the high-cardinality o_custkey.
+  private val q52 = Q(
+    "q52_range_frame",
+    (s, d) => {
+      val sevenDaysUs = 7L * 24 * 3600 * 1000000
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-sevenDaysUs, 0)
+      Tables.orders(s, d)
+        // o_orderdate is TIMESTAMP_NTZ; the UTC session makes the cast an
+        // identity on the instant, matching DuckDB's epoch_us
+        .withColumn("ts_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("spend_7d",
+          sum(d6(col("o_totalprice"))).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("spend_7d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
+  // q53 — hour-over-hour cohort retention: of the distinct users active
+  // in hour h, how many return in h+1. The (hour, user) distinct surface
+  // partial-aggregates first, the self-join keys on (h+1, user) — both
+  // sides are the REDUCED surface, never event rows. The division is one
+  // fixed IEEE op over exact counts.
+  private val q53 = Q(
+    "q53_retention",
+    (s, d) => {
+      val hu = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val nxt = hu.select((col("h") - expr("interval 1 hour")).as("h"),
+        col("user_id").as("u2"))
+      hu.join(nxt, hu("h") === nxt("h") && col("user_id") === col("u2"), "left")
+        .groupBy(hu("h"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+        .select(col("h"), col("n_active"), col("n_retained"),
+          (col("n_retained").cast("double") / col("n_active").cast("double")).as("retention"))
+        .orderBy("h")
+    },
+    Some("""WITH hu AS (
+      |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
+      |SELECT a.h, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS retention
+      |FROM hu a LEFT JOIN hu b
+      |  ON b.h = a.h + INTERVAL 1 HOUR AND b.user_id = a.user_id
+      |GROUP BY a.h ORDER BY a.h""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, apDistinct, apQuantiles, apTopk, apBloom)
+    q50, q51, q52, q53, apDistinct, apQuantiles, apTopk, apBloom)
 }
