@@ -103,7 +103,53 @@ object MultimodalG extends Module {
       |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures)
+  // mm_audio_window — fixed-rate sample windowing over the stub "audio"
+  // payload (bytes as 8-bit samples): per 100-sample window, the exact
+  // integer energy (Σ sample²) and its RMS — the feature shape a real
+  // audio frontend (VAD, loudness normalization) emits per frame. All
+  // window sums are exact BIGINTs; RMS is one fixed IEEE sqrt+div on
+  // both sides, so the oracle hash-matches. Disjoint windows ⇒ total
+  // work is one pass over the payload. A real PCM decoder slots in at
+  // [[MediaDecode]] without changing this schema.
+  private val mmAudioWindow = Q(
+    "mm_audio_window",
+    (s, d) => {
+      val wlen = 100
+      Tables.documents(s, d)
+        .withColumn("n", length(col("text")))
+        .withColumn("nwin", ceil(col("n").cast("double") / wlen).cast("int"))
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(sequence(lit(0), col("nwin") - 1), w =>
+            aggregate(
+              transform(sequence(lit(1), least(lit(wlen), col("n") - w * wlen)),
+                i => ascii(substring(col("text"), w * lit(wlen) + i, lit(1))).cast("long")),
+              lit(0L), (acc, x) => acc + x * x))))
+        .toDF("doc_id", "n", "win_idx", "energy")
+        .withColumn("n_samples",
+          least(lit(wlen.toLong), col("n").cast("long") - col("win_idx") * wlen))
+        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+          col("n_samples"), col("energy"),
+          sqrt(col("energy").cast("double") / col("n_samples").cast("double")).as("rms"))
+        .orderBy("doc_id", "win_idx")
+    },
+    Some("""WITH w AS (
+      |  SELECT doc_id, length(text) AS n, text,
+      |    unnest(generate_series(0, CAST(CEIL(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) - 1)) AS win_idx
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, win_idx,
+      |    LEAST(100, n - win_idx * 100) AS n_samples,
+      |    list_sum(list_transform(generate_series(1, CAST(LEAST(100, n - win_idx * 100) AS BIGINT)),
+      |      i -> CAST(ascii(substr(text, CAST(win_idx * 100 + i AS INTEGER), 1)) AS BIGINT) *
+      |           CAST(ascii(substr(text, CAST(win_idx * 100 + i AS INTEGER), 1)) AS BIGINT))) AS energy
+      |  FROM w)
+      |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+      |  CAST(n_samples AS BIGINT) AS n_samples, CAST(energy AS BIGINT) AS energy,
+      |  SQRT(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+      |FROM e ORDER BY doc_id, win_idx""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end durable pipeline: file source → windowed agg → parquet sink") {
+    // the full production shape, not a memory sink: checkpointed
+    // append-mode aggregation writing closed windows to parquet; the
+    // durable output must equal the batch twin for every window the
+    // watermark has closed
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = Streaming.windowAggStream(Streaming.eventsStream(spark, sf))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val durable = spark.read.parquet(out)
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val maxClosed = Streaming.windowAgg(batchEvents)
+        .agg(max(col("window_start"))).head().getTimestamp(0)
+      val batch = Streaming.windowAgg(batchEvents)
+        // append mode only emits windows the final watermark closed
+        .filter(col("window_start") < new Timestamp(maxClosed.getTime - 2 * 3600 * 1000L))
+        .collect().map(_.toSeq).toSet
+      assert(batch.subsetOf(durable),
+        s"durable sink missing ${batch.size - batch.intersect(durable).size} closed windows")
+      // and nothing in the sink disagrees with the batch surface
+      val full = Streaming.windowAgg(batchEvents).collect().map(_.toSeq).toSet
+      assert(durable.subsetOf(full), "sink rows disagree with the batch twin")
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k matches the batch twin after the rank post-pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
