@@ -32,6 +32,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Schema unchanged; no rank column (the surviving groups are ≤ k rows,
   * so re-deriving it is cheap — which is exactly what [[TopKPushdown]]
   * exploits).
+  *
+  * Memory contract (stated, not hidden): the map-side pass holds
+  * k·(distinct groups in the partition) rows — the same asymptotics as
+  * a partial hash aggregate's state, but WITHOUT its sort-based spill
+  * fallback. That is the right trade for the top-k regimes this exists
+  * for (small k, group state that fits); for adversarial cardinality ×
+  * k the window formulation (which sorts and therefore spills) remains
+  * the safe path, and [[TopKPushdown]]'s MaxK bound keeps the rewrite
+  * inside the intended regime.
   */
 case class GroupedTopK(
     group: Seq[Expression],
