@@ -351,5 +351,79 @@ object PreprocessB extends Module {
       |FROM orders, f ORDER BY o_orderkey""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+  // q54 — Mahalanobis outlier scoring over (l_quantity, l_discount): the
+  // MULTIVARIATE step past q08's per-column IQR clipping — a point can
+  // be unremarkable per column yet far outside the joint distribution.
+  // Same two-phase shape as q28: one exact grid-moment aggregate,
+  // central moments + the 2×2 precision matrix in fixed IEEE arithmetic,
+  // broadcast into a narrow per-row quadratic form. Mahalanobis distance
+  // is invariant under per-column linear scaling, so the whole
+  // computation stays in grid units — no rescale anywhere. Flag at the
+  // χ²(2, 0.999) ≈ 13.82 contour.
+  private val q54 = Q(
+    "q54_mahalanobis",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val (x1, x2) = ("l_quantity", "l_discount")
+      val mom = l.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(qz(col(x1))).cast("double").as("s1"),
+        sum(qz(col(x2))).cast("double").as("s2"),
+        sum(qz(col(x1)) * qz(col(x1))).cast("double").as("s11"),
+        sum(qz(col(x2)) * qz(col(x2))).cast("double").as("s22"),
+        sum(qz(col(x1)) * qz(col(x2))).cast("double").as("s12"))
+      val fit = mom.select(
+          (col("s1") / col("n")).as("mu1"),
+          (col("s2") / col("n")).as("mu2"),
+          ((col("s11") - col("s1") * col("s1") / col("n")) / col("n")).as("v11"),
+          ((col("s22") - col("s2") * col("s2") / col("n")) / col("n")).as("v22"),
+          ((col("s12") - col("s1") * col("s2") / col("n")) / col("n")).as("v12"))
+        .select(col("mu1"), col("mu2"), col("v11"), col("v22"), col("v12"),
+          (col("v11") * col("v22") - col("v12") * col("v12")).as("det"))
+      l.crossJoin(broadcast(fit))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((qz(col(x1)).cast("double") - col("mu1")).as("a1")),
+          ((qz(col(x2)).cast("double") - col("mu2")).as("a2")),
+          col("v11"), col("v22"), col("v12"), col("det"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((col("a1") * col("a1") * col("v22") -
+            lit(2.0) * col("a1") * col("a2") * col("v12") +
+            col("a2") * col("a2") * col("v11")) / col("det")).as("md2"))
+        .withColumn("is_outlier", col("md2") > 13.82)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some {
+      val (x1, x2) = ("l_quantity", "l_discount")
+      s"""WITH mom AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(${qzSql(x1)}) AS DOUBLE) AS s1,
+         |    CAST(SUM(${qzSql(x2)}) AS DOUBLE) AS s2,
+         |    CAST(SUM(${qzSql(x1)} * ${qzSql(x1)}) AS DOUBLE) AS s11,
+         |    CAST(SUM(${qzSql(x2)} * ${qzSql(x2)}) AS DOUBLE) AS s22,
+         |    CAST(SUM(${qzSql(x1)} * ${qzSql(x2)}) AS DOUBLE) AS s12
+         |  FROM lineitem),
+         |fit AS (
+         |  SELECT s1 / n AS mu1, s2 / n AS mu2,
+         |    (s11 - s1 * s1 / n) / n AS v11,
+         |    (s22 - s2 * s2 / n) / n AS v22,
+         |    (s12 - s1 * s2 / n) / n AS v12
+         |  FROM mom),
+         |fit2 AS (
+         |  SELECT mu1, mu2, v11, v22, v12,
+         |    v11 * v22 - v12 * v12 AS det
+         |  FROM fit),
+         |a AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(${qzSql(x1)} AS DOUBLE) - mu1 AS a1,
+         |    CAST(${qzSql(x2)} AS DOUBLE) - mu2 AS a2,
+         |    v11, v22, v12, det
+         |  FROM lineitem, fit2)
+         |SELECT l_orderkey, l_linenumber,
+         |  (a1 * a1 * v22 - 2.0 * a1 * a2 * v12 + a2 * a2 * v11) / det AS md2,
+         |  (a1 * a1 * v22 - 2.0 * a1 * a2 * v12 + a2 * a2 * v11) / det > 13.82 AS is_outlier
+         |FROM a ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }
+  )
+
+  override val qs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q54)
 }

@@ -551,6 +551,47 @@ object Streaming {
       }
   }
 
+  case class FunnelRow(user_id: Long, t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp], stage: Int)
+
+  /** Streaming twin of q44_funnel: ONE funnel row of state per user,
+    * advanced greedily in (event-time, event_id) order. For in-order
+    * delivery this reproduces the batch funnel exactly — the first view
+    * IS min(view ts), and each stage only advances on events STRICTLY
+    * after the previous stage's timestamp (same tiebreak the batch
+    * windows use). Cross-batch reordering is bounded by the watermark,
+    * with the same no-retro-correction caveat as [[asofStream]].
+    */
+  def funnelStream(events: Dataset[CdcEvent]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[CdcEvent], state: GroupState[FunnelState]) =>
+          val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+          var (v, c, p) = (st0.v, st0.c, st0.p)
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if v.isEmpty => v = Some(e.ts)
+              case "click" if v.nonEmpty && c.isEmpty && us(e.ts) > us(v.get) =>
+                c = Some(e.ts)
+              case "purchase" if c.nonEmpty && p.isEmpty && us(e.ts) > us(c.get) =>
+                p = Some(e.ts)
+              case _ =>
+            }
+          }
+          state.update(FunnelState(v, c, p))
+          FunnelRow(uid, v, c, p,
+            if (p.nonEmpty) 3 else if (c.nonEmpty) 2 else if (v.nonEmpty) 1 else 0)
+      }
+  }
+
+  case class FunnelState(v: Option[java.sql.Timestamp],
+      c: Option[java.sql.Timestamp], p: Option[java.sql.Timestamp])
+
   case class TkEvent(ts: java.sql.Timestamp, user_id: Long)
   case class TkTop(window_start: java.sql.Timestamp, rank: Long, user_id: Long,
       est_count: Long)

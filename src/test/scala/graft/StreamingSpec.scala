@@ -331,6 +331,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state matches the batch funnel across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => Streaming.CdcEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order delivery contract
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.CdcEvent]
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // upsert semantics: keep each user's LAST emission (max stage wins;
+      // stage never regresses, so re-compacting by stage is exact)
+      val streamed = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._5) }.toSet
+      val batch = SparkEntry.queries("q44_funnel")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getTimestamp(3), r.getInt(4))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches the batch twin on closed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
