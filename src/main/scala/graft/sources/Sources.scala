@@ -79,6 +79,25 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Idempotent partition refresh (the batch "MERGE by partition"): with
+    * dynamic partition overwrite, an overwrite-mode write replaces ONLY
+    * the partitions present in `df` and leaves every other partition's
+    * files untouched — the re-run-a-day pattern of incremental
+    * pipelines, without static overwrite's delete-everything footgun.
+    * Scoped to this write; the session conf is restored.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Bucketed table: joins/aggregations on the bucket key become
     * shuffle-free (both sides pre-hashed into the same bucket layout).
     * Bucketing requires a catalog table, hence saveAsTable.

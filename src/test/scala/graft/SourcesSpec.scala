@@ -84,6 +84,25 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(etype"), scan)
   }
 
+  test("dynamic partition overwrite refreshes only the written partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynpart").toString
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0))
+    val day2 = Seq((3L, "2024-01-02", 30.0))
+    Sources.writePartitioned(
+      (day1 ++ day2).toDF("id", "day", "v"), dir, Seq("day"))
+    // re-run day 2 with corrected data: day 1 must be untouched
+    Sources.overwritePartitions(
+      Seq((3L, "2024-01-02", 99.0), (4L, "2024-01-02", 40.0)).toDF("id", "day", "v"),
+      dir, Seq("day"))
+    // partition values are type-inferred (DATE) on read-back
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.get(2).toString, r.getDouble(1))).toSet
+    assert(back === Set((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 99.0), (4L, "2024-01-02", 40.0)),
+      s"got $back")
+  }
+
   test("matching bucketed tables join with zero exchanges") {
     // the co-located join layout SURVEY §4 promises: both sides
     // pre-hashed into the same bucket scheme ⇒ the sort-merge join reads
