@@ -301,6 +301,99 @@ object PqAdc {
   }
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS algorithm): the minimum k-gram hash of every w-wide sliding
+  * window, deduplicated. Guarantee: two documents sharing any substring
+  * of length ≥ w+k−1 share a fingerprint, while the fingerprint density
+  * stays ~2/(w+1) — the local, position-robust alternative to MinHash
+  * for plagiarism/quote detection. One O(m) monotonic-deque pass per
+  * document inside codegen; emitting the VALUE SET makes the classic
+  * rightmost-tie rule moot. Hashes are PolyHash over each k-byte window
+  * (for k ≤ 5 ASCII the Horner sum never reaches the modulus, which is
+  * what lets the DuckDB oracle recompute them as plain power sums).
+  */
+case class Winnow(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  protected override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    Winnow.fingerprints(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.Winnow.fingerprints($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Winnow =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object Winnow {
+  /** Named to avoid every case-class member (the static-forwarder trap
+    * ShingleHashes hit). Texts shorter than k hash whole; shorter than
+    * k+w−1 yield the single global minimum.
+    */
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    if (n <= k) return new GenericArrayData(Array(PolyHash.hash(s)))
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * PolyHash.Base + (b(i + j) & 0xffL)) % PolyHash.Mod
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val out =
+      if (m <= w) {
+        var mn = hs(0)
+        var p = 1
+        while (p < m) { if (hs(p) < mn) mn = hs(p); p += 1 }
+        Array(mn)
+      } else {
+        val nw = m - w + 1
+        val mins = new Array[Long](nw)
+        val deque = new Array[Int](m) // monotonic indices, increasing hash
+        var head = 0
+        var tail = 0 // exclusive
+        var p = 0
+        while (p < m) {
+          while (tail > head && hs(deque(tail - 1)) >= hs(p)) tail -= 1
+          deque(tail) = p
+          tail += 1
+          if (deque(head) <= p - w) head += 1
+          if (p >= w - 1) mins(p - w + 1) = hs(deque(head))
+          p += 1
+        }
+        java.util.Arrays.sort(mins)
+        mins
+      }
+    // dedupe the sorted selection
+    var cnt = 1
+    var q = 1
+    while (q < out.length) { if (out(q) != out(q - 1)) cnt += 1; q += 1 }
+    if (cnt == out.length) new GenericArrayData(out)
+    else {
+      val ded = new Array[Long](cnt)
+      ded(0) = out(0)
+      var r = 1
+      var wi = 1
+      while (r < out.length) {
+        if (out(r) != out(r - 1)) { ded(wi) = out(r); wi += 1 }
+        r += 1
+      }
+      new GenericArrayData(ded)
+    }
+  }
+}
+
 /** Unicode NFC normalization — Spark has no built-in normalizer, and a
   * Scala UDF here would break whole-stage codegen for the entire cleaning
   * pipeline it sits in. As a native expression the call stays inside the
@@ -363,7 +456,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashAgg(args.head, 64)),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

@@ -584,7 +584,41 @@ object TextF extends Module {
       |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
+  // tx_winnow — winnowing fingerprints (MOSS, Schleimer et al. 2003) per
+  // document via the graft_winnow codegen expression: the min 5-gram
+  // hash of every 8-wide window, deduplicated — two docs sharing any
+  // ≥ 12-char substring share a fingerprint, at ~2/(w+1) density. The
+  // oracle recomputes the hashes as ascii power sums (exact below the
+  // modulus for k=5 ASCII — the dd_minhash precondition) and the window
+  // minima as list_min over slices. Narrow map + explode; the
+  // fingerprint rows are what a cross-corpus quote-detection join keys
+  // on.
+  private val txWinnow = Q(
+    "tx_winnow",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id, list_transform(generate_series(1, length(text) - 4),
+      |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) * 923521 +
+      |         ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) * 29791 +
+      |         ascii(substr(text, CAST(i + 2 AS INTEGER), 1)) * 961 +
+      |         ascii(substr(text, CAST(i + 3 AS INTEGER), 1)) * 31 +
+      |         ascii(substr(text, CAST(i + 4 AS INTEGER), 1))) AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(hs) - 7),
+      |    p -> list_min(list_slice(hs, CAST(p AS INTEGER), CAST(p + 7 AS INTEGER))))) AS fps
+      |  FROM h)
+      |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
-    txLmScore, txPiiRedact, txTfidf, txNormalize)
+    txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow)
 }

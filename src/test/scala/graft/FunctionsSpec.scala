@@ -77,9 +77,35 @@ class FunctionsSpec extends SparkSpec {
         call_function("graft_shingle_hashes", col("text"), lit(5)),
         call_function("graft_dot_long", col("q"), col("q")),
         call_function("graft_dot_planes", col("emb"), typedLit(flat)),
-        expr("graft_nfc(text)"))
+        expr("graft_nfc(text)"),
+        call_function("graft_winnow", col("text"), lit(3), lit(2)))
       assert(out.collect().length === 1)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("winnowing guarantees a shared fingerprint for long shared substrings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val (k, w) = (5, 8)
+    // any shared substring of length >= w + k - 1 = 12 must share a print
+    val shared = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"AAAA $shared BBBB"),
+      (2L, s"xyzzy prefix then $shared and a different tail"))
+    val fps = docs.toDF("id", "text")
+      .select(col("id"), call_function("graft_winnow", col("text"), lit(k), lit(w)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "documents sharing a 25-char substring must share a winnowing fingerprint")
+    // density: ~2/(w+1) of positions, never more than the window count
+    val n = docs.head._2.length - k + 1 - w + 1
+    assert(fps(1L).size <= n)
+    // disjoint texts share nothing
+    val other = Seq((3L, "completely unrelated content 1234567 here"))
+      .toDF("id", "text")
+      .select(call_function("graft_winnow", col("text"), lit(k), lit(w)))
+      .head().getSeq[Long](0).toSet
+    assert(fps(1L).intersect(other).isEmpty)
   }
 
   test("graft_dot_planes equals the per-plane HOF formulation") {
