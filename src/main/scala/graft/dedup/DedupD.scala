@@ -208,6 +208,70 @@ object DedupD extends Module {
   // CTE, so the iterative distributed fixpoint is hash-verified against
   // a declarative one — including the chain shapes where plain
   // propagation would need diameter rounds.
+  // dd_minhash_est — the estimation side of MinHash closed end-to-end:
+  // signature-agreement Jaccard (fraction of the 64 permutation minima
+  // that agree) next to the EXACT 5-gram Jaccard for every candidate
+  // pair, both computed in SQL-expressible arithmetic so the oracle
+  // hash-checks estimator and truth together. This is the number LSH
+  // thresholds are calibrated against: E[est] = J, σ ≈ √(J(1−J)/64).
+  private val ddMinhashEst = Q(
+    "dd_minhash_est",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 40 && length(col("text")) >= 5)
+      val sig = Dedup.minhashSig(docs, "text", "doc_id")
+      val sh = Dedup.withShingles(docs, "text").select(col("doc_id"), col("shingles"))
+      val a = sig.join(sh, "doc_id")
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a"))
+      val b = sig.join(sh, "doc_id")
+        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            bb => bb)).cast("double") / lit(64.0)).as("est_jaccard"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("exact_jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(length(text) - 4, 1)),
+      |      i -> substr(text, i, 5)))) AS s
+      |  FROM documents WHERE doc_id < 40 AND length(text) >= 5),
+      |x AS (
+      |  SELECT doc_id,
+      |    (CAST(ascii(substr(s,1,1)) AS BIGINT) * 923521 +
+      |     CAST(ascii(substr(s,2,1)) AS BIGINT) * 29791 +
+      |     CAST(ascii(substr(s,3,1)) AS BIGINT) * 961 +
+      |     CAST(ascii(substr(s,4,1)) AS BIGINT) * 31 +
+      |     CAST(ascii(substr(s,5,1)) AS BIGINT)) % 1000000007 AS x
+      |  FROM sh),
+      |j AS (SELECT unnest(generate_series(0, 63)) AS perm),
+      |sig AS (
+      |  SELECT doc_id, perm,
+      |    MIN(((2 * perm + 1) * x + 12345 * perm) % 2147483647) AS mh
+      |  FROM x, j GROUP BY doc_id, perm),
+      |agree AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS est_jaccard
+      |  FROM sig a JOIN sig b ON a.perm = b.perm AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(length(text) - 4, 1)),
+      |    i -> substr(text, i, 5))) AS sh5
+      |  FROM documents WHERE doc_id < 40 AND length(text) >= 5),
+      |ex AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh5, b.sh5)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.sh5, b.sh5))) AS DOUBLE) AS exact_jaccard
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+      |SELECT agree.id_a, agree.id_b, est_jaccard, exact_jaccard
+      |FROM agree JOIN ex ON agree.id_a = ex.id_a AND agree.id_b = ex.id_b
+      |ORDER BY agree.id_a, agree.id_b""".stripMargin)
+  )
+
   /** Shared by dd_clusters / dd_keep_best: weak-similarity candidate
     * pairs over the doc_id < 40 slice, closed into components for EVERY
     * document (isolated docs are their own singleton cluster).
@@ -332,6 +396,7 @@ object DedupD extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddSimhash, ddNgramJaccard,
-    ddContainment, ddClusters, ddKeepBest, semDedup, ddEmbedCosine)
+  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddSimhash,
+    ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
+    ddEmbedCosine)
 }

@@ -618,7 +618,31 @@ object TextF extends Module {
       |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin)
   )
 
+  // tx_mix_sample — the data-mixture op: apply per-domain sampling rates
+  // (the DoReMi/Pile-style "mixture weights" step that up/down-weights
+  // sources before training) with the repo's deterministic hash gate, so
+  // the same documents survive on any cluster shape. The rate table is a
+  // broadcast literal; the gate is a pure codegen filter pushed at the
+  // scan — no shuffle, no RNG. Per-source keep rates: even src ids 80%,
+  // odd 20% (stand-ins for quality-tiered domains).
+  private val txMixSample = Q(
+    "tx_mix_sample",
+    (s, d) => {
+      val rate = when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
+        lit(80L)).otherwise(lit(20L))
+      Tables.documents(s, d)
+        .filter((col("doc_id") * lit(2654435761L)) % 100 < rate)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars FROM documents
+      |WHERE (doc_id * 2654435761) % 100 <
+      |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
+      |       THEN 80 ELSE 20 END
+      |ORDER BY doc_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
-    txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow)
+    txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample)
 }
