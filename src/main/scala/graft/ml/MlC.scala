@@ -467,7 +467,36 @@ object MlC extends Module {
     None
   )
 
+  // ml_pca — principal components of the customer feature surface: the
+  // EDA dimensionality-reduction step (the reference's correlation
+  // heatmap is the poor man's version). Covariance PCA is deterministic
+  // up to component SIGN, so each component is normalized to make its
+  // largest-|loading| coordinate positive — the dump is then stable and
+  // MlSpec can pin orthonormality, descending explained variance, and
+  // run-to-run determinism. Rows-only (eigenvectors aren't SQL).
+  private val mlPca = Q(
+    "ml_pca",
+    (s, d) => {
+      import s.implicits._
+      val feats = assembler.transform(customerFeatures(s, d))
+      val pca = new org.apache.spark.ml.feature.PCA()
+        .setK(3).setInputCol("features").setOutputCol("pc")
+        .fit(feats)
+      val variance = pca.explainedVariance.toArray
+      val rows = (0 until 3).flatMap { c =>
+        val raw = (0 until pca.pc.numRows).map(r => pca.pc(r, c))
+        val flip = if (raw.maxBy(math.abs) < 0) -1.0 else 1.0
+        raw.zipWithIndex.map { case (v, r) =>
+          (c.toLong, featCols(r), math.rint(v * flip * 1e9) / 1e9, variance(c))
+        }
+      }
+      rows.toDF("component", "feature", "loading", "explained_variance")
+        .orderBy("component", "feature")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans, mlSweep)
+    mlKmeans, mlSweep, mlPca)
 }

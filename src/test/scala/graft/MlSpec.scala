@@ -27,6 +27,25 @@ class MlSpec extends SparkSpec {
       (rep.getAs[Double]("recall_1") + rep.getAs[Double]("recall_0")) / 2.0)
   }
 
+  test("PCA components are orthonormal, variance-ordered, deterministic") {
+    def run() = SparkEntry.queries("ml_pca")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val a = run()
+    val comps = a.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector).toMap
+    // unit norm and pairwise orthogonality (sign-normalized loadings)
+    for (c <- comps.keys) {
+      val n = math.sqrt(comps(c).map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"component $c norm $n")
+    }
+    for (i <- comps.keys; j <- comps.keys if i < j) {
+      val dot = comps(i).zip(comps(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 1e-6, s"components $i,$j dot $dot")
+    }
+    val vars = a.groupBy(_._1).view.mapValues(_.head._4).toMap
+    assert(vars(0L) >= vars(1L) && vars(1L) >= vars(2L))
+    assert(run() === a, "PCA dump must be run-to-run deterministic")
+  }
+
   test("threshold sweep is a valid ROC surface and anchors at its extremes") {
     val rows = SparkEntry.queries("ml_threshold_sweep")(spark, sf)
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
