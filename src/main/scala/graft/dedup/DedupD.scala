@@ -324,20 +324,23 @@ object DedupD extends Module {
   // dd_keep_best — the selection policy after clustering: inside each
   // duplicate cluster keep the LONGEST document (n_chars, min doc_id as
   // tiebreak) — the "keep the most complete copy" rule LLM-corpus dedup
-  // uses in place of dd_exact's keep-first. One extra hash join on doc_id
-  // plus a row_number window partitioned on the HIGH-cardinality
-  // cluster_id (mostly singletons — parallelism scales with clusters).
+  // uses in place of dd_exact's keep-first. The winner comes from a
+  // PARTIAL-AGGREGABLE max(struct(n_chars, −doc_id)) per cluster — a
+  // window partitioned by cluster_id would sort a whole boilerplate
+  // cluster (exact-dup stars can be millions of rows) in one task,
+  // while the struct-max combines map-side and the join back moves one
+  // winner row per cluster.
   private val ddKeepBest = Q(
     "dd_keep_best",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      clusterDf(s, d)
+      val clustered = clusterDf(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-        .withColumn("rn", row_number().over(w))
+      val winners = clustered.groupBy(col("cluster_id"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("w"))
+        .select(col("cluster_id"), (-col("w.neg_id")).as("win_id"))
+      clustered.join(winners, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("n_chars"),
-          (col("rn") === 1).as("keep"))
+          (col("doc_id") === col("win_id")).as("keep"))
         .orderBy("doc_id")
     },
     Some(clusterCte +

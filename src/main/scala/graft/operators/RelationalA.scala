@@ -1181,13 +1181,18 @@ object RelationalA extends Module {
   // q48 — EXACT global percent_rank for every row with NO global sort.
   // The naive plan is percent_rank() over an unpartitioned ORDER BY —
   // one task sorts the world (the same funnel q45 kills for ntile).
-  // Here: one histogram pass over 65536 value buckets → cumulative
-  // bucket offsets (bounded driver metadata, broadcast back) → a rank
-  // window partitioned on the HIGH-cardinality bucket id. Bucket ids
-  // are monotone in the value and equal values share a bucket, so
+  // Here: one histogram pass over 65536 value buckets (count + value
+  // range each) → cumulative offsets as bounded broadcast metadata → a
+  // rank window partitioned on the HIGH-cardinality bucket id. Bucket
+  // ids are monotone in the value and equal values share a bucket, so
   // global_rank = offset + in-bucket rank is exact, ties keeping
   // min-rank — percent_rank = (rank−1)/(n−1) matches the oracle's
-  // window bit-for-bit. No task sorts more than ~n/65536 rows.
+  // window bit-for-bit. POINT-MASS buckets (bmin == bmax: one value
+  // dominating the column — the skew case) bypass the window entirely,
+  // rank = offset + 1, so skew is the cheap case; only value-DIVERSE
+  // buckets sort, each ~n/65536 rows (many distinct values crowding one
+  // bucket would need Quantiles' recursive re-histogram — noted, not
+  // needed at dashboard value ranges).
   private val q48 = Q(
     "q48_percent_rank",
     (s, d) => {
@@ -1202,15 +1207,26 @@ object RelationalA extends Module {
       } else {
         val bCol = least(width_bucket(col("o_totalprice"), lit(lo), lit(hi),
           lit(65536)), lit(65536L))
-        val counts = o.select(bCol.as("b")).groupBy("b").count()
-          .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1).toSeq
-        val cum = counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }
-        val offsets = counts.map(_._1).zip(cum) // offset BEFORE each bucket
-        val offDf = offsets.toDF("b", "off")
+        // per-bucket count + value range: a bucket whose min == max is a
+        // POINT MASS (one price dominating — the skew case) and every
+        // row in it has rank = offset + 1 with NO sort at all; only
+        // value-diverse buckets go through the in-bucket rank window.
+        // The skewed case is the CHEAP case (the Quantiles discipline).
+        val counts = o.select(bCol.as("b"), col("o_totalprice").as("v"))
+          .groupBy("b").agg(count(lit(1)).as("c"), min("v").as("bmin"), max("v").as("bmax"))
+          .collect().map(row => (row.getLong(0), row.getLong(1),
+            row.getDouble(2), row.getDouble(3))).sortBy(_._1).toSeq
+        val cum = counts.scanLeft(0L) { case (acc, (_, c, _, _)) => acc + c }
+        val offsets = counts.map(t => (t._1, t._3 == t._4)).zip(cum)
+          .map { case ((b, pm), off) => (b, off, pm) }
+        val offDf = offsets.toDF("b", "off", "pointmass")
         val w = Window.partitionBy(col("b")).orderBy(col("o_totalprice"))
-        o.withColumn("b", bCol)
-          .join(broadcast(offDf), "b")
+        val keyed = o.withColumn("b", bCol).join(broadcast(offDf), "b")
+        val diverse = keyed.filter(!col("pointmass"))
           .withColumn("grank", col("off") + rank().over(w))
+        val point = keyed.filter(col("pointmass"))
+          .withColumn("grank", col("off") + lit(1L))
+        diverse.unionByName(point)
           .select(col("o_orderkey"), col("o_totalprice"),
             ((col("grank") - lit(1L)).cast("double") / lit((n - 1).toDouble)).as("pr"))
           .orderBy("o_orderkey")

@@ -180,6 +180,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(b"), p)
   }
 
+  test("dd_keep_best selects winners by aggregation, never a cluster window") {
+    // a boilerplate cluster (exact-dup star) can be millions of rows; a
+    // window partitioned by cluster_id would sort it in one task
+    assert(!plan("dd_keep_best").contains("Window"))
+  }
+
   test("q44 funnel's three windows and the collapse share one user_id exchange") {
     val p = plan("q44_funnel")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
