@@ -1366,8 +1366,76 @@ object RelationalA extends Module {
       |GROUP BY a.h ORDER BY a.h""".stripMargin)
   )
 
+  // q55 — 2-D fixed-grid histogram (the EDA heatmap/hexbin source):
+  // 16×16 bins over (quantity, extendedprice). Same two-phase shape as
+  // q31 — one tiny min/max fit broadcast into a single binning
+  // aggregate; output is the dense bin table a plot consumes.
+  private val q55 = Q(
+    "q55_hist2d",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val nb = 16
+      val f = l.agg(min(col("l_quantity")).as("xlo"), max(col("l_quantity")).as("xhi"),
+        min(col("l_extendedprice")).as("ylo"), max(col("l_extendedprice")).as("yhi"))
+      def bin(v: Column, lo: Column, hi: Column): Column =
+        least(floor((v - lo) / (hi - lo) * lit(nb.toDouble)).cast("long"), lit(nb - 1L))
+      l.crossJoin(broadcast(f))
+        .select(bin(col("l_quantity"), col("xlo"), col("xhi")).as("bx"),
+          bin(col("l_extendedprice"), col("ylo"), col("yhi")).as("by"))
+        .groupBy("bx", "by").agg(count(lit(1)).as("n"))
+        .orderBy("bx", "by")
+    },
+    Some("""WITH f AS (
+      |  SELECT MIN(l_quantity) AS xlo, MAX(l_quantity) AS xhi,
+      |         MIN(l_extendedprice) AS ylo, MAX(l_extendedprice) AS yhi
+      |  FROM lineitem)
+      |SELECT
+      |  LEAST(CAST(FLOOR((l_quantity - xlo) / (xhi - xlo) * 16.0) AS BIGINT), 15) AS bx,
+      |  LEAST(CAST(FLOOR((l_extendedprice - ylo) / (yhi - ylo) * 16.0) AS BIGINT), 15) AS by,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem, f GROUP BY 1, 2 ORDER BY bx, by""".stripMargin)
+  )
+
+  // q56 — per-group modal value (pandas groupby().mode(), the categorical
+  // imputation statistic): most frequent order priority per market
+  // segment, smallest value on ties. Two partial-aggregable
+  // aggregations — (segment, priority) counts, then a struct-max argmax
+  // per segment — never a rank window.
+  private val q56 = Q(
+    "q56_mode",
+    (s, d) => {
+      val counts = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      // max(struct(n, rev)) picks the largest count; on ties the LARGEST
+      // rev = smallest leading digit — the priority domain's leading
+      // chars are distinct, so this IS the lexicographic tiebreak
+      counts
+        .groupBy(col("c_mktsegment"))
+        .agg(max(struct(col("n"),
+          array(lit(0) - ascii(col("o_orderpriority"))).as("revkey"),
+          col("o_orderpriority"))).as("w"))
+        .select(col("c_mktsegment"), col("w.o_orderpriority").as("mode_priority"),
+          col("w.n").as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""WITH counts AS (
+      |  SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT c_mktsegment, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY n DESC, o_orderpriority) AS rn
+      |  FROM counts)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+      |FROM ranked WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48, q49,
-    q50, q51, q52, q53, apDistinct, apQuantiles, apTopk, apBloom)
+    q50, q51, q52, q53, q55, q56, apDistinct, apQuantiles, apTopk, apBloom)
 }
