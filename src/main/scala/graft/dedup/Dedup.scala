@@ -326,16 +326,27 @@ object Dedup {
     val reps = tagged.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col(embCol), col("qvec"), col("qnorm"))
     val nReps = reps.count()
-    val k = math.max(2L, math.min(nReps / targetCellRows + 1L, 65536L)).toInt
-    val feat = reps.withColumn("features",
-      array_to_vector(transform(col(embCol), x => x.cast("double"))))
-    val train =
-      if (nReps <= maxTrainRows) feat
-      else feat.sample(withReplacement = false, maxTrainRows.toDouble / nReps, seed)
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cell_id").fit(train)
-    val cells = model.transform(feat)
-      .select(col(idCol).as("id"), col("cell_id"), col("qvec"), col("qnorm"))
+    // clamp k to the representative count: a tiny or fully-duplicate
+    // corpus can leave fewer (distinct) points than clusters, where
+    // KMeans fails or degenerates. Below 2 cells the quadratic is
+    // already one task's worth — skip the k-means stage entirely.
+    val k = math.min(
+      math.max(2L, math.min(nReps / targetCellRows + 1L, 65536L)), nReps).toInt
+    val cells =
+      if (k < 2) {
+        reps.select(col(idCol).as("id"), lit(0).as("cell_id"),
+          col("qvec"), col("qnorm"))
+      } else {
+        val feat = reps.withColumn("features",
+          array_to_vector(transform(col(embCol), x => x.cast("double"))))
+        val train =
+          if (nReps <= maxTrainRows) feat
+          else feat.sample(withReplacement = false, maxTrainRows.toDouble / nReps, seed)
+        val model = new KMeans().setK(k).setSeed(seed)
+          .setFeaturesCol("features").setPredictionCol("cell_id").fit(train)
+        model.transform(feat)
+          .select(col(idCol).as("id"), col("cell_id"), col("qvec"), col("qnorm"))
+      }
     val a = cells.select(col("cell_id"), col("id").as("id_a"),
       col("qvec").as("qa"), col("qnorm").as("na"))
     val b = cells.select(col("cell_id"), col("id").as("id_b"),

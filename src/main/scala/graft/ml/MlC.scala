@@ -413,11 +413,13 @@ object MlC extends Module {
 
   // ml_kmeans — customer segmentation, the unsupervised sibling of the
   // classifier surface: seeded k-means over the assembled features, one
-  // row per cluster with its size and the center snapped to a 1e-6 grid
-  // so the dump is stable. At 100 TB the fit runs on a bounded seeded
-  // sample (the Ivf/semanticDedup discipline) and assignment is one
-  // broadcast-model map. Rows-only (k-means cells aren't SQL); MlSpec
-  // pins determinism and that the cluster sizes partition the corpus.
+  // row per (cluster, coordinate) with the cluster size and the center
+  // loading snapped to a 1e-6 grid so the dump is stable. Long form (no
+  // array column) keeps the dump sortable/hashable by any downstream
+  // tool. At 100 TB the fit runs on a bounded seeded sample (the
+  // Ivf/semanticDedup discipline) and assignment is one broadcast-model
+  // map. Rows-only (k-means cells aren't SQL); MlSpec pins determinism
+  // and that the cluster sizes partition the corpus.
   private val mlKmeans = Q(
     "ml_kmeans",
     (s, d) => {
@@ -428,10 +430,12 @@ object MlC extends Module {
         .setFeaturesCol("features").setPredictionCol("cluster")
       val model = km.fit(feats)
       val sizes = model.transform(feats).groupBy("cluster").count()
-      val centers = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-        (i, v.toArray.toSeq.map(x => math.rint(x * 1e6) / 1e6))
-      }.toSeq.toDF("cluster", "center")
-      sizes.join(centers, "cluster").orderBy("cluster")
+      val centers = model.clusterCenters.zipWithIndex.flatMap { case (v, i) =>
+        v.toArray.zipWithIndex.map { case (x, p) =>
+          (i, p, math.rint(x * 1e6) / 1e6)
+        }
+      }.toSeq.toDF("cluster", "pos", "loading")
+      sizes.join(centers, "cluster").orderBy("cluster", "pos")
     },
     None
   )

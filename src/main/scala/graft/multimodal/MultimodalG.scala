@@ -117,6 +117,10 @@ object MultimodalG extends Module {
       val wlen = 100
       Tables.documents(s, d)
         .withColumn("n", length(col("text")))
+        // empty payloads emit no windows: sequence(0, -1) would yield a
+        // DESCENDING [0, -1] (Spark auto-steps -1) where DuckDB's
+        // generate_series(0, -1) is empty — filter first so both agree
+        .filter(col("n") > 0)
         .withColumn("nwin", ceil(col("n").cast("double") / wlen).cast("int"))
         .select(col("doc_id"), col("n"),
           posexplode(transform(sequence(lit(0), col("nwin") - 1), w =>

@@ -72,11 +72,17 @@ case class GroupedTopK(
 object TopKPushdown extends Rule[LogicalPlan] {
   val MaxK = 1000
 
+  // recursively split nested Ands (the splitConjunctivePredicates
+  // pattern) — predicate merging can leave `rn <= k` arbitrarily deep
+  // in a conjunction tree
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
   private def boundOf(cond: Expression, rn: Attribute): Option[Int] = {
-    val conjuncts = cond match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) => Seq(l, r)
-      case other => Seq(other)
-    }
+    val conjuncts = splitConjuncts(cond)
     conjuncts.collectFirst {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
       case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k - 1

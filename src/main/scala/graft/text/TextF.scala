@@ -624,19 +624,25 @@ object TextF extends Module {
   // the same documents survive on any cluster shape. The rate table is a
   // broadcast literal; the gate is a pure codegen filter pushed at the
   // scan — no shuffle, no RNG. Per-source keep rates: even src ids 80%,
-  // odd 20% (stand-ins for quality-tiered domains).
+  // odd 20% (stand-ins for quality-tiered domains). The gate multiplies
+  // in Z mod 1e9+7 — (doc_id % p) · (2654435761 % p) stays < 7e17, so
+  // the arithmetic never overflows BIGINT in EITHER engine at any
+  // doc_id (a raw doc_id * 2654435761 wraps Long in Spark at
+  // doc_id ≈ 3.5e9 while DuckDB promotes toward HUGEINT — the kept
+  // sets would diverge exactly at scale).
   private val txMixSample = Q(
     "tx_mix_sample",
     (s, d) => {
       val rate = when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
         lit(80L)).otherwise(lit(20L))
+      val gate = (col("doc_id") % lit(1000000007L)) * lit(654435747L) % lit(1000000007L) % 100
       Tables.documents(s, d)
-        .filter((col("doc_id") * lit(2654435761L)) % 100 < rate)
+        .filter(gate < rate)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id, source, n_chars FROM documents
-      |WHERE (doc_id * 2654435761) % 100 <
+      |WHERE (((doc_id % 1000000007) * 654435747) % 1000000007) % 100 <
       |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
       |       THEN 80 ELSE 20 END
       |ORDER BY doc_id""".stripMargin)

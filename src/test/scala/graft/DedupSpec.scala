@@ -165,6 +165,19 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._2._2) === out.size - 3)
   }
 
+  test("semanticDedup survives a fully-duplicate tiny corpus (k-means skipped)") {
+    import spark.implicits._
+    // all rows grid-identical ⇒ one representative ⇒ fewer points than
+    // clusters; the k-means stage must be skipped, not crash
+    val v = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val df = Seq((1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size === 3)
+    assert(out(1L) && !out(2L) && !out(3L),
+      "min-id member must be the sole survivor")
+  }
+
   test("dd_minhash oracle preconditions hold for the synthetic corpus") {
     // the DuckDB twin reproduces graft_poly_hash via ascii() power sums of
     // 5-char shingles — valid only for ASCII text of >= shingle width;

@@ -64,11 +64,17 @@ class MlSpec extends SparkSpec {
 
   test("seeded k-means segmentation is deterministic and partitions the corpus") {
     def run() = SparkEntry.queries("ml_kmeans")(spark, sf)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toSeq
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
     val a = run()
-    assert(a.size === 4)
+    val byCluster = a.groupBy(_._1)
+    assert(byCluster.size === 4)
     val n = Tables.customer(spark, sf).count()
-    assert(a.map(_._2).sum === n, "cluster sizes must partition the customers")
+    assert(byCluster.values.map(_.head._2).sum === n,
+      "cluster sizes must partition the customers")
+    // long form: every cluster reports the same full coordinate vector
+    val dims = byCluster.values.map(_.map(_._3).sorted).toSeq
+    assert(dims.forall(_ === dims.head))
+    assert(dims.head === dims.head.indices.toSeq)
     assert(run() === a, "seeded fit must be run-to-run deterministic")
   }
 

@@ -94,6 +94,18 @@ class PlansSpec extends SparkSpec {
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", rank().over(w)).filter(col("rn") <= 3)
       assert(!ranked.queryExecution.executedPlan.toString.contains("PartialTopK"))
+      // the bound hides in a NESTED And after predicate merging — the
+      // rule must split conjuncts recursively, not one level deep
+      def nested(s: org.apache.spark.sql.SparkSession) =
+        Tables.orders(s, sf).select("o_custkey", "o_orderkey", "o_totalprice")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3 && col("o_totalprice") > 0.0 &&
+            col("o_orderkey") >= 0L)
+      val nestedPlan = nested(s2).queryExecution.executedPlan.toString
+      assert(nestedPlan.contains("PartialTopK"),
+        "rule must find rn <= k inside nested Ands:\n" + nestedPlan)
+      assert(nested(s2).collect().map(_.toSeq).toSet ===
+        nested(orig).collect().map(_.toSeq).toSet)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
