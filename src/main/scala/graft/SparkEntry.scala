@@ -8,6 +8,7 @@ object SparkEntry {
   /** All operator modules, in SURVEY §2 order. */
   def modules: Seq[Module] = Seq(
     graft.operators.RelationalA,
+    graft.operators.RelationalC,
     graft.operators.PreprocessB,
     graft.sources.SourcesI,
     graft.ml.MlC,

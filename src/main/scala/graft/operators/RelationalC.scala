@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{Exact, Q, Tables, Module}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-5 relational additions: higher moments, bounded-state EWMA,
+  * per-group diff, robust scale (MAD), weighted statistics, and
+  * out-of-order (late-event) observability. Same discipline as
+  * [[RelationalA]]: every aggregate partial-aggregable on an exact
+  * integer/decimal grid, derived statistics are fixed IEEE expressions
+  * written with the same shape as the DuckDB oracle, group keys are
+  * either high-cardinality or only ever see pre-aggregated partials.
+  */
+object RelationalC extends Module {
+
+  // q57 — skewness/kurtosis per column (the df.skew()/df.kurt() EDA
+  // moments past q06's mean/std). ONE scan computes exact integer power
+  // sums Σz..Σz⁴ on the 1e-3 grid in a DECIMAL(38,0) accumulator (z⁴
+  // for quantity ≈ 6e18 per ROW — a flat long sum would overflow
+  // immediately; the decimal accumulator is safe to ~1e17 rows and
+  // order-independent), then bias-corrected G1/G2 (the pandas formulas)
+  // as one fixed IEEE expression per column, unpivoted from the single
+  // aggregated row. Skew/kurt are scale-invariant, so the grid factor
+  // cancels and never reappears.
+  private val momentCols = Seq("l_quantity", "l_discount", "l_tax")
+  private val q57 = Q(
+    "q57_skew_kurt",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      def zd(c: String): Column =
+        round(col(c) * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
+      val aggs = momentCols.flatMap { c =>
+        val z = zd(c)
+        Seq(
+          count(lit(1)).as(s"${c}_n"),
+          sum(z).cast("double").as(s"${c}_s1"),
+          sum(z * z).cast("double").as(s"${c}_s2"),
+          sum(z * z * z).cast("double").as(s"${c}_s3"),
+          sum(z * z * z * z).cast("double").as(s"${c}_s4"))
+      }
+      val a = l.agg(aggs.head, aggs.tail: _*)
+      val rows = momentCols.map { c =>
+        val n = col(s"${c}_n").cast("double")
+        val m1 = col(s"${c}_s1") / n
+        val q2 = col(s"${c}_s2") / n
+        val q3 = col(s"${c}_s3") / n
+        val q4 = col(s"${c}_s4") / n
+        val m2 = q2 - m1 * m1
+        val m3 = q3 - lit(3.0) * m1 * q2 + lit(2.0) * m1 * m1 * m1
+        val m4 = q4 - lit(4.0) * m1 * q3 + lit(6.0) * m1 * m1 * q2 -
+          lit(3.0) * m1 * m1 * m1 * m1
+        struct(
+          lit(c).as("col_name"),
+          col(s"${c}_n").as("n"),
+          (m3 / (m2 * sqrt(m2)) * sqrt(n * (n - lit(1.0))) / (n - lit(2.0))).as("skew"),
+          (((n + lit(1.0)) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) * (n - lit(1.0)) /
+            ((n - lit(2.0)) * (n - lit(3.0)))).as("kurt"))
+      }
+      a.select(inline(array(rows: _*))).orderBy("col_name")
+    },
+    Some {
+      val parts = momentCols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(COUNT(*) AS DOUBLE) AS n,
+           |  CAST(SUM(z) AS DOUBLE) AS s1, CAST(SUM(z*z) AS DOUBLE) AS s2,
+           |  CAST(SUM(z*z*z) AS DOUBLE) AS s3, CAST(SUM(z*z*z*z) AS DOUBLE) AS s4
+           |FROM (SELECT CAST(CAST(ROUND($c * 1000.0) AS BIGINT) AS HUGEINT) AS z FROM lineitem)""".stripMargin
+      }
+      s"""WITH s AS (${parts.mkString("\nUNION ALL\n")}),
+         |m AS (SELECT col_name, n_b, n, s1 / n AS m1, s2 / n AS q2, s3 / n AS q3, s4 / n AS q4 FROM s),
+         |mm AS (SELECT col_name, n_b, n, m1,
+         |  q2 - m1 * m1 AS m2,
+         |  q3 - 3.0 * m1 * q2 + 2.0 * m1 * m1 * m1 AS m3,
+         |  q4 - 4.0 * m1 * q3 + 6.0 * m1 * m1 * q2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+         |FROM m)
+         |SELECT col_name, n_b AS n,
+         |  m3 / (m2 * SQRT(m2)) * SQRT(n * (n - 1.0)) / (n - 2.0) AS skew,
+         |  ((n + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)) AS kurt
+         |FROM mm ORDER BY col_name""".stripMargin
+    }
+  )
+
+  // q58 — exponentially weighted moving average of order value per
+  // customer (pandas ewm(alpha=.5).mean()), in its BOUNDED-state form:
+  // truncated at 8 terms, so the weights are the integers 128..1 and the
+  // whole statistic is two exact BIGINT window sums on the cent grid —
+  // one IEEE division at the end, no float accumulation anywhere. The
+  // 8-term truncation is deliberate: weight 2⁻⁸ < 0.4% — and O(1) state
+  // is exactly what the streaming twin of this statistic would hold.
+  // Keyed on high-cardinality o_custkey; all 8 lags share one window.
+  private val q58 = Q(
+    "q58_ewma",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cz = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val terms = (0 to 7).map { j =>
+        val v = if (j == 0) cz else lag(cz, j).over(w)
+        (v, 1L << (7 - j))
+      }
+      val num = terms.map { case (v, wt) => coalesce(v, lit(0L)) * lit(wt) }.reduce(_ + _)
+      val den = terms.map { case (v, wt) =>
+        when(v.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some {
+      def lagz(j: Int): String =
+        if (j == 0) "CAST(ROUND(o_totalprice * 100.0) AS BIGINT)"
+        else s"LAG(CAST(ROUND(o_totalprice * 100.0) AS BIGINT), $j) OVER w"
+      val num = (0 to 7).map(j => s"COALESCE(${lagz(j)}, 0) * ${1L << (7 - j)}").mkString(" + ")
+      val den = (0 to 7).map(j =>
+        s"CASE WHEN ${lagz(j)} IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END").mkString(" + ")
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+         |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100.0 AS ewma
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin
+    }
+  )
+
+  // q59 — per-customer diff/shift (pandas groupby().diff()): consecutive
+  // order value delta and days between orders. One lag window on the
+  // high-cardinality customer key; the deltas are single IEEE
+  // subtractions of stored doubles (exact-identical in any engine) and
+  // integer day arithmetic — nothing to quantize. First order per
+  // customer yields NULLs on both sides.
+  private val q59 = Q(
+    "q59_diff",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("price_diff"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("days_since"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+      |  o_totalprice - LAG(o_totalprice, 1) OVER w AS price_diff,
+      |  CAST(date_diff('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
+  // q60 — grouped median absolute deviation (the robust scale estimate
+  // behind robust z-scores; pandas: x.sub(med).abs().median() per group).
+  // TWO passes through [[Quantiles]]' (group, bucket) histogram
+  // machinery — median of x, then median of |x − med| — each pass
+  // bounded-metadata on the driver, never a quantile window over the
+  // 3-value group key. The oracle recomputes both medians with the
+  // identical interpolation expression, so the doubles match
+  // bit-for-bit.
+  private val q60 = Q(
+    "q60_grouped_mad",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val meds = Quantiles.groupedExactQuantiles(
+        l, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .map { case (g, _, v) => (g, v) }
+      val devs = l.join(broadcast(meds.toDF("g", "med")),
+          col("l_returnflag") === col("g"))
+        .select(col("l_returnflag"), col("med"),
+          abs(col("l_extendedprice") - col("med")).as("dev"))
+      val mads = Quantiles.groupedExactQuantiles(devs, "l_returnflag", "dev", Seq(0.5))
+        .map { case (g, _, v) => (g, v) }.toMap
+      meds.map { case (g, m) => (g, m, mads(g)) }
+        .toDF("l_returnflag", "median", "mad")
+        .orderBy("l_returnflag")
+    },
+    Some {
+      // interpolated grouped median over an arbitrary source relation
+      def medSql(src: String, g: String, x: String, out: String): String =
+        s"""$out AS (
+           |  SELECT b.g, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value FROM (
+           |    SELECT r.g, p.h,
+           |      MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+           |      MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+           |    FROM (SELECT $g AS g, $x AS x,
+           |            ROW_NUMBER() OVER (PARTITION BY $g ORDER BY $x) AS rn FROM $src) r
+           |    JOIN (SELECT g, 0.5 * (cnt - 1.0) AS h,
+           |            CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+           |            LEAST(CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+           |          FROM (SELECT $g AS g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM $src GROUP BY 1)) p
+           |      ON r.g = p.g AND (r.rn = p.rlo OR r.rn = p.rhi)
+           |    GROUP BY r.g, p.h) b)""".stripMargin
+      s"""WITH ${medSql("lineitem", "l_returnflag", "l_extendedprice", "med")},
+         |d AS (
+         |  SELECT l.l_returnflag AS dg, ABS(l.l_extendedprice - med.value) AS dev
+         |  FROM lineitem l JOIN med ON l.l_returnflag = med.g),
+         |${medSql("d", "dg", "dev", "madv")}
+         |SELECT med.g AS l_returnflag, med.value AS median, madv.value AS mad
+         |FROM med JOIN madv ON med.g = madv.g ORDER BY l_returnflag""".stripMargin
+    }
+  )
+
+  // q61 — weighted mean / variance per group (quantity-weighted price —
+  // the np.average(weights=...) step of any weighted EDA): one
+  // partial-aggregable scan accumulating Σw, Σwx, Σwx² as exact
+  // DECIMAL(38,0) integer-grid sums (per-row product ≤ 5.5e20 — decimal,
+  // never long), then fixed IEEE expressions with the grid factors
+  // divided back out. Population variance (ddof=0, the np.average
+  // convention).
+  private val q61 = Q(
+    "q61_weighted_stats",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      def dz(c: Column): Column = round(c * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
+      val zw = dz(col("l_quantity"))
+      val zx = dz(col("l_extendedprice"))
+      val a = l.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(zw).cast("double").as("sw"),
+          sum(zw * zx).cast("double").as("swx"),
+          sum(zw * zx * zx).cast("double").as("swxx"))
+      val wmean = col("swx") / col("sw") / lit(1000.0)
+      a.select(col("l_returnflag"), col("n"),
+          wmean.as("wmean"),
+          (col("swxx") / col("sw") / lit(1000000.0) - wmean * wmean).as("wvar"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(zw * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000.0 AS wmean,
+      |  CAST(SUM(zw * zx * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000000.0
+      |    - (CAST(SUM(zw * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000.0)
+      |    * (CAST(SUM(zw * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000.0) AS wvar
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS HUGEINT) AS zw,
+      |    CAST(CAST(ROUND(l_extendedprice * 1000.0) AS BIGINT) AS HUGEINT) AS zx
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
+  // q62 — late/out-of-order event metrics (the observability surface a
+  // watermarked streaming ingest needs: how much disorder, how much
+  // would a 10-minute watermark drop). Per-user high-watermark = max
+  // event time over PRIOR arrivals (arrival order = event_id) — a
+  // rows-frame window on the high-cardinality user key — then one
+  // partial-aggregable rollup to per-hour counts. All integer
+  // millisecond arithmetic; nothing to quantize.
+  private val q62 = Q(
+    "q62_late_events",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = Tables.events(s, d)
+        .withColumn("hwm_ms", unix_millis(max(col("ts")).over(w)))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+      ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("ts_ms") < col("hwm_ms") - lit(600000L), 1L).otherwise(0L)).as("n_late"),
+          max(greatest(coalesce(col("hwm_ms") - col("ts_ms"), lit(0L)), lit(0L))).as("max_disorder_ms"))
+        .orderBy("h")
+    },
+    Some("""WITH e AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |    epoch_ms(ts) AS ts_ms,
+      |    epoch_ms(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS hwm_ms
+      |  FROM events)
+      |SELECT h, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN ts_ms < hwm_ms - 600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(MAX(GREATEST(COALESCE(hwm_ms - ts_ms, 0), 0)) AS BIGINT) AS max_disorder_ms
+      |FROM e GROUP BY h ORDER BY h""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62)
+}

