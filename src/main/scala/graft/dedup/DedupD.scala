@@ -399,7 +399,57 @@ object DedupD extends Module {
     None
   )
 
+  // dd_winnow_pairs — SUBSTRING-level near-dup candidates: documents
+  // sharing ≥ 3 winnowing fingerprints (MOSS guarantee: any shared
+  // ≥ 12-char passage leaves a shared print — catches excerpt reuse and
+  // boilerplate that whole-document MinHash dilutes away). Fingerprints
+  // come from the `graft_winnow` codegen expression (tx_winnow's
+  // machinery); the pair stage joins only WITHIN a fingerprint bucket.
+  // Ubiquitous prints (document frequency > 50) are dropped first — a
+  // boilerplate stop-list, the same reason tf-idf down-weights common
+  // terms — which also bounds per-bucket fanout at 100 TB (the
+  // candidatePairs cap discipline); singleton prints (df < 2) can't
+  // produce a pair and are dropped before the self-join.
+  private val ddWinnowPairs = Q(
+    "dd_winnow_pairs",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))
+      val usable = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+        .select("fp")
+      val f2 = fps.join(usable, "fp")
+      val a = f2.select(col("fp"), col("doc_id").as("id_a"))
+      val b = f2.select(col("fp"), col("doc_id").as("id_b"))
+      a.join(b, "fp").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id, list_transform(generate_series(1, length(text) - 4),
+      |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT) * 923521 +
+      |         ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) * 29791 +
+      |         ascii(substr(text, CAST(i + 2 AS INTEGER), 1)) * 961 +
+      |         ascii(substr(text, CAST(i + 3 AS INTEGER), 1)) * 31 +
+      |         ascii(substr(text, CAST(i + 4 AS INTEGER), 1))) AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(hs) - 7),
+      |    p -> list_min(list_slice(hs, CAST(p AS INTEGER), CAST(p + 7 AS INTEGER))))) AS fps
+      |  FROM h),
+      |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |usable AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 50),
+      |fr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN usable USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+      |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddSimhash,
     ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
-    ddEmbedCosine)
+    ddEmbedCosine, ddWinnowPairs)
 }

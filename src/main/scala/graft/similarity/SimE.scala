@@ -167,6 +167,60 @@ object SimE extends Module {
       |ORDER BY query_id, corpus_id""".stripMargin)
   )
 
+  // emb_knn_classify — k-NN label prediction (the classify-by-neighbors
+  // step after any ANN index: nearest-class vote, sklearn
+  // KNeighborsClassifier analog). Exact grid-cosine 10-NN per query,
+  // neighbor labels joined on the high-cardinality corpus id, majority
+  // vote as a partial-aggregable count + struct-argmax (ties → smaller
+  // label), never a per-query sort of the label set. At 100 TB the
+  // neighbor stage swaps to the IVF/PQ index; the vote is unchanged.
+  private val embKnn = Q(
+    "emb_knn_classify",
+    (s, d) => {
+      val (q, c) = split(s, d)
+      val knn = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 10)
+      val lbl = Tables.embeddings(s, d).select(col("vec_id").as("corpus_id"), col("label"))
+      val truth = Tables.embeddings(s, d).select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))
+      knn.join(lbl, "corpus_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
+        .select(col("query_id"), (-col("m.nl")).as("pred_label"), col("m.votes").as("votes"))
+        .join(broadcast(truth), "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"), col("votes"))
+        .orderBy("query_id")
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, SUM(qv * qv) AS nq FROM q GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id, SUM(a.qv * b.qv) AS dot
+      |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 10 AND b.vec_id >= 10
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT query_id, corpus_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      |      CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) DESC,
+      |      corpus_id) AS rank
+      |  FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = corpus_id),
+      |v AS (
+      |  SELECT r.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+      |  FROM ranked r JOIN embeddings e ON e.vec_id = r.corpus_id
+      |  WHERE r.rank <= 10 GROUP BY 1, 2),
+      |p AS (
+      |  SELECT query_id, label, votes,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      |  FROM v)
+      |SELECT p.query_id, t.label AS true_label, p.label AS pred_label, p.votes
+      |FROM p JOIN embeddings t ON t.vec_id = p.query_id
+      |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
-    embCentroid, simRange)
+    embCentroid, simRange, embKnn)
 }

@@ -416,28 +416,33 @@ object TextF extends Module {
   // exactly. Scale shape: one token-count aggregate; the top-V cut is a
   // TakeOrdered (V rows of driver metadata, never the dictionary);
   // scoring is a broadcast join + one per-doc aggregate.
+  /** Unigram-LM scored documents (shared by tx_lm_score and
+    * tx_lm_buckets): corpus-fit top-V token ranks (bounded metadata),
+    * broadcast model join, per-doc partial-aggregable rank sums.
+    */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = 20
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(v)
+      .collect() // TakeOrdered: exactly V rows of bounded metadata
+      .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1L) }.toSeq
+    toks.join(broadcast(vocab.toDF("t", "r")), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("r"), lit(v + 1L))).as("rank_sum"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"), col("rank_sum"),
+        (col("rank_sum").cast("double") / col("n_tok").cast("double")).as("avg_rank"),
+        (col("n_oov").cast("double") / col("n_tok").cast("double")).as("oov_frac"))
+  }
+
   private val txLmScore = Q(
     "tx_lm_score",
-    (s, d) => {
-      import s.implicits._
-      val v = 20
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
-        .filter(length(col("t")) > 0)
-      val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("t")).limit(v)
-        .collect() // TakeOrdered: exactly V rows of bounded metadata
-        .zipWithIndex.map { case (r, i) => (r.getString(0), i + 1L) }.toSeq
-      toks.join(broadcast(vocab.toDF("t", "r")), Seq("t"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_oov"),
-          sum(coalesce(col("r"), lit(v + 1L))).as("rank_sum"))
-        .select(col("doc_id"), col("n_tok"), col("n_oov"), col("rank_sum"),
-          (col("rank_sum").cast("double") / col("n_tok").cast("double")).as("avg_rank"),
-          (col("n_oov").cast("double") / col("n_tok").cast("double")).as("oov_frac"))
-        .orderBy("doc_id")
-    },
+    (s, d) => lmScored(s, d).orderBy("doc_id"),
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
@@ -648,7 +653,63 @@ object TextF extends Module {
       |ORDER BY doc_id""".stripMargin)
   )
 
+  // tx_lm_buckets — CCNet-style head/middle/tail corpus partition by LM
+  // score tertiles (Wenzek et al. 2020: bucket web text by LM
+  // perplexity; training pipelines then sample buckets at different
+  // rates). Tertile fences over the avg-rank surface come from
+  // [[graft.operators.Quantiles]]' distributed bucket-histogram
+  // selection — bounded driver metadata, never a global sort of the
+  // scores — and the bucket label is a broadcast narrow map. The oracle
+  // recomputes the fences with the identical interpolation expression,
+  // so the comparison doubles match bit-for-bit.
+  private val txLmBuckets = Q(
+    "tx_lm_buckets",
+    (s, d) => {
+      val scores = lmScored(s, d).select(col("doc_id"), col("avg_rank"))
+      val fs = graft.operators.Quantiles.exactQuantiles(
+        scores, Seq("avg_rank"), Seq(1.0 / 3, 2.0 / 3))
+      val f1 = fs.find(_._2 < 0.5).get._3
+      val f2 = fs.find(_._2 > 0.5).get._3
+      scores.select(col("doc_id"), col("avg_rank"),
+          when(col("avg_rank") > lit(f2), lit("tail"))
+            .when(col("avg_rank") > lit(f1), lit("middle"))
+            .otherwise(lit("head")).as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |vocab AS (
+      |  SELECT t, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS BIGINT) AS r
+      |  FROM toks GROUP BY t
+      |  ORDER BY COUNT(*) DESC, t LIMIT 20),
+      |sc AS (
+      |  SELECT d.doc_id,
+      |    CAST(SUM(COALESCE(v.r, 21)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_rank
+      |  FROM toks d LEFT JOIN vocab v ON d.t = v.t GROUP BY d.doc_id),
+      |f AS (
+      |  SELECT q, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value
+      |  FROM (
+      |    SELECT q, q * (cnt - 1.0) AS h,
+      |      CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |      LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |    FROM (SELECT CAST(1.0/3.0 AS DOUBLE) AS q UNION ALL SELECT CAST(2.0/3.0 AS DOUBLE)) qs,
+      |         (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM sc) n) h
+      |  JOIN (SELECT avg_rank AS x_lo, ROW_NUMBER() OVER (ORDER BY avg_rank) AS rn_lo FROM sc) lo ON rlo = rn_lo
+      |  JOIN (SELECT avg_rank AS x_hi, ROW_NUMBER() OVER (ORDER BY avg_rank) AS rn_hi FROM sc) hi ON rhi = rn_hi),
+      |fx AS (
+      |  SELECT MAX(CASE WHEN q < 0.5 THEN value END) AS f1,
+      |         MAX(CASE WHEN q > 0.5 THEN value END) AS f2 FROM f)
+      |SELECT sc.doc_id, sc.avg_rank,
+      |  CASE WHEN sc.avg_rank > fx.f2 THEN 'tail'
+      |       WHEN sc.avg_rank > fx.f1 THEN 'middle'
+      |       ELSE 'head' END AS bucket
+      |FROM sc, fx ORDER BY doc_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
-    txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample)
+    txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
+    txLmBuckets)
 }

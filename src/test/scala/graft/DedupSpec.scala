@@ -195,4 +195,30 @@ class DedupSpec extends SparkSpec {
     val j = Dedup.jaccardVerify(pairs, shingled, "doc_id").head.getDouble(2)
     assert(j === 1.0)
   }
+
+  test("winnowing: docs sharing a long passage share >= 3 fingerprints") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // MOSS guarantee: with k=5, w=8 any shared >= 12-char substring
+    // leaves >= 1 shared print; a 60-char shared passage leaves many
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"unrelated prefix text here $passage and other suffix"),
+      (3L, "completely different content with no overlap whatsoever zz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))
+    val byDoc = docs.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val shared12 = byDoc(1L).intersect(byDoc(2L))
+    assert(shared12.size >= 3, s"shared passage must leave >= 3 prints, got ${shared12.size}")
+    assert(byDoc(1L).intersect(byDoc(3L)).size < 3)
+  }
+
+  test("dd_winnow_pairs emits ordered pairs with the declared threshold") {
+    val out = SparkEntry.queries("dd_winnow_pairs")(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be id_a < id_b")
+    assert(out.forall(_.getLong(2) >= 3L), "shared_fps threshold is 3")
+  }
 }

@@ -168,4 +168,21 @@ class SimilaritySpec extends SparkSpec {
       Similarity.cosineQ(col("qvec"), col("qvec"), col("qnorm"), col("qnorm")).as("cos"))
     assert(c.collect().forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
   }
+
+  test("emb_knn_classify: majority vote reconciles with the 10-NN neighbor labels") {
+    val preds = SparkEntry.queries("emb_knn_classify")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSeq
+    assert(preds.length === 10)
+    assert(preds.forall { case (_, _, votes) => votes >= 1L && votes <= 10L })
+    // recompute one query's vote from the brute top-k surface
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val nbrs = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 10)
+      .filter(col("query_id") === preds.head._1)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label")), "corpus_id")
+      .collect().map(_.getAs[Int]("label"))
+    val counts = nbrs.groupBy(identity).view.mapValues(_.length).toMap
+    val best = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+    assert(preds.head._2 === best._1 && preds.head._3 === best._2.toLong)
+  }
 }

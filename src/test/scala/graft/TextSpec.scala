@@ -49,4 +49,20 @@ class TextSpec extends SparkSpec {
     // an email whose local part is digit-heavy is an email, not a <NUM>
     assert(out(6L) === "<EMAIL> from <IP> ordered <NUM>")
   }
+
+  test("tx_lm_buckets: tertiles partition the corpus, scores respect bucket order") {
+    val out = SparkEntry.queries("tx_lm_buckets")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getString(2)))
+    val n = out.length
+    val byB = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byB.keySet === Set("head", "middle", "tail"))
+    // interpolated tertile fences put ~n/3 in each bucket
+    assert(byB.values.forall(c => math.abs(c - n / 3.0) <= 2),
+      s"tertile buckets must be balanced: $byB")
+    val maxHead = out.filter(_._2 == "head").map(_._1).max
+    val mid = out.filter(_._2 == "middle").map(_._1)
+    val minTail = out.filter(_._2 == "tail").map(_._1).min
+    assert(mid.forall(s => s > maxHead - 1e-12 && s < minTail + 1e-12) || mid.isEmpty)
+    assert(maxHead <= minTail)
+  }
 }
