@@ -9,6 +9,7 @@ import org.apache.spark.ml.feature.{IndexToString, StandardScaler, StringIndexer
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.C — ML on Spark MLlib, mirroring `notebooks/modeling.py`:
@@ -500,7 +501,70 @@ object MlC extends Module {
     None
   )
 
+  // ml_calibration — reliability table (sklearn calibration_curve): 10
+  // fixed-width probability bins, each with its count, mean predicted
+  // probability and empirical positive rate. One partial-aggregable
+  // scan of the scored hold-out; the mean runs through the exact
+  // decimal accumulator so the dump is run-to-run deterministic under
+  // the seeded fit. Rows-only (seeded model scores aren't SQL); MlSpec
+  // pins the partition and rate bounds.
+  private val mlCalibration = Q(
+    "ml_calibration",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+      preds
+        .groupBy(least(floor(col("prob_1") * 10).cast("int"), lit(9)).as("bin"))
+        .agg(
+          count(lit(1)).as("n"),
+          sumd12(col("prob_1")).as("sum_p"),
+          sum(col("label").cast("long")).as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("sum_p") / col("n").cast("double")).as("mean_pred"),
+          (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+        .orderBy("bin")
+    },
+    None
+  )
+
+  // ml_lift — cumulative gains/lift table by score decile (the
+  // model-targeting curve: "mail the top k%"). Decile fences come from
+  // [[graft.operators.Quantiles]]' distributed selection over the
+  // scores — bounded driver metadata, no ntile-over-global-sort — and
+  // decile 1 is the HIGHEST-score bucket. The cumulative pass runs on
+  // the 10-row decile surface, so the only wide work is one
+  // partial-aggregable scan of the scored hold-out. Rows-only; MlSpec
+  // pins capture monotonicity and the final-lift anchor.
+  private val mlLift = Q(
+    "ml_lift",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+      val fences = graft.operators.Quantiles.exactQuantiles(
+        preds, Seq("prob_1"), (1 to 9).map(_ / 10.0)).map(_._3)
+      val decile = fences.foldLeft(lit(10L)) { (acc, f) =>
+        acc - when(col("prob_1") > lit(f), 1L).otherwise(0L)
+      }
+      val byDec = preds.groupBy(decile.as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("label").cast("long")).as("n_pos"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // the window runs over the <= 10-row decile surface, never rows
+      byDec
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_pos", sum(col("n_pos")).over(w))
+        .withColumn("tot_n", sum(col("n")).over(all))
+        .withColumn("tot_pos", sum(col("n_pos")).over(all))
+        .select(col("decile"), col("n"), col("n_pos"),
+          (col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("capture"),
+          ((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("tot_pos").cast("double") / col("tot_n").cast("double"))).as("cum_lift"))
+        .orderBy("decile")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans, mlSweep, mlPca)
+    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift)
 }

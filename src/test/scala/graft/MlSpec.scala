@@ -151,4 +151,38 @@ class MlSpec extends SparkSpec {
       .filter(col("c_custkey") % 10 === 5).count()
     assert(nEval === expected)
   }
+
+  test("ml_calibration bins partition the hold-out with bounded rates") {
+    val out = SparkEntry.queries("ml_calibration")(spark, sf).collect()
+    val holdout = MlC.logregPredictions(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === holdout, "bins must partition the hold-out")
+    out.foreach { r =>
+      val (bin, n, nPos, meanPred, posRate) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nPos <= n)
+      assert(posRate >= 0.0 && posRate <= 1.0)
+      assert(meanPred >= bin / 10.0 - 1e-9, s"bin $bin mean_pred $meanPred below range")
+      if (bin < 9) assert(meanPred < (bin + 1) / 10.0 + 1e-9)
+    }
+    // seeded fit: the dump is run-to-run deterministic
+    val again = SparkEntry.queries("ml_calibration")(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("ml_lift: capture is monotone to 1.0 and the full-population lift is 1") {
+    val out = SparkEntry.queries("ml_lift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty && out.length <= 10)
+    val holdout = MlC.logregPredictions(spark, sf).count()
+    assert(out.map(_._2).sum === holdout, "deciles must partition the hold-out")
+    val captures = out.map(_._4)
+    assert(captures.zip(captures.tail).forall { case (a, b) => b >= a },
+      "cumulative capture must be non-decreasing")
+    assert(math.abs(captures.last - 1.0) < 1e-12, "all positives captured at decile 10")
+    assert(math.abs(out.last._5 - 1.0) < 1e-12, "full-population lift is 1 by definition")
+    // decile 1 holds the top scores: its positive rate should not be the
+    // worst in the table (weak sanity on the model's ranking signal)
+    val rates = out.map(t => t._3.toDouble / t._2)
+    assert(rates.head >= rates.min)
+  }
 }
