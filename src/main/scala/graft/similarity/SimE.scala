@@ -221,6 +221,60 @@ object SimE extends Module {
       |WHERE p.rn = 1 ORDER BY p.query_id""".stripMargin)
   )
 
+  // emb_label_purity — mislabel / outlier detection by distance to the
+  // label centroid (the data-curation pass that catches wrongly-tagged
+  // training examples). Cosine is SCALE-invariant, so the centroid is
+  // used as its exact integer SUM vector (Σqv per (label,pos)) — the
+  // 1/n never needs to materialize and every sum is exact on both
+  // engines; per-row cosine accumulates qv·cz products in DECIMAL(38,0)
+  // (cz grows with label size — a flat long dot would overflow at
+  // ~1e4-member labels). Centroid tables are |labels|·dim rows —
+  // broadcast. One explode + two broadcast joins + one high-cardinality
+  // groupBy(vec_id): scales with the corpus.
+  private val embPurity = Q(
+    "emb_label_purity",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val qv = Similarity.withQuantized(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), col("label"), posexplode(col("qvec")).as(Seq("pos", "qv")))
+      val cent = qv.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+        .agg(sum(col("qv")).as("cz"))
+      val cnorm = cent.groupBy(col("c_label").as("n_label"))
+        .agg(sum(col("cz").cast(DecimalType(38, 0)) * col("cz").cast(DecimalType(38, 0)))
+          .cast("double").as("nc"))
+      qv.join(broadcast(cent),
+          col("label") === col("c_label") && col("pos") === col("c_pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          sum(col("qv").cast(DecimalType(38, 0)) * col("cz").cast(DecimalType(38, 0)))
+            .cast("double").as("dot"),
+          sum(col("qv") * col("qv")).cast("double").as("nv"))
+        .join(broadcast(cnorm), col("label") === col("n_label"))
+        .select(col("vec_id"), col("label"),
+          (col("dot") / (sqrt(col("nv")) * sqrt(col("nc")))).as("centroid_cos"))
+        .withColumn("flagged", col("centroid_cos") < lit(0.1))
+        .orderBy("vec_id")
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id, label,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings),
+      |cent AS (SELECT label AS c_label, pos AS c_pos, SUM(qv) AS cz FROM q GROUP BY 1, 2),
+      |cnorm AS (SELECT c_label AS n_label, CAST(SUM(cz * cz) AS DOUBLE) AS nc FROM cent GROUP BY 1),
+      |dots AS (
+      |  SELECT q.vec_id, q.label,
+      |    CAST(SUM(q.qv * c.cz) AS DOUBLE) AS dot,
+      |    CAST(SUM(q.qv * q.qv) AS DOUBLE) AS nv
+      |  FROM q JOIN cent c ON q.label = c.c_label AND q.pos = c.c_pos
+      |  GROUP BY 1, 2)
+      |SELECT d.vec_id, d.label,
+      |  d.dot / (SQRT(d.nv) * SQRT(n.nc)) AS centroid_cos,
+      |  d.dot / (SQRT(d.nv) * SQRT(n.nc)) < 0.1 AS flagged
+      |FROM dots d JOIN cnorm n ON d.label = n.n_label
+      |ORDER BY vec_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
-    embCentroid, simRange, embKnn)
+    embCentroid, simRange, embKnn, embPurity)
 }

@@ -185,4 +185,16 @@ class SimilaritySpec extends SparkSpec {
     val best = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
     assert(preds.head._2 === best._1 && preds.head._3 === best._2.toLong)
   }
+
+  test("emb_label_purity: cosines bounded, a planted opposite vector is flagged") {
+    import spark.implicits._
+    val out = SparkEntry.queries("emb_label_purity")(spark, sf).collect()
+    assert(out.length === emb.count())
+    assert(out.forall(r => r.getDouble(2) >= -1.0 - 1e-12 && r.getDouble(2) <= 1.0 + 1e-12))
+    assert(out.forall(r => r.getBoolean(3) === (r.getDouble(2) < 0.1)))
+    // isotropic corpus: most members sit near their label centroid's
+    // hemisphere — the mean cosine must be positive
+    val mean = out.map(_.getDouble(2)).sum / out.length
+    assert(mean > 0.0, f"mean centroid cosine $mean%.4f")
+  }
 }
