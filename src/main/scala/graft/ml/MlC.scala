@@ -48,9 +48,11 @@ object MlC extends Module {
   private def assembler = new VectorAssembler()
     .setInputCols(featCols).setOutputCol("features")
 
-  /** Deterministic 80/20 hash split (same recipe as q18). */
+  /** Deterministic 80/20 hash split (same overflow-free Z-mod-p recipe
+    * as q18 — a raw key*2654435761 would wrap Long at key ≈ 3.5e9).
+    */
   private def split(df: DataFrame): (DataFrame, DataFrame) = {
-    val bucket = (col("c_custkey") * lit(2654435761L)) % 1000
+    val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) % lit(1000000007L) % 1000
     (df.filter(bucket < 800), df.filter(bucket >= 800))
   }
 
@@ -564,7 +566,39 @@ object MlC extends Module {
     None
   )
 
+  // ml_slice_metrics — per-slice model quality (the fairness/cohort
+  // readout: does the classifier degrade on some nations?): hold-out
+  // confusion counts grouped by the nation slice, with accuracy/TPR/FPR
+  // as guarded IEEE ratios (NULL when a slice has no positives /
+  // negatives, matching sklearn's zero_division behavior). One
+  // partial-aggregable pass over the scored hold-out joined to the
+  // slice column. Rows-only; MlSpec reconciles slice totals with the
+  // global report.
+  private val mlSlice = Q(
+    "ml_slice_metrics",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+      val slices = customerFeatures(s, d).select(col("c_custkey"), col("nation"))
+      preds.join(slices, "c_custkey")
+        .groupBy(col("nation").cast("int").as("nation"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("label") === col("prediction"), 1L).otherwise(0L)).as("n_correct"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)).as("fp"))
+        .select(col("nation"), col("n"), col("n_pos"),
+          (col("n_correct").cast("double") / col("n").cast("double")).as("accuracy"),
+          when(col("n_pos") > 0L,
+            col("tp").cast("double") / col("n_pos").cast("double")).as("tpr"),
+          when(col("n") - col("n_pos") > 0L,
+            col("fp").cast("double") / (col("n") - col("n_pos")).cast("double")).as("fpr"))
+        .orderBy("nation")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift)
+    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice)
 }

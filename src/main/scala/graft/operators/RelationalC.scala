@@ -275,5 +275,118 @@ object RelationalC extends Module {
       |FROM e GROUP BY h ORDER BY h""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62)
+  // q63 — EXACT percent_rank per row WITHIN low-cardinality groups
+  // (q48's grouped sibling — the case where partitionBy(group) would
+  // funnel a third of the table through one sort task). Per-(group,
+  // bucket) histogram → per-group cumulative offsets (bounded driver
+  // metadata: ≤ groups × 65536 bucket rows by construction, never
+  // data-proportional) → rank window keyed on the high-cardinality
+  // (group, bucket) pair; point-mass buckets skip the sort entirely, so
+  // value skew stays the cheap case. For HIGH-cardinality groups the
+  // plain window is already parallel — this operator exists for the
+  // low-cardinality funnel.
+  private val q63 = Q(
+    "q63_group_percent_rank",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val g = "l_returnflag"; val v = "l_extendedprice"
+      val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
+          count(lit(1)).as("ng"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      val statsDf = broadcast(stats.toSeq.toDF("g", "lo", "hi", "ng"))
+      val keyed0 = l.join(statsDf, col(g) === col("g"))
+      val bCol = when(col("lo") === col("hi"), lit(1L))
+        .otherwise(least(width_bucket(col(v), col("lo"), col("hi"), lit(65536)), lit(65536L)))
+      val counts = keyed0.select(col("g").as("cg"), bCol.as("b"), col(v).as("cv"))
+        .groupBy("cg", "b")
+        .agg(count(lit(1)).as("c"), min("cv").as("bmin"), max("cv").as("bmax"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+      val offsets = counts.groupBy(_._1).toSeq.flatMap { case (gv, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val cum = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cum).map { case ((_, b, _, bmin, bmax), off) => (gv, b, off, bmin == bmax) }
+      }
+      val offDf = broadcast(offsets.toDF("og", "ob", "off", "pointmass"))
+      val keyed = keyed0.withColumn("b", bCol)
+        .join(offDf, col("g") === col("og") && col("b") === col("ob"))
+      val w = Window.partitionBy(col("g"), col("b")).orderBy(col(v))
+      val diverse = keyed.filter(!col("pointmass"))
+        .withColumn("grank", col("off") + rank().over(w))
+      val point = keyed.filter(col("pointmass"))
+        .withColumn("grank", col("off") + lit(1L))
+      diverse.unionByName(point)
+        .select(col(g), col("l_orderkey"), col("l_linenumber"), col(v),
+          when(col("ng") > 1L,
+            (col("grank") - lit(1L)).cast("double") / (col("ng") - lit(1L)).cast("double"))
+            .otherwise(lit(0.0)).as("pr"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS pr
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+
+  // q64 — Welch two-sample t-test between the open/finished lineitem
+  // populations (the A/B significance step of any experiment readout).
+  // The t statistic is scale-invariant, so it is computed directly on
+  // the exact 1e-3-grid power sums — ONE conditional-aggregate scan for
+  // both samples, then the t/df closed forms as fixed IEEE expressions
+  // (Welch–Satterthwaite degrees of freedom). mean_diff is rescaled
+  // back to price units.
+  private val q64 = Q(
+    "q64_welch_ttest",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val z = round(col("l_extendedprice") * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
+      def cond(status: String, e: Column): Column =
+        sum(when(col("l_linestatus") === status, e).otherwise(lit(0).cast(DecimalType(38, 0))))
+      val a = l.agg(
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("na_l"),
+        cond("O", z).cast("double").as("sa1"),
+        cond("O", z * z).cast("double").as("sa2"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("nb_l"),
+        cond("F", z).cast("double").as("sb1"),
+        cond("F", z * z).cast("double").as("sb2"))
+      val na = col("na_l").cast("double"); val nb = col("nb_l").cast("double")
+      val ma = col("sa1") / na; val mb = col("sb1") / nb
+      val va = (col("sa2") / na - ma * ma) * na / (na - lit(1.0))
+      val vb = (col("sb2") / nb - mb * mb) * nb / (nb - lit(1.0))
+      val sea = va / na; val seb = vb / nb
+      a.select(col("na_l").as("n_a"), col("nb_l").as("n_b"),
+        ((ma - mb) / lit(1000.0)).as("mean_diff"),
+        ((ma - mb) / sqrt(sea + seb)).as("t_stat"),
+        ((sea + seb) * (sea + seb) /
+          (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))).as("df"))
+    },
+    Some("""WITH s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na_l,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN z ELSE 0 END) AS DOUBLE) AS sa1,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN z * z ELSE 0 END) AS DOUBLE) AS sa2,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb_l,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN z ELSE 0 END) AS DOUBLE) AS sb1,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN z * z ELSE 0 END) AS DOUBLE) AS sb2
+      |  FROM (SELECT l_linestatus,
+      |          CAST(CAST(ROUND(l_extendedprice * 1000.0) AS BIGINT) AS HUGEINT) AS z
+      |        FROM lineitem)),
+      |m AS (
+      |  SELECT na_l, nb_l,
+      |    CAST(na_l AS DOUBLE) AS na, CAST(nb_l AS DOUBLE) AS nb,
+      |    sa1 / CAST(na_l AS DOUBLE) AS ma, sb1 / CAST(nb_l AS DOUBLE) AS mb,
+      |    sa2, sb2 FROM s),
+      |v AS (
+      |  SELECT na_l, nb_l, na, nb, ma, mb,
+      |    (sa2 / na - ma * ma) * na / (na - 1.0) / na AS sea,
+      |    (sb2 / nb - mb * mb) * nb / (nb - 1.0) / nb AS seb
+      |  FROM m)
+      |SELECT na_l AS n_a, nb_l AS n_b,
+      |  (ma - mb) / 1000.0 AS mean_diff,
+      |  (ma - mb) / SQRT(sea + seb) AS t_stat,
+      |  (sea + seb) * (sea + seb) / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS df
+      |FROM v""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64)
 }

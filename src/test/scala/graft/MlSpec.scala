@@ -185,4 +185,18 @@ class MlSpec extends SparkSpec {
     val rates = out.map(t => t._3.toDouble / t._2)
     assert(rates.head >= rates.min)
   }
+
+  test("ml_slice_metrics reconciles with the hold-out totals") {
+    val out = SparkEntry.queries("ml_slice_metrics")(spark, sf).collect()
+    val preds = MlC.logregPredictions(spark, sf)
+    assert(out.map(_.getLong(1)).sum === preds.count(), "slices must partition the hold-out")
+    val correct = preds.filter(col("label") === col("prediction")).count()
+    val sliceCorrect = out.map(r => math.round(r.getDouble(3) * r.getLong(1))).sum
+    assert(sliceCorrect === correct, "per-slice accuracy must reconcile globally")
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

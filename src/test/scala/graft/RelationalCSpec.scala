@@ -95,6 +95,32 @@ class RelationalCSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q63 grouped percent_rank never sorts whole groups") {
+    val p = plan("q63_group_percent_rank")
+    // the rank window must partition on (group, bucket), never the
+    // 3-value group key alone
+    assert("hashpartitioning\\(g#\\d+, b#\\d+".r.findFirstIn(p).isDefined,
+      "rank window must key on (group, bucket):\n" + p)
+    val out = SparkEntry.queries("q63_group_percent_rank")(spark, sf).collect()
+    assert(out.map(_.getDouble(4)).forall(pr => pr >= 0.0 && pr <= 1.0))
+    // each group's pr spans exactly [0, 1]
+    val byG = out.groupBy(_.getString(0))
+    assert(byG.values.forall(rs => rs.map(_.getDouble(4)).min === 0.0))
+    assert(byG.values.forall(rs => rs.map(_.getDouble(4)).max === 1.0))
+  }
+
+  test("q64 Welch t-test: one scan, df within the two-sample bounds") {
+    val p = plan("q64_welch_ttest")
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Window"), p)
+    val r = SparkEntry.queries("q64_welch_ttest")(spark, sf).head()
+    val (na, nb, t, df) = (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))
+    assert(na > 0 && nb > 0)
+    assert(!t.isNaN && !df.isNaN)
+    assert(df >= math.min(na, nb) - 1.0 && df <= (na + nb - 2).toDouble,
+      s"Welch df $df outside [min(n)-1, na+nb-2]")
+  }
+
   test("q62 late events: high-watermark window keys on user_id; totals reconcile") {
     val p = plan("q62_late_events")
     assert(p.contains("hashpartitioning(user_id"), "disorder window must scale with users:\n" + p)
