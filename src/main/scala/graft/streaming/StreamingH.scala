@@ -711,4 +711,37 @@ object Streaming {
           }
       }
   }
+
+  case class EwmaEvent(user_id: Long, order_id: Long,
+      ts: java.sql.Timestamp, cents: Long)
+  case class EwmaOut(user_id: Long, order_id: Long, ewma: Double)
+
+  /** Streaming twin of q58_ewma: the 8-term truncation IS the state
+    * bound — each customer holds at most 8 cent values (most recent
+    * first), and every event emits the same exact-integer weighted sum
+    * the batch window computes, so for in-order delivery the outputs
+    * are bit-identical. Events within a micro-batch are applied in
+    * (event-time, order_id) order — the batch window's sort key.
+    */
+  def ewmaStream(events: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], EwmaOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EwmaEvent], state: GroupState[List[Long]]) =>
+          var hist = state.getOption.getOrElse(Nil) // most recent first, <= 8
+          val out = evs.toSeq.sortBy(e => (us(e.ts), e.order_id)).map { e =>
+            hist = (e.cents :: hist).take(8)
+            val terms = hist.zipWithIndex.map { case (c, j) => (c, 1L << (7 - j)) }
+            EwmaOut(uid, e.order_id,
+              terms.map { case (c, w) => c * w }.sum.toDouble /
+                terms.map(_._2).sum.toDouble / 100.0)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
 }

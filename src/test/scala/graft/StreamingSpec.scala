@@ -388,4 +388,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming ewma matches the batch q58 bit-for-bit across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"), col("o_totalprice"))
+      .collect().map(r => Streaming.EwmaEvent(r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), math.rint(r.getDouble(3) * 100.0).toLong))
+      .sortBy(e => (e.ts.getTime, e.order_id)) // in-order delivery contract
+    // split mid-stream: every user's later orders arrive in batch 2 and
+    // must extend the 8-value history carried in state
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.EwmaEvent]
+    val q = Streaming.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = SparkEntry.queries("q58_ewma")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(streamed === batch, "exact integer arithmetic must make the twin bit-identical")
+    } finally q.stop()
+  }
 }
