@@ -598,7 +598,47 @@ object MlC extends Module {
     None
   )
 
+  // ml_psi — population stability index between the train and test
+  // splits per numeric feature (the drift metric every model-monitoring
+  // pipeline computes; PSI < 0.1 ≈ stable, > 0.25 ≈ shifted). Bins are
+  // the TRAIN deciles from the distributed quantile selection; both
+  // splits then bin in one partial-aggregable pass each, and the PSI
+  // sum runs over the 10-row rate tables (bounded driver metadata).
+  // Rows-only (ln is not cross-engine bit-stable); MlSpec pins
+  // non-negativity and that a random hash split of one population
+  // stays far below the drift threshold.
+  private val mlPsi = Q(
+    "ml_psi",
+    (s, d) => {
+      import s.implicits._
+      val (train, test) = split(customerFeatures(s, d))
+      val feats = Seq("n_orders", "total_spend", "avg_spend")
+      val eps = 1e-6
+      val rows = feats.map { f =>
+        val fences = graft.operators.Quantiles.exactQuantiles(
+          train, Seq(f), (1 to 9).map(_ / 10.0)).map(_._3)
+        def bin(df: DataFrame): Map[Long, Long] = {
+          val b = fences.foldLeft(lit(1L)) { (acc, v) =>
+            acc + when(col(f) > lit(v), 1L).otherwise(0L)
+          }
+          df.groupBy(b.as("bin")).agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        val (bt, be) = (bin(train), bin(test))
+        val (nt, ne) = (bt.values.sum.toDouble, be.values.sum.toDouble)
+        val psi = (1L to 10L).map { i =>
+          val pt = math.max(bt.getOrElse(i, 0L) / nt, eps)
+          val pe = math.max(be.getOrElse(i, 0L) / ne, eps)
+          (pt - pe) * math.log(pt / pe)
+        }.sum
+        (f, psi)
+      }
+      rows.toDF("feature", "psi").orderBy("feature")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice)
+    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi)
 }

@@ -388,5 +388,39 @@ object RelationalC extends Module {
       |FROM v""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64)
+  // q65 — event-type transition matrix (the Markov view of user
+  // journeys behind any sankey/flow chart): consecutive (prev → next)
+  // pairs per user via one lag window on the high-cardinality user key,
+  // then a partial-aggregable count to the |types|² surface; the
+  // row-normalized probability runs on that tiny surface, never on
+  // event rows.
+  private val q65 = Q(
+    "q65_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev"))
+      pairs
+        .withColumn("row_total", sum(col("n")).over(wp))
+        .select(col("prev"), col("next"), col("n"),
+          (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+        .orderBy("prev", "next")
+    },
+    Some("""WITH t AS (
+      |  SELECT LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    event_type AS next
+      |  FROM events),
+      |c AS (
+      |  SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM t WHERE prev IS NOT NULL GROUP BY prev, next)
+      |SELECT prev, next, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+      |FROM c ORDER BY prev, next""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }

@@ -275,6 +275,46 @@ object SimE extends Module {
       |ORDER BY vec_id""".stripMargin)
   )
 
+  // emb_dim_stats — per-dimension embedding statistics (the embedding
+  // QA pass that catches collapsed/dead/exploding dimensions before
+  // they poison an index): n/mean/std/min/max per coordinate from the
+  // exact 1e-6-grid sums — one explode + one partial-aggregable shuffle
+  // to a |dim|-row surface; std is the q06 IEEE expression over exact
+  // integer moments.
+  private val embDimStats = Q(
+    "emb_dim_stats",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val qv = Similarity.withQuantized(Tables.embeddings(s, d), "embedding")
+        .select(posexplode(col("qvec")).as(Seq("pos", "qv")))
+      val z = col("qv").cast(DecimalType(38, 0))
+      qv.groupBy((col("pos") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(z).cast("double").as("s1"),
+          sum(z * z).cast("double").as("s2"),
+          min(col("qv")).as("minq"), max(col("qv")).as("maxq"))
+        .select(col("pos"), col("n"),
+          (col("s1") / col("n").cast("double") / lit(1000000.0)).as("mean"),
+          (sqrt((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+            (col("n").cast("double") - lit(1.0))) / lit(1000000.0)).as("std"),
+          (col("minq").cast("double") / lit(1000000.0)).as("min_v"),
+          (col("maxq").cast("double") / lit(1000000.0)).as("max_v"))
+        .orderBy("pos")
+    },
+    Some("""WITH q AS (
+      |  SELECT
+      |    unnest(list_transform(embedding, x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS HUGEINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings)
+      |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean,
+      |  SQRT((CAST(SUM(qv * qv) AS DOUBLE) - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000000.0 AS std,
+      |  CAST(MIN(qv) AS DOUBLE) / 1000000.0 AS min_v,
+      |  CAST(MAX(qv) AS DOUBLE) / 1000000.0 AS max_v
+      |FROM q GROUP BY pos ORDER BY pos""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
-    embCentroid, simRange, embKnn, embPurity)
+    embCentroid, simRange, embKnn, embPurity, embDimStats)
 }

@@ -354,9 +354,30 @@ object StreamingH extends Module {
       |ORDER BY h, hourly.event_type""".stripMargin)
   )
 
+  // st_enrich — stream-static dimension enrichment (the canonical
+  // streaming-ETL join: fact stream × broadcast dim table): hourly
+  // purchase revenue by customer segment. The dim side is a broadcast
+  // static table in BOTH modes — no stream state grows with customers;
+  // unmatched users keep their rows (left join → UNKNOWN). Batch twin
+  // below is oracle-checked; the streaming twin in [[Streaming
+  // .enrichStream]] runs the same plan incrementally (spec-pinned).
+  private val stEnrich = Q(
+    "st_enrich",
+    (s, d) => Streaming.enrich(Tables.events(s, d),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+      .orderBy("h", "segment"),
+    Some("""SELECT date_trunc('hour', ts) AS h,
+      |  COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1, 2 ORDER BY h, segment""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
     stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow,
-    stAnomaly)
+    stAnomaly, stEnrich)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -711,6 +732,30 @@ object Streaming {
           }
       }
   }
+
+  /** Batch form of st_enrich: purchase facts left-joined to the
+    * broadcast customer dim, hourly revenue per segment.
+    */
+  def enrich(events: DataFrame, dims: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .join(broadcast(dims), col("user_id") === col("c_custkey"), "left")
+      .groupBy(date_trunc("hour", col("ts")).as("h"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("revenue"))
+
+  /** Streaming twin of st_enrich: the SAME broadcast stream-static left
+    * join + watermarked tumbling aggregate, run incrementally. Dim
+    * lookups add no stream state; window state expires at the
+    * watermark.
+    */
+  def enrichStream(events: DataFrame, dims: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dims), col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"), sumd(col("value")).as("revenue"))
+      .select(col("window.start").as("h"), col("segment"), col("n"), col("revenue"))
 
   case class EwmaEvent(user_id: Long, order_id: Long,
       ts: java.sql.Timestamp, cents: Long)

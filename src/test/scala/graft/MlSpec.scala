@@ -199,4 +199,26 @@ class MlSpec extends SparkSpec {
       if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("ml_psi: non-negative, stable under the same-population hash split") {
+    // PSI needs enough test rows for the null noise E[PSI] ~
+    // (B-1)(1/n_train + 1/n_test) to be small — sf0.001's ~30-row test
+    // split reads as pure sampling noise, so this spec runs at sf0.01
+    // (no model fit involved; the op is two binning passes)
+    val sf01 = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("ml_psi")(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(out.map(_._1).toSeq === Seq("avg_spend", "n_orders", "total_spend"))
+    val total = MlC.customerFeatures(spark, sf01).count()
+    val ne = MlC.logregPredictions(spark, sf01).count()
+    val noise = 9.0 * (1.0 / (total - ne).toDouble + 1.0 / ne.toDouble)
+    out.foreach { case (f, psi) =>
+      assert(psi >= 0.0, s"$f psi must be non-negative")
+      assert(psi < math.max(0.25, 5.0 * noise),
+        f"$f psi $psi%.4f vs null-noise level $noise%.4f: should read as stable")
+    }
+    val again = SparkEntry.queries("ml_psi")(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(again.toSeq === out.toSeq, "psi must be deterministic")
+  }
 }

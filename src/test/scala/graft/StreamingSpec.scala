@@ -417,4 +417,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch, "exact integer arithmetic must make the twin bit-identical")
     } finally q.stop()
   }
+
+  test("stream-static enrichment matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val maxTs = rows.map(_._2.getTime).max
+    val dims = Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment"))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.enrichStream(streamDf, dims)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      // flush: advance the watermark past every real window
+      input.addData((-1L, new Timestamp(maxTs + 86400000L), -1L, "purchase", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich")
+        .filter(col("h") <= new Timestamp(maxTs))
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.enrich(batchEvents, dims).collect().map(_.toSeq).toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
