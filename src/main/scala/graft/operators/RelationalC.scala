@@ -422,5 +422,112 @@ object RelationalC extends Module {
       |FROM c ORDER BY prev, next""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65)
+  // q66 — exact two-sample Kolmogorov–Smirnov statistic between the
+  // open/finished price distributions (the nonparametric drift test
+  // next to q64's t and ml_psi's binned PSI — KS needs NO bins). The
+  // sup |F1−F2| is attained at data points, so: distinct-value counts
+  // per sample (one high-cardinality groupBy), bucket the value axis,
+  // per-bucket totals → cumulative offsets (bounded driver metadata,
+  // ≤ 65536 buckets), then the cumulative window runs WITHIN buckets
+  // only — the q48/q63 discipline; DuckDB's oracle is the naive global
+  // cumulative window, and the max |…| doubles match bit-for-bit
+  // because every CDF value is an exact-integer division.
+  private val q66 = Q(
+    "q66_ks_test",
+    (s, d) => {
+      import s.implicits._
+      val u = Tables.lineitem(s, d)
+        .filter(col("l_linestatus").isin("O", "F"))
+        .select(col("l_extendedprice").as("x"),
+          when(col("l_linestatus") === "O", 1L).otherwise(0L).as("a"),
+          when(col("l_linestatus") === "F", 1L).otherwise(0L).as("b"))
+      val c = u.groupBy("x").agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+      val r = c.agg(min(col("x")), max(col("x")),
+        sum(col("ca")), sum(col("cb"))).head()
+      val (lo, hi, na, nb) = (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      val bCol =
+        if (lo == hi) lit(1L)
+        else least(width_bucket(col("x"), lit(lo), lit(hi), lit(65536)), lit(65536L))
+      val perBucket = c.groupBy(bCol.as("bk"))
+        .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+        .sortBy(_._1)
+      var (accA, accB) = (0L, 0L)
+      val offsets = perBucket.map { case (bk, ta, tb) =>
+        val row = (bk, accA, accB); accA += ta; accB += tb; row
+      }
+      val offDf = broadcast(offsets.toSeq.toDF("ob", "offa", "offb"))
+      val w = Window.partitionBy(col("bk")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.withColumn("bk", bCol)
+        .join(offDf, col("bk") === col("ob"))
+        .withColumn("cuma", col("offa") + sum(col("ca")).over(w))
+        .withColumn("cumb", col("offb") + sum(col("cb")).over(w))
+        .agg(max(abs(col("cuma").cast("double") / lit(na.toDouble) -
+          col("cumb").cast("double") / lit(nb.toDouble))).as("ks_d"))
+        .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("ks_d"))
+    },
+    Some("""WITH c AS (
+      |  SELECT l_extendedprice AS x,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY 1),
+      |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      |s AS (
+      |  SELECT SUM(ca) OVER (ORDER BY x) AS cuma, SUM(cb) OVER (ORDER BY x) AS cumb FROM c)
+      |SELECT n.na AS n_a, n.nb AS n_b,
+      |  (SELECT MAX(ABS(CAST(cuma AS DOUBLE) / CAST(n.na AS DOUBLE)
+      |    - CAST(cumb AS DOUBLE) / CAST(n.nb AS DOUBLE))) FROM s) AS ks_d
+      |FROM n""".stripMargin)
+  )
+
+  // q67 — chi-square independence test over the (returnflag ×
+  // linestatus) contingency table (the categorical association readout
+  // next to q11's crosstab): observed counts from ONE scan, expected
+  // counts and the statistic assembled as fixed IEEE expressions over
+  // the |r|×|c| surface. Emits the statistic and dof (the p-value needs
+  // an incomplete-gamma, which is not cross-engine bit-stable — a
+  // caller applies it driver-side).
+  private val q67 = Q(
+    "q67_chi2",
+    (s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("rf"))
+      val wc = Window.partitionBy(col("ls"))
+      val wa = Window.partitionBy()
+      val e = sum(col("o")).over(wr).cast("double") *
+        sum(col("o")).over(wc).cast("double") /
+        sum(col("o")).over(wa).cast("double")
+      val cells = obs.withColumn("e", e)
+        .withColumn("term", (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))
+      val nr = obs.select("rf").distinct().count()
+      val nc = obs.select("ls").distinct().count()
+      cells.agg(sum(col("o")).as("n"),
+          sum(Exact.d12(col("term"))).cast("double").as("chi2"))
+        .select(col("n"), col("chi2"), lit((nr - 1) * (nc - 1)).as("dof"))
+    },
+    Some("""WITH obs AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM lineitem GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT o,
+      |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term
+      |  FROM (
+      |    SELECT o,
+      |      CAST(SUM(o) OVER (PARTITION BY rf) AS DOUBLE)
+      |        * CAST(SUM(o) OVER (PARTITION BY ls) AS DOUBLE)
+      |        / CAST(SUM(o) OVER () AS DOUBLE) AS e
+      |    FROM obs)),
+      |dims AS (SELECT CAST((COUNT(DISTINCT rf) - 1) * (COUNT(DISTINCT ls) - 1) AS BIGINT) AS dof FROM obs)
+      |SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+      |  (SELECT dof FROM dims) AS dof
+      |FROM cells""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    q66, q67)
 }

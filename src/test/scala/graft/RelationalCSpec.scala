@@ -121,6 +121,23 @@ class RelationalCSpec extends SparkSpec {
       s"Welch df $df outside [min(n)-1, na+nb-2]")
   }
 
+  test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
+    val p = plan("q66_ks_test")
+    assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
+      "the CDF cumulative window must partition by bucket:\n" + p)
+    val r = SparkEntry.queries("q66_ks_test")(spark, sf).head()
+    val d = r.getDouble(2)
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("q67 chi2: non-negative statistic, correct dof for the 3x2 table") {
+    val r = SparkEntry.queries("q67_chi2")(spark, sf).head()
+    assert(r.getDouble(1) >= 0.0)
+    assert(r.getLong(2) === 2L, "(3 flags - 1) * (2 statuses - 1)")
+    assert(r.getLong(0) === Tables.lineitem(spark, sf).count())
+  }
+
   test("q62 late events: high-watermark window keys on user_id; totals reconcile") {
     val p = plan("q62_late_events")
     assert(p.contains("hashpartitioning(user_id"), "disorder window must scale with users:\n" + p)
