@@ -110,6 +110,34 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Small-file compaction (the operational chore every long-running
+    * 100 TB table needs: streaming sinks and per-partition overwrites
+    * accrete kilobyte files until scan task-launch overhead dominates).
+    * Rewrites `path` into ⌈bytes / targetBytes⌉ files sized by the
+    * table's ACTUAL on-disk footprint, via a staging directory so the
+    * rewrite never reads and clobbers the same files mid-job; the swap
+    * is a directory rename. Row data, not row order, is preserved —
+    * the spec asserts multiset equality.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir).filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => Files.size(p)).sum()
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    val staging = Paths.get(path + "__compact_staging")
+    spark.read.parquet(path).repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(staging.toString)
+    val backup = Paths.get(path + "__compact_old")
+    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the replaced data
+    Files.walk(backup).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    nFiles
+  }
 }
 
 /** q19 — semi-structured extraction: events.props JSON → typed column,

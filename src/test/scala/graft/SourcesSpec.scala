@@ -141,4 +141,23 @@ class SourcesSpec extends SparkSpec {
     val plainSums = l.join(o, Seq("l_orderkey")).agg(sum("o_totalprice")).head.getDouble(0)
     assert(math.abs(sums - plainSums) < 1e-6 * math.abs(plainSums))
   }
+
+  test("compaction rewrites a many-file table into few files, same rows") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // fragment: 64 tiny files
+    val src = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    src.repartition(64).write.mode("overwrite").parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() === 64)
+    val before = spark.read.parquet(dir).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val n = Sources.compactParquet(spark, dir)
+    assert(files() === n.toInt)
+    assert(n < 64, "tiny files must compact down")
+    val after = spark.read.parquet(dir).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(after === before, "compaction must preserve the row multiset")
+  }
 }
