@@ -528,6 +528,78 @@ object RelationalC extends Module {
       |FROM cells""".stripMargin)
   )
 
+  // q68 — autocorrelation of the hourly event series at lags 1..6 (the
+  // ACF seasonality diagnostic of time-series EDA). The fact table
+  // partial-aggregates to the |hours| surface FIRST (gap hours
+  // zero-filled from a 1-row span aggregate); every remaining stage —
+  // lag self-join, moment sums — runs on that tiny surface. The
+  // centered products are EXPANDED into raw integer sums
+  // (Σy_a·y_b, Σy_a, Σy_b, pair count), so no float accumulates over
+  // rows in either engine and the ACF is a fixed IEEE expression over
+  // exact integers (the standard estimator: centered by the global
+  // mean, normalized by the global sum of squares).
+  private val q68 = Q(
+    "q68_autocorr",
+    (s, d) => {
+      import s.implicits._
+      // materialize the |hours| surface ONCE (localCheckpoint): the span
+      // fit, zero-fill join and both self-join sides all reuse it — the
+      // events table is scanned exactly once
+      val counts = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(eager = true)
+      val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .join(counts, Seq("h"), "left")
+        .select(unix_millis(col("h")).as("hm"), coalesce(col("y"), lit(0L)).as("y"))
+      val g = series.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy")).head()
+      val (n, sy, syy) = (g.getLong(0), g.getLong(1), g.getLong(2))
+      val lags = broadcast((1 to 6).map(_.toLong).toDF("lag"))
+      val a = series.select(col("hm").as("ha"), col("y").as("ya"))
+      val b = series.select(col("hm").as("hb"), col("y").as("yb"))
+      val ybar = lit(sy.toDouble) / lit(n.toDouble)
+      val denom = lit(syy.toDouble) - lit(n.toDouble) * ybar * ybar
+      a.crossJoin(lags).join(b, col("hb") === col("ha") + col("lag") * lit(3600000L))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("ya") * col("yb")).as("sab"),
+          sum(col("ya")).as("sa"), sum(col("yb")).as("sb"))
+        .select(col("lag"), col("n_pairs"),
+          ((col("sab").cast("double") - ybar * (col("sa").cast("double") + col("sb").cast("double")) +
+            col("n_pairs").cast("double") * ybar * ybar) / denom).as("acf"))
+        .orderBy("lag")
+    },
+    Some("""WITH counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+      |    (SELECT MAX(h) FROM counts), INTERVAL 1 HOUR)) AS h),
+      |series AS (
+      |  SELECT epoch_ms(spine.h) AS hm, COALESCE(counts.y, 0) AS y
+      |  FROM spine LEFT JOIN counts ON spine.h = counts.h),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy
+      |  FROM series),
+      |p AS (
+      |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(a.y * b.y) AS BIGINT) AS sab,
+      |    CAST(SUM(a.y) AS BIGINT) AS sa, CAST(SUM(b.y) AS BIGINT) AS sb
+      |  FROM series a
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS lag) l
+      |  JOIN series b ON b.hm = a.hm + l.lag * 3600000
+      |  GROUP BY l.lag)
+      |SELECT CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+      |  (CAST(sab AS DOUBLE) - (g.sy / g.n) * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+      |    + CAST(n_pairs AS DOUBLE) * (g.sy / g.n) * (g.sy / g.n))
+      |  / (g.syy - g.n * (g.sy / g.n) * (g.sy / g.n)) AS acf
+      |FROM p, g ORDER BY lag""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67)
+    q66, q67, q68)
 }

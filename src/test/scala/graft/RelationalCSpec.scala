@@ -138,6 +138,21 @@ class RelationalCSpec extends SparkSpec {
     assert(r.getLong(0) === Tables.lineitem(spark, sf).count())
   }
 
+  test("q68 autocorr: 6 lags, |acf| <= 1, fact table reduced before the self-join") {
+    val out = SparkEntry.queries("q68_autocorr")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 6L))
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // lag pairs shrink by one per lag on a complete spine
+    val pairs = out.map(_.getLong(1))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => b === a - 1 })
+    // the hourly surface is checkpointed once — every downstream stage
+    // (span fit, zero-fill, both self-join sides) reuses it, so the
+    // assembled plan contains NO parquet scan at all
+    val p = plan("q68_autocorr")
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      "events must be scanned once into the checkpointed surface:\n" + p)
+  }
+
   test("q62 late events: high-watermark window keys on user_id; totals reconcile") {
     val p = plan("q62_late_events")
     assert(p.contains("hashpartitioning(user_id"), "disorder window must scale with users:\n" + p)
