@@ -638,7 +638,51 @@ object MlC extends Module {
     None
   )
 
+  // ml_auc — EXACT ROC-AUC as the Mann–Whitney rank statistic with
+  // average-tie ranks (sklearn roc_auc_score semantics), computed
+  // distributed: distinct-score counts → bounded bucket-offset
+  // metadata → within-bucket cumulative window (the q66/q48 rank
+  // discipline — no global sort of the hold-out at any scale). Tie
+  // terms are kept integral by doubling (cp·(2·rank_below + ct + 1)),
+  // summed in DECIMAL(38,0), and halved once at the end — no float
+  // accumulates, so the statistic is run-to-run deterministic.
+  // Rows-only (seeded model scores); MlSpec reconciles against a naive
+  // local rank computation.
+  private val mlAuc = Q(
+    "ml_auc",
+    (s, d) => {
+      import s.implicits._
+      val preds = logregPredictions(s, d)
+      val c = preds.groupBy(col("prob_1").as("x"))
+        .agg(count(lit(1)).as("ct"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("cp"))
+      val r = c.agg(min(col("x")), max(col("x")), sum(col("ct")), sum(col("cp"))).head()
+      val (lo, hi, nTot, nPos) = (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      val nNeg = nTot - nPos
+      val bCol =
+        if (lo == hi) lit(1L)
+        else least(width_bucket(col("x"), lit(lo), lit(hi), lit(65536)), lit(65536L))
+      val perBucket = c.groupBy(bCol.as("bk")).agg(sum(col("ct")).as("t"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = perBucket.map { case (bk, t) => val o = (bk, acc); acc += t; o }
+      val offDf = broadcast(offsets.toSeq.toDF("ob", "off"))
+      val w = Window.partitionBy(col("bk")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val doubledRankSum = c.withColumn("bk", bCol)
+        .join(offDf, col("bk") === col("ob"))
+        .withColumn("below", col("off") + sum(col("ct")).over(w) - col("ct"))
+        .agg(sum((col("cp") * (col("below") * 2L + col("ct") + 1L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double"))
+        .head().getDouble(0)
+      val auc = (doubledRankSum / 2.0 - nPos.toDouble * (nPos + 1).toDouble / 2.0) /
+        (nPos.toDouble * nNeg.toDouble)
+      Seq((nPos, nNeg, auc)).toDF("n_pos", "n_neg", "auc")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi)
+    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc)
 }

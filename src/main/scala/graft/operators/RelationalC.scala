@@ -600,6 +600,45 @@ object RelationalC extends Module {
       |FROM p, g ORDER BY lag""".stripMargin)
   )
 
+  // q69 — Pearson correlation per group (pandas groupby()[[...]].corr(),
+  // q10's grouped sibling): quantity × price correlation per return
+  // flag. One partial-aggregable scan accumulates the five exact grid
+  // sums per group; r is the standard IEEE expression over them —
+  // group cardinality only ever shapes the |groups|-row output, never
+  // a window.
+  private val q69 = Q(
+    "q69_grouped_corr",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      def z(c: String): Column =
+        round(col(c) * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
+      val (zx, zy) = (z("l_quantity"), z("l_extendedprice"))
+      val a = l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_l"),
+          sum(zx).cast("double").as("sx"), sum(zy).cast("double").as("sy"),
+          sum(zx * zx).cast("double").as("sxx"),
+          sum(zy * zy).cast("double").as("syy"),
+          sum(zx * zy).cast("double").as("sxy"))
+      val n = col("n_l").cast("double")
+      val cov = col("sxy") - col("sx") * col("sy") / n
+      val vx = col("sxx") - col("sx") * col("sx") / n
+      val vy = col("syy") - col("sy") * col("sy") / n
+      a.select(col("l_returnflag"), col("n_l").as("n"),
+          (cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  (CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |  / (SQRT(CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |     * SQRT(CAST(SUM(zy * zy) AS DOUBLE) - CAST(SUM(zy) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS corr
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS HUGEINT) AS zx,
+      |    CAST(CAST(ROUND(l_extendedprice * 1000.0) AS BIGINT) AS HUGEINT) AS zy
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68)
+    q66, q67, q68, q69)
 }

@@ -221,4 +221,32 @@ class MlSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1))
     assert(again.toSeq === out.toSeq, "psi must be deterministic")
   }
+
+  test("ml_auc equals the naive average-tie Mann-Whitney rank AUC") {
+    val r = SparkEntry.queries("ml_auc")(spark, sf).head()
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(auc >= 0.0 && auc <= 1.0)
+    // naive local recomputation with average-tie ranks
+    val scored = MlC.logregPredictions(spark, sf)
+      .select("prob_1", "label").collect()
+      .map(row => (row.getDouble(0), row.getDouble(1)))
+    val sorted = scored.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Double, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      ranks(sorted(i)._1) = (i + 1 + j) / 2.0 // average of ranks i+1..j
+      i = j
+    }
+    val np = scored.count(_._2 == 1.0)
+    val nn = scored.length - np
+    assert(nPos === np && nNeg === nn)
+    val u = scored.filter(_._2 == 1.0).map(t => ranks(t._1)).sum - np.toDouble * (np + 1) / 2.0
+    assert(math.abs(auc - u / (np.toDouble * nn.toDouble)) < 1e-12,
+      "distributed rank AUC must equal the naive computation")
+    // no model-quality claim here: the sf0.001 hold-out is ~30 rows and
+    // its AUC is sampling noise — correctness of the statistic is the
+    // contract (the reconciliation above), model floors live elsewhere
+  }
 }
