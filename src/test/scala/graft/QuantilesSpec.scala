@@ -49,6 +49,26 @@ class QuantilesSpec extends SparkSpec {
     qs.foreach(q => assert(got(q) === ref(xs, q), s"q=$q"))
   }
 
+  test("property: adversarial mixture distributions match the reference (30 seeded draws)") {
+    import org.scalacheck.{Gen, rng}
+    // each draw mixes the histogram's hard regimes: point masses (empty
+    // value ranges), 24-orders-of-magnitude spreads (bucket width
+    // overflow risk), values crowded into 1e-9 (recursive refinement),
+    // and grid-duplicated values (tie handling)
+    val value: Gen[Double] = Gen.oneOf(
+      Gen.const(7.25),
+      Gen.choose(-1e12, 1e12),
+      Gen.choose(0.0, 1e-9),
+      Gen.choose(-5.0, 5.0).map(x => math.rint(x * 100) / 100))
+    val listGen = Gen.choose(1, 1500).flatMap(n => Gen.listOfN(n, value))
+    (1 to 30).foreach { i =>
+      val xs = listGen(Gen.Parameters.default, rng.Seed(i.toLong)).get
+      val got = run(xs)
+      qs.foreach(q => assert(got(q) === ref(xs, q),
+        s"seed=$i n=${xs.length} q=$q"))
+    }
+  }
+
   test("two-column stacked histogram answers both columns") {
     import spark.implicits._
     val r = new scala.util.Random(5)
