@@ -414,9 +414,14 @@ object DedupD extends Module {
     "dd_winnow_pairs",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
+      // materialize the fingerprint table once (localCheckpoint): the
+      // df-filter and both self-join sides reuse it instead of
+      // re-winnowing the corpus three more times — at scale this is the
+      // fingerprint table a pipeline would persist
       val fps = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))
+        .localCheckpoint(eager = true)
       val usable = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 50)
         .select("fp")
