@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{SparkEntry, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed LLM-data pipeline a user
+  * of this library actually runs, chaining the individually-verified
+  * stages in their canonical order:
+  *
+  *   1. quality gate      — tx_filter_flags' Gopher-style keep rule
+  *   2. exact dedup       — md5 representative per identical text
+  *   3. near-dup dedup    — MinHash+LSH pairs → connected components →
+  *                          min-id survivor per cluster
+  *   4. token budget      — keep the longest documents until the token
+  *                          budget (BudgetSelect's two-phase prefix sum)
+  *
+  * Every stage is the same code path its standalone operator uses, so
+  * correctness is inherited from their oracles/specs; CurateSpec pins
+  * the funnel's monotonicity, survivor uniqueness, budget adherence and
+  * determinism. Each stage is one or two shuffles keyed on doc identity
+  * or content hash — the composition adds no new scale shape.
+  */
+object Curate {
+
+  /** Runs the full pipeline on `d`'s documents table.
+    * Returns (kept docs, funnel of (stage, surviving rows)).
+    */
+  def pipeline(s: SparkSession, d: String, budgetFrac: Double = 0.5,
+      tau: Double = 0.7): (DataFrame, Seq[(String, Long)]) = {
+    val docs = Tables.documents(s, d)
+    val funnel = Seq.newBuilder[(String, Long)]
+    funnel += ("input" -> docs.count())
+
+    // 1. quality gate (reuses the oracle-checked flags query)
+    val keepIds = SparkEntry.queries("tx_filter_flags")(s, d)
+      .filter(col("keep") === 1L).select("doc_id")
+    val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
+    funnel += ("quality_gate" -> quality.count())
+
+    // 2. exact dedup: md5 representative
+    val tagged = Dedup.withRepresentative(quality, "doc_id", md5(col("text")))
+    val exact = tagged.filter(col("doc_id") === col("__rep")).drop("__rep")
+    funnel += ("exact_dedup" -> exact.count())
+
+    // 3. near-dup dedup: verified MinHash pairs → components → min-id
+    val pairs = Dedup.minhashNearDups(exact, "text", "doc_id", threshold = tau)
+      .select("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(exact.select("doc_id"), "doc_id", pairs)
+    val near = exact.join(clusters, "doc_id")
+      .filter(col("cluster_id") === col("doc_id")).drop("cluster_id")
+    funnel += ("near_dedup" -> near.count())
+
+    // 4. token budget: longest docs first until budgetFrac of tokens
+    val scored = near
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("score", col("n_chars").cast("double"))
+    val keptIds = BudgetSelect
+      .selectToBudget(scored, "doc_id", "score", "n_tok", budgetFrac)
+      .select("doc_id")
+    val kept = near.join(keptIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    funnel += ("token_budget" -> kept.count())
+
+    (kept, funnel.result())
+  }
+}
