@@ -454,7 +454,34 @@ object DedupD extends Module {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // dd_cluster_sizes — the dedup QA readout: how big are the duplicate
+  // clusters (size histogram) and how much of the corpus is redundant
+  // (duplicate fraction per size class)? Two partial-aggregable
+  // rollups over the cluster assignment — the |size-classes| output
+  // surface is what a curation dashboard plots.
+  private val ddClusterSizes = Q(
+    "dd_cluster_sizes",
+    (s, d) => {
+      val sizes = clusterDf(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      sizes.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1L).as("n_redundant"))
+        .orderBy("sz")
+    },
+    Some(clusterCte +
+      """
+      |, sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM clusters GROUP BY cluster_id)
+      |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sz - 1) AS BIGINT) AS n_redundant
+      |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddSimhash,
     ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
-    ddEmbedCosine, ddWinnowPairs)
+    ddEmbedCosine, ddWinnowPairs, ddClusterSizes)
 }

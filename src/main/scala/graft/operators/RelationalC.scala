@@ -639,6 +639,28 @@ object RelationalC extends Module {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
+  // q70 — day-of-week × hour activity profile (the weekly-seasonality
+  // heatmap of event EDA): one partial-aggregable rollup to the 7×24
+  // surface with exact decimal value sums. ISO day numbering pinned on
+  // both sides (Spark dayofweek is 1=Sunday; the oracle uses DuckDB's
+  // isodow and Spark converts to match).
+  private val q70 = Q(
+    "q70_dow_hour",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // ISO dow: Monday=1..Sunday=7 — Spark's dayofweek is Sunday=1
+      val isodow = ((dayofweek(col("ts")) + 5) % 7 + 1).cast("long")
+      ev.groupBy(isodow.as("dow"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"),
+          Exact.sumd(col("value")).as("sum_value"))
+        .orderBy("dow", "hr")
+    },
+    Some("""SELECT CAST(isodow(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69)
+    q66, q67, q68, q69, q70)
 }
