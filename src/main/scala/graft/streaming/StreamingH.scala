@@ -757,6 +757,38 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("revenue"))
       .select(col("window.start").as("h"), col("segment"), col("n"), col("revenue"))
 
+  case class TransEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String)
+  case class TransPair(user_id: Long, prev: String, next: String)
+
+  /** Streaming twin of q65_transitions' pair stage: ONE state row per
+    * user (the last event type seen), each arriving event emitting its
+    * (prev → next) transition. The downstream count/normalize is the
+    * same tiny-surface aggregate as batch; for in-order delivery the
+    * emitted pair multiset is identical to the batch lag window's
+    * (spec-asserted). Events within a micro-batch are applied in
+    * (event-time, event_id) order — the batch window's sort key.
+    */
+  def transitionsStream(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, TransPair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TransEvent], state: GroupState[String]) =>
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer[TransPair]()
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            if (last != null) out += TransPair(uid, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   case class EwmaEvent(user_id: Long, order_id: Long,
       ts: java.sql.Timestamp, cents: Long)
   case class EwmaOut(user_id: Long, order_id: Long, ewma: Double)

@@ -121,6 +121,35 @@ class RelationalCSpec extends SparkSpec {
       s"Welch df $df outside [min(n)-1, na+nb-2]")
   }
 
+  test("q65 transitions: row-stochastic matrix, pair totals reconcile") {
+    val out = SparkEntry.queries("q65_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // each source state's outgoing probabilities sum to 1
+    out.groupBy(_._1).foreach { case (prev, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"row $prev sums to $s")
+    }
+    // total transitions = events - one first-event per active user
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(out.map(_._3).sum === expected)
+  }
+
+  test("q69 grouped corr: |r| <= 1 and counts partition the table") {
+    val out = SparkEntry.queries("q69_grouped_corr")(spark, sf).collect()
+    assert(out.length === 3)
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    assert(out.map(_.getLong(1)).sum === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q70 dow-hour profile: ISO day range, totals reconcile") {
+    val out = SparkEntry.queries("q70_dow_hour")(spark, sf).collect()
+    assert(out.length <= 168)
+    assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 7))
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    assert(out.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,

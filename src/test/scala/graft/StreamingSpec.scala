@@ -418,6 +418,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition pairs match the batch lag window across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type")
+      .collect().map(r => Streaming.TransEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order delivery contract
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.TransEvent]
+    val q = Streaming.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // multiset of (prev, next) pairs must equal the batch counts
+      val streamed = spark.table("trans").groupBy("prev", "next").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = SparkEntry.queries("q65_transitions")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch,
+        "one-state-per-user streaming must reproduce the lag window's pairs")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
