@@ -661,6 +661,58 @@ object RelationalC extends Module {
       |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin)
   )
 
+  // q71 — subsampling confidence interval for the mean order value (the
+  // bag-of-little-bootstraps-style uncertainty readout, with NO RNG:
+  // the 32 disjoint subsamples are hash-assigned with the repo's
+  // Z-mod-p gate, so the same rows land in the same replicate on any
+  // engine or cluster shape). One scan accumulates per-replicate exact
+  // grid sums; the replicate means and their spread are IEEE
+  // expressions over the 32-row surface. Reported: point estimate,
+  // between-replicate std error, and the ±2·se interval.
+  private val q71 = Q(
+    "q71_subsample_ci",
+    (s, d) => {
+      val rep = ((col("o_orderkey") % lit(1000000007L)) * lit(654435747L)
+        % lit(1000000007L) % 32).cast("long")
+      val z = round(col("o_totalprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
+      val perRep = Tables.orders(s, d)
+        .groupBy(rep.as("rep"))
+        .agg(count(lit(1)).as("n"), sum(z).cast("double").as("szd"))
+        .select(col("rep"), col("n"),
+          (col("szd") / col("n").cast("double") / lit(100.0)).as("m"))
+      val g = perRep.agg(
+        sum(col("n")).as("n_total"),
+        count(lit(1)).as("n_reps"),
+        sum(Exact.d12(col("m"))).cast("double").as("sm"),
+        sum(Exact.d12(col("m") * col("m"))).cast("double").as("smm"))
+      val k = col("n_reps").cast("double")
+      val mbar = col("sm") / k
+      val se = sqrt((col("smm") - col("sm") * col("sm") / k) / (k - lit(1.0)) / k)
+      g.select(col("n_total"), col("n_reps"),
+        mbar.as("mean_est"), se.as("se"),
+        (mbar - lit(2.0) * se).as("ci_lo"),
+        (mbar + lit(2.0) * se).as("ci_hi"))
+    },
+    Some("""WITH r AS (
+      |  SELECT (((o_orderkey % 1000000007) * 654435747) % 1000000007) % 32 AS rep,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) AS szd
+      |  FROM orders GROUP BY 1),
+      |m AS (
+      |  SELECT rep, n, szd / CAST(n AS DOUBLE) / 100.0 AS m FROM r),
+      |g AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS n_reps,
+      |    CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
+      |    CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm
+      |  FROM m)
+      |SELECT n_total, n_reps,
+      |  sm / CAST(n_reps AS DOUBLE) AS mean_est,
+      |  SQRT((smm - sm * sm / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)) AS se,
+      |  sm / CAST(n_reps AS DOUBLE) - 2.0 * SQRT((smm - sm * sm / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)) AS ci_lo,
+      |  sm / CAST(n_reps AS DOUBLE) + 2.0 * SQRT((smm - sm * sm / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0) / CAST(n_reps AS DOUBLE)) AS ci_hi
+      |FROM g""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70)
+    q66, q67, q68, q69, q70, q71)
 }

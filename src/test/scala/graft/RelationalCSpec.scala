@@ -150,6 +150,20 @@ class RelationalCSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
   }
 
+  test("q71 subsample CI covers the true mean with a sane width") {
+    val r = SparkEntry.queries("q71_subsample_ci")(spark, sf).head()
+    val (n, k, m, se, lo, hi) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n === Tables.orders(spark, sf).count())
+    assert(k === 32L)
+    assert(se > 0.0 && lo < m && m < hi)
+    // the true mean of cent-rounded values lies inside the interval
+    val truth = Tables.orders(spark, sf)
+      .select(avg(round(col("o_totalprice") * 100) / 100)).head().getDouble(0)
+    assert(truth > lo && truth < hi,
+      s"true mean $truth outside [$lo, $hi]")
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
