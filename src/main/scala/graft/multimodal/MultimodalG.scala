@@ -153,7 +153,68 @@ object MultimodalG extends Module {
       |FROM e ORDER BY doc_id, win_idx""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow)
+  // mm_phash — perceptual-hash near-dup detection over the payload (the
+  // image-dedup pass of a multimodal pipeline, dHash-shaped): sample a
+  // fixed 6×11 byte grid across the payload at uniform stride, set one
+  // of 60 bits per horizontal gradient (sample[r,c] < sample[r,c+1]),
+  // then find near-dup pairs through the SimHash banding machinery —
+  // 4×15-bit bands guarantee every pair within hamming ≤ 3 shares a
+  // band (pigeonhole), so the pair join runs only within band buckets.
+  // A real image decoder would swap the byte grid for a luma grid
+  // behind the same schema ([[MediaDecode]] stub discipline); the
+  // gradient/banding/hamming arithmetic is real and oracle-checked.
+  private val mmPhash = Q(
+    "mm_phash",
+    (s, d) => {
+      val hashed = Tables.documents(s, d)
+        .withColumn("stride", expr("greatest((length(text) - 1) div 66, 1)"))
+        .withColumn("bs", expr(
+          "transform(sequence(0, 65), k -> ascii(substring(text, k * stride + 1, 1)))"))
+        .withColumn("phash", expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
+            |  acc + IF(element_at(bs, CAST((j div 10) * 11 + (j % 10) + 1 AS INT))
+            |           < element_at(bs, CAST((j div 10) * 11 + (j % 10) + 2 AS INT)),
+            |        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+        .select(col("doc_id"), col("phash"))
+      val bands = hashed.select(col("doc_id"), col("phash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftrightunsigned(phash, b * 15) & 32767)")))
+        .toDF("doc_id", "phash", "band_idx", "band_val")
+      val a = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("id_a"), col("phash").as("ph_a"))
+      val b = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("id_b"), col("phash").as("ph_b"))
+      a.join(b, Seq("band_idx", "band_val")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 65),
+      |      k -> ascii(substr(text, CAST(k * greatest((length(text) - 1) // 66, 1) + 1 AS INTEGER), 1))) AS bs
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+      |    CASE WHEN bs[CAST((j // 10) * 11 + (j % 10) + 1 AS INTEGER)]
+      |              < bs[CAST((j // 10) * 11 + (j % 10) + 2 AS INTEGER)]
+      |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT) AS phash
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, phash, b.b AS band_idx, (phash >> CAST(b.b * 15 AS INTEGER)) & 32767 AS band_val
+      |  FROM p, (SELECT unnest(generate_series(0, 3)) AS b) b)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,
+    mmPhash)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

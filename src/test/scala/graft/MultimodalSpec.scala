@@ -40,4 +40,31 @@ class MultimodalSpec extends SparkSpec {
     val perDoc = frames.groupBy("doc_id").count().select("count").distinct().collect()
     assert(perDoc.map(_.getLong(0)).toSet === Set(4L))
   }
+
+  test("mm_phash: planted duplicates are recovered, output pairs bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the synthetic corpus has no exact payload duplicates — plant a
+    // corpus: an identical pair, a near pair (one word changed), and
+    // unrelated docs, written with the documents schema
+    val r = new scala.util.Random(7)
+    def doc(): String = Seq.fill(120)("abcdefghij".charAt(r.nextInt(10))).mkString(" ")
+    val base = doc(); val near = "zz" + base.drop(2)
+    val rows = Seq((1L, base), (2L, base), (3L, near)) ++
+      (4L to 20L).map(i => (i, doc()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString + "/documents.parquet"
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(dir)
+    val pairs = SparkEntry.queries("mm_phash")(spark,
+        dir.stripSuffix("/documents.parquet")).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 3))
+    val got = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(got.get((1L, 2L)) === Some(0L),
+      s"identical payloads must pair at hamming 0: $pairs")
+    // the near copy shares its grid except the first samples
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 3L, s"near pair missed: $pairs")
+  }
 }
