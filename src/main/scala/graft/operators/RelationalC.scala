@@ -713,6 +713,69 @@ object RelationalC extends Module {
       |FROM g""".stripMargin)
   )
 
+  // q72 — naive additive seasonal decomposition of the hourly series
+  // (statsmodels seasonal_decompose shape: y = trend + seasonal +
+  // residual). Like q68, the fact table reduces once to the
+  // checkpointed zero-filled |hours| surface; trend is a centered ±12h
+  // moving average (window over the tiny surface), the seasonal
+  // component is the hour-of-day mean detrended value (exact-decimal
+  // accumulated so both engines agree bit-for-bit), and the residual is
+  // one subtraction chain. All windows/aggregates run on the bounded
+  // surface, never event rows.
+  private val q72 = Q(
+    "q72_seasonal",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(eager = true)
+      val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .join(counts, Seq("h"), "left")
+        .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+      val wTrend = Window.orderBy(unix_millis(col("h")))
+        .rangeBetween(-12L * 3600000L, 12L * 3600000L)
+      val trended = series
+        .withColumn("trend",
+          sum(col("y")).over(wTrend).cast("double") /
+            count(lit(1)).over(wTrend).cast("double"))
+        .withColumn("detr", col("y").cast("double") - col("trend"))
+      val wSeason = Window.partitionBy(hour(col("h")))
+      trended
+        .withColumn("seasonal",
+          sum(Exact.d12(col("detr"))).over(wSeason).cast("double") /
+            count(lit(1)).over(wSeason).cast("double"))
+        .select(col("h"), col("y"), col("trend"), col("seasonal"),
+          (col("y").cast("double") - col("trend") - col("seasonal")).as("residual"))
+        .orderBy("h")
+    },
+    Some("""WITH counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+      |    (SELECT MAX(h) FROM counts), INTERVAL 1 HOUR)) AS h),
+      |series AS (
+      |  SELECT spine.h, epoch_ms(spine.h) AS hm, COALESCE(counts.y, 0) AS y
+      |  FROM spine LEFT JOIN counts ON spine.h = counts.h),
+      |t AS (
+      |  SELECT h, y,
+      |    CAST(SUM(y) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+      |  FROM series
+      |  WINDOW w AS (ORDER BY hm RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)),
+      |d AS (SELECT h, y, trend, CAST(y AS DOUBLE) - trend AS detr FROM t)
+      |SELECT h, y, trend,
+      |  CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
+      |    / CAST(COUNT(*) OVER s AS DOUBLE) AS seasonal,
+      |  CAST(y AS DOUBLE) - trend
+      |    - CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
+      |      / CAST(COUNT(*) OVER s AS DOUBLE) AS residual
+      |FROM d
+      |WINDOW s AS (PARTITION BY hour(h))
+      |ORDER BY h""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71)
+    q66, q67, q68, q69, q70, q71, q72)
 }

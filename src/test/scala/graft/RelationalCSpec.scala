@@ -164,6 +164,24 @@ class RelationalCSpec extends SparkSpec {
       s"true mean $truth outside [$lo, $hi]")
   }
 
+  test("q72 seasonal decomposition: components re-sum to y, no event-row window") {
+    val out = SparkEntry.queries("q72_seasonal")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (y, t, se, res) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(y.toDouble - (t + se + res)) < 1e-6,
+        s"decomposition must reconstruct y: $r")
+    }
+    // the seasonal component repeats by hour-of-day
+    val byHod = out.groupBy(r => r.getTimestamp(0).toLocalDateTime.getHour)
+    byHod.values.foreach { rs =>
+      assert(rs.map(_.getDouble(3)).distinct.length === 1)
+    }
+    // all windows run on the checkpointed surface — no parquet scan
+    val p = plan("q72_seasonal")
+    assert("Scan parquet".r.findAllIn(p).isEmpty, p)
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
