@@ -682,7 +682,46 @@ object MlC extends Module {
     None
   )
 
+  // ml_permutation_importance — model-agnostic feature importance
+  // (sklearn permutation_importance): hold-out AUC drop when one
+  // feature's values are permuted. The permutation is DETERMINISTIC
+  // and parallel: rows hash into 64 buckets and each bucket applies a
+  // cyclic shift (lag-1 with wrap) in hash order — a true permutation
+  // of the column, keyed on the bucket so no global sort appears. One
+  // trained model, one scoring pass per feature. Rows-only; MlSpec
+  // pins shape, determinism, and that the base AUC reconciles with
+  // ml_report's evaluator.
+  private val mlPermImp = Q(
+    "ml_permutation_importance",
+    (s, d) => {
+      import s.implicits._
+      val (train, test) = split(customerFeatures(s, d))
+      val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      val model = new Pipeline().setStages(Array(assembler, lr)).fit(train)
+      val evaluator = new BinaryClassificationEvaluator()
+        .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
+      def auc(df: DataFrame): Double = evaluator.evaluate(model.transform(df))
+      val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
+        lit(1000000007L) % 64
+      val hashOrd = (col("c_custkey") % lit(998244353L)) * lit(3L) % lit(998244353L)
+      val base = auc(test)
+      val rows = featCols.map { f =>
+        val w = Window.partitionBy(bucket).orderBy(hashOrd, col("c_custkey"))
+        val wAll = Window.partitionBy(bucket)
+        val shifted = coalesce(lag(col(f), 1).over(w),
+          max(struct(hashOrd.as("o"), col("c_custkey").as("k"), col(f).as("v")))
+            .over(wAll).getField("v"))
+        (f, auc(test.withColumn(f, shifted)))
+      }
+      rows.map { case (f, a) => (f, base, a, base - a) }.toSeq
+        .toDF("feature", "auc_base", "auc_permuted", "auc_drop")
+        .orderBy("feature")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
-    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc)
+    mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
+    mlPermImp)
 }

@@ -163,6 +163,12 @@ object MultimodalG extends Module {
   // A real image decoder would swap the byte grid for a luma grid
   // behind the same schema ([[MediaDecode]] stub discipline); the
   // gradient/banding/hamming arithmetic is real and oracle-checked.
+  // Scale note: a degenerate corpus (millions of identical payloads)
+  // makes a band bucket quadratic — at 100 TB route the bucket join
+  // through [[graft.dedup.Dedup.withRepresentative]] pre-collapse +
+  // [[graft.dedup.Dedup.candidatePairs]]' bucket cap, exactly as the
+  // text-dedup family does; the small-SF oracle keeps the direct join
+  // so DuckDB can verify the full pair arithmetic.
   private val mmPhash = Q(
     "mm_phash",
     (s, d) => {

@@ -249,4 +249,17 @@ class MlSpec extends SparkSpec {
     // its AUC is sampling noise — correctness of the statistic is the
     // contract (the reconciliation above), model floors live elsewhere
   }
+
+  test("permutation importance: one row per feature, deterministic, base shared") {
+    val out = SparkEntry.queries("ml_permutation_importance")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 9)
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq)
+    // every row reports the same base AUC and drop = base - permuted
+    assert(out.map(_._2).distinct.length === 1)
+    out.foreach { case (_, b, p, drop) => assert(math.abs(drop - (b - p)) < 1e-15) }
+    val again = SparkEntry.queries("ml_permutation_importance")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq, "hash permutation must be deterministic")
+  }
 }
