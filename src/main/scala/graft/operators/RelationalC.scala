@@ -776,6 +776,74 @@ object RelationalC extends Module {
       |ORDER BY h""".stripMargin)
   )
 
+  // q73 — Theil–Sen robust trend of the hourly event series: the slope
+  // is the exact MEDIAN of all pairwise slopes (outlier-resistant where
+  // least squares is not), the intercept the median residual at that
+  // slope. The fact table reduces once to the checkpointed |hours|
+  // surface; the pair set is |hours|²/2 rows OF THE SURFACE (260k at
+  // sf0.01 — never event rows), and both medians go through
+  // [[Quantiles]]' distributed selection. At 100 TB-scale hour counts
+  // the standard move is pair sampling or the repeated-median variant —
+  // the exact all-pairs form here is what DuckDB can verify.
+  private val q73 = Q(
+    "q73_theil_sen",
+    (s, d) => {
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(eager = true)
+      val t0 = counts.agg(min(unix_millis(col("h")))).head().getLong(0)
+      // hour index: the division is exact (date_trunc multiples), cast
+      // back to long to mirror the oracle's integer `//`
+      val series = counts.select(
+        ((unix_millis(col("h")) - lit(t0)) / lit(3600000L)).cast("long").as("t"),
+        col("y"))
+      val a = series.select(col("t").as("ta"), col("y").as("ya"))
+      val b = series.select(col("t").as("tb"), col("y").as("yb"))
+      val slopes = a.join(b, col("tb") > col("ta"))
+        .select(((col("yb") - col("ya")).cast("double") /
+          (col("tb") - col("ta")).cast("double")).as("slope"))
+      val slope = Quantiles.exactQuantiles(slopes, Seq("slope"), Seq(0.5)).head._3
+      val resid = series.select(
+        (col("y").cast("double") - lit(slope) * col("t").cast("double")).as("r"))
+      val intercept = Quantiles.exactQuantiles(resid, Seq("r"), Seq(0.5)).head._3
+      val n = series.count()
+      Seq((n, slope, intercept)).toDF("n_hours", "slope_per_hour", "intercept")
+    },
+    Some("""WITH counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |series AS (
+      |  SELECT (epoch_ms(h) - (SELECT MIN(epoch_ms(h)) FROM counts)) // 3600000 AS t, y
+      |  FROM counts),
+      |slopes AS (
+      |  SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS v
+      |  FROM series a JOIN series b ON b.t > a.t),
+      |sm AS (
+      |  SELECT x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS slope FROM (
+      |    SELECT 0.5 * (cnt - 1.0) AS h,
+      |      CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |      LEAST(CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM slopes)) p
+      |  JOIN (SELECT v AS x_lo, ROW_NUMBER() OVER (ORDER BY v) AS rn_lo FROM slopes) lo ON rlo = rn_lo
+      |  JOIN (SELECT v AS x_hi, ROW_NUMBER() OVER (ORDER BY v) AS rn_hi FROM slopes) hi ON rhi = rn_hi),
+      |resid AS (
+      |  SELECT CAST(y AS DOUBLE) - (SELECT slope FROM sm) * CAST(t AS DOUBLE) AS r
+      |  FROM series),
+      |im AS (
+      |  SELECT x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS intercept FROM (
+      |    SELECT 0.5 * (cnt - 1.0) AS h,
+      |      CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |      LEAST(CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM resid)) p
+      |  JOIN (SELECT r AS x_lo, ROW_NUMBER() OVER (ORDER BY r) AS rn_lo FROM resid) lo ON rlo = rn_lo
+      |  JOIN (SELECT r AS x_hi, ROW_NUMBER() OVER (ORDER BY r) AS rn_hi FROM resid) hi ON rhi = rn_hi)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM series) AS n_hours,
+      |  (SELECT slope FROM sm) AS slope_per_hour,
+      |  (SELECT intercept FROM im) AS intercept""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72)
+    q66, q67, q68, q69, q70, q71, q72, q73)
 }

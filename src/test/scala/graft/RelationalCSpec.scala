@@ -182,6 +182,21 @@ class RelationalCSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).isEmpty, p)
   }
 
+  test("q73 Theil-Sen: slope robust to a planted outlier hour (vs least squares)") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q73_theil_sen")(spark, sf).head()
+    assert(r.getLong(0) > 0 && !r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
+    // direct robustness check on planted data: a flat series with one
+    // massive outlier keeps a ~0 Theil-Sen slope
+    val xs = (0L until 50L).map(t => (t, if (t == 25L) 10000L else 100L))
+    val a = xs.toDF("ta", "ya"); val b = xs.toDF("tb", "yb")
+    val slopes = a.join(b, col("tb") > col("ta"))
+      .select(((col("yb") - col("ya")).cast("double") /
+        (col("tb") - col("ta")).cast("double")).as("slope"))
+    val med = operators.Quantiles.exactQuantiles(slopes, Seq("slope"), Seq(0.5)).head._3
+    assert(math.abs(med) < 1e-9, s"outlier must not move the median slope: $med")
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
