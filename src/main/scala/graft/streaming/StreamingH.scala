@@ -757,6 +757,38 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("revenue"))
       .select(col("window.start").as("h"), col("segment"), col("n"), col("revenue"))
 
+  case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class LateOut(event_id: Long, user_id: Long, late: Boolean,
+      disorder_ms: Long)
+
+  /** Streaming twin of q62_late_events' per-event surface: ONE long of
+    * state per user — the arrival high-watermark (max event time over
+    * prior arrivals in event_id order) — each event emitting its
+    * lateness flag (10-minute tolerance) and disorder depth. The hourly
+    * rollup downstream is the same partial-aggregable shape as batch.
+    */
+  def lateStream(events: Dataset[LateEvent],
+      toleranceMs: Long = 600000L): Dataset[LateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, LateOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[LateEvent], state: GroupState[Long]) =>
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = evs.toSeq.sortBy(_.event_id).map { e =>
+            val tsMs = e.ts.getTime
+            val o = LateOut(e.event_id, uid,
+              hwm != Long.MinValue && tsMs < hwm - toleranceMs,
+              if (hwm == Long.MinValue) 0L else math.max(hwm - tsMs, 0L))
+            hwm = math.max(hwm, tsMs)
+            o
+          }
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
   case class TransEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String)
   case class TransPair(user_id: Long, prev: String, next: String)

@@ -142,6 +142,25 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(sums - plainSums) < 1e-6 * math.abs(plainSums))
   }
 
+  test("schema evolution: mergeSchema unions old and new file layouts") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // v1 files have (id, a); v2 adds column b — the add-a-column
+    // evolution a long-lived table accretes
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(dir + "/batch=1")
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "batch", "id"))
+    val rows = merged.select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows === Set((1L, "x", None), (2L, "y", None), (3L, "z", Some(30L))),
+      "old files must read the new column as NULL")
+  }
+
   test("compaction rewrites a many-file table into few files, same rows") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -442,6 +443,40 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(streamed === batch,
         "one-state-per-user streaming must reproduce the lag window's pairs")
+    } finally q.stop()
+  }
+
+  test("streaming lateness surface matches the batch high-watermark window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id")
+      .collect().map(r => Streaming.LateEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(_.event_id) // arrival order IS event_id order
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.LateEvent]
+    val q = Streaming.lateStream(input.toDS())
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("late").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3))).toSet
+      // batch reference: the same per-event surface q62 aggregates
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val batch = batchEvents
+        .withColumn("hwm_ms", unix_millis(max(col("ts")).over(w)))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .select(col("event_id"),
+          (col("ts_ms") < col("hwm_ms") - 600000L).as("late"),
+          greatest(coalesce(col("hwm_ms") - col("ts_ms"), lit(0L)), lit(0L)).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) false else r.getBoolean(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
     } finally q.stop()
   }
 
