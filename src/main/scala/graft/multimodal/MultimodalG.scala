@@ -219,8 +219,46 @@ object MultimodalG extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // mm_shared_frames — frame-level near-dup pairs (the "same clip,
+  // different container" video-dedup signal): payloads sharing ≥ 2
+  // identical sampled frames, found by joining the frame-checksum table
+  // on frame content WITHIN a frame index (two clips sharing frame k)
+  // — hash-bucket join, never all-pairs. Builds directly on
+  // mm_framesample's frame table.
+  private val mmSharedFrames = Q(
+    "mm_shared_frames",
+    (s, d) => {
+      val frames = Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("flen", (length(col("payload")) / 4).cast("int"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, 3), i -> md5(substring(payload, i * flen + 1, flen)))")))
+        .toDF("doc_id", "frame_idx", "frame_md5")
+      val a = frames.select(col("frame_idx"), col("frame_md5"), col("doc_id").as("id_a"))
+      val b = frames.select(col("frame_idx"), col("frame_md5"), col("doc_id").as("id_b"))
+      a.join(b, Seq("frame_idx", "frame_md5")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH f AS (
+      |  SELECT doc_id, length(text) // 4 AS flen,
+      |    unnest(generate_series(0, 3)) AS frame_idx, text
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, frame_idx,
+      |    md5(substr(text, frame_idx * flen + 1, flen)) AS frame_md5
+      |  FROM f)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM fr a JOIN fr b
+      |  ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
+      |     AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,
-    mmPhash)
+    mmPhash, mmSharedFrames)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

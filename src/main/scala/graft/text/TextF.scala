@@ -708,8 +708,35 @@ object TextF extends Module {
       |FROM sc, fx ORDER BY doc_id""".stripMargin)
   )
 
+  // tx_ngram_freq — corpus-level top word-3-grams (the boilerplate /
+  // template phrase-mining pass that feeds stop-lists and dedup rules):
+  // explode → partial-aggregable count → TakeOrdered top-20 with a
+  // deterministic (count desc, gram) tiebreak — the driver sees exactly
+  // 20 rows, never the n-gram dictionary, and no global sort appears.
+  private val txNgramFreq = Q(
+    "tx_ngram_freq",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")).as("gram"))
+        .filter(size(split(col("gram"), " ")) === 3)
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(20)
+    },
+    Some("""WITH w AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT array_to_string(list_slice(ws, CAST(i AS INTEGER), CAST(i + 2 AS INTEGER)), ' ') AS gram
+      |  FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i FROM w)
+      |  WHERE len(ws) >= CAST(i + 2 AS INTEGER))
+      |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
     txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
-    txLmBuckets)
+    txLmBuckets, txNgramFreq)
 }

@@ -67,4 +67,27 @@ class MultimodalSpec extends SparkSpec {
     // the near copy shares its grid except the first samples
     assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 3L, s"near pair missed: $pairs")
   }
+
+  test("mm_shared_frames recovers planted same-length clips by shared quarters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same length, last quarter differs -> 3 shared frames; an identical
+    // copy shares all 4; the synthetic corpus itself has none (verified
+    // empty by the oracle), so the recovery evidence is planted here
+    val base = "abcdefgh" * 25 // 200 chars, flen = 50
+    val variant = base.take(150) + ("zz" + base.drop(152))
+    val rows = Seq((1L, base), (2L, base), (3L, variant), (4L, "x" * 199))
+    val dir = java.nio.file.Files.createTempDirectory("graft_frames").toString + "/documents.parquet"
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(dir)
+    val out = SparkEntry.queries("mm_shared_frames")(spark,
+        dir.stripSuffix("/documents.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.get((1L, 2L)) === Some(4L), s"identical clips share all frames: $out")
+    assert(out.get((1L, 3L)) === Some(3L), s"variant shares 3 of 4 quarters: $out")
+    assert(out.get((2L, 3L)) === Some(3L))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
