@@ -844,6 +844,58 @@ object RelationalC extends Module {
       |  (SELECT intercept FROM im) AS intercept""".stripMargin)
   )
 
+  // q74 — cohort LTV curves (the signup-cohort cumulative-revenue table
+  // behind every retention/LTV chart): users cohort by first-seen day,
+  // purchase value accumulates by day-age. Two partial-aggregable
+  // passes keyed on the high-cardinality user id (first-seen fit, then
+  // the join back), and the cumulative window runs over the
+  // |cohorts|×|ages| surface — never event rows. Exact decimal value
+  // sums; age in whole days.
+  private val q74 = Q(
+    "q74_cohort_ltv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"), date_trunc("day", col("first_ts")).as("cohort"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(firstSeen, "user_id")
+        .groupBy(col("cohort"),
+          datediff(date_trunc("day", col("ts")), col("cohort")).cast("long").as("age_days"))
+        .agg(count(lit(1)).as("n_purchases"), Exact.sumd(col("value")).as("revenue"))
+      val cohortSizes = firstSeen.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.join(broadcast(cohortSizes), "cohort")
+        .withColumn("cum_revenue",
+          sum(col("revenue").cast(DecimalType(38, 6))).over(w).cast("double"))
+        .select(col("cohort"), col("age_days"), col("cohort_users"),
+          col("n_purchases"), col("revenue"), col("cum_revenue"),
+          (col("cum_revenue") / col("cohort_users").cast("double")).as("ltv_per_user"))
+        .orderBy("cohort", "age_days")
+    },
+    Some("""WITH fs AS (
+      |  SELECT user_id, date_trunc('day', MIN(ts)) AS cohort FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT fs.cohort,
+      |    CAST(date_diff('day', fs.cohort, date_trunc('day', e.ts)) AS BIGINT) AS age_days,
+      |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |  FROM events e JOIN fs ON e.user_id = fs.user_id
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM fs GROUP BY 1)
+      |SELECT p.cohort, p.age_days, cs.cohort_users, p.n_purchases, p.revenue,
+      |  CAST(SUM(CAST(p.revenue AS DECIMAL(38,6))) OVER
+      |    (PARTITION BY p.cohort ORDER BY p.age_days
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+      |  CAST(SUM(CAST(p.revenue AS DECIMAL(38,6))) OVER
+      |    (PARTITION BY p.cohort ORDER BY p.age_days
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(cs.cohort_users AS DOUBLE) AS ltv_per_user
+      |FROM p JOIN cs ON p.cohort = cs.cohort
+      |ORDER BY p.cohort, age_days""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

@@ -197,6 +197,19 @@ class RelationalCSpec extends SparkSpec {
     assert(math.abs(med) < 1e-9, s"outlier must not move the median slope: $med")
   }
 
+  test("q74 cohort LTV: cumulative revenue is non-decreasing per cohort") {
+    val out = SparkEntry.queries("q74_cohort_ltv")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      val cums = sorted.map(_._4)
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a },
+        "cumulative revenue must be monotone in age")
+      assert(sorted.forall(t => math.abs(t._5 - t._4 / t._3) < 1e-9))
+    }
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
