@@ -896,6 +896,68 @@ object RelationalC extends Module {
       |ORDER BY p.cohort, age_days""".stripMargin)
   )
 
+  // q75 — conversion-latency quartiles per funnel stage (how long do
+  // users take between view→click and click→purchase — the timing half
+  // of q44's reach funnel). Durations come from the same shared-window
+  // funnel surface; the per-stage quartiles run through the (group,
+  // bucket) histogram machinery — the stage key has cardinality 2, so a
+  // partitioned quantile window would funnel into 2 tasks. Durations
+  // are exact integer microseconds, so the interpolated quartiles
+  // hash-match.
+  private val q75 = Q(
+    "q75_funnel_time",
+    (s, d) => {
+      import s.implicits._
+      val f = graft.SparkEntry.queries("q44_funnel")(s, d)
+      val toClick = f.filter(col("t_view").isNotNull && col("t_click").isNotNull)
+        .select(lit("view_to_click").as("stage"),
+          (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+            .cast("double").as("dur_us"))
+      val toPurchase = f.filter(col("t_click").isNotNull && col("t_purchase").isNotNull)
+        .select(lit("click_to_purchase").as("stage"),
+          (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+            .cast("double").as("dur_us"))
+      val durs = toClick.unionByName(toPurchase)
+      Quantiles.groupedExactQuantiles(durs, "stage", "dur_us", Seq(0.25, 0.5, 0.75))
+        .toDF("stage", "q", "dur_us")
+        .orderBy("stage", "q")
+    },
+    Some("""WITH v AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_view FROM events),
+      |c AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_click FROM v),
+      |pp AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t_purchase FROM c),
+      |f AS (
+      |  SELECT user_id, MIN(t_view) AS tv, MIN(t_click) AS tc, MIN(t_purchase) AS tp
+      |  FROM pp GROUP BY user_id),
+      |dd AS (
+      |  SELECT 'view_to_click' AS g, CAST(epoch_us(tc) - epoch_us(tv) AS DOUBLE) AS x
+      |  FROM f WHERE tv IS NOT NULL AND tc IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'click_to_purchase', CAST(epoch_us(tp) - epoch_us(tc) AS DOUBLE)
+      |  FROM f WHERE tc IS NOT NULL AND tp IS NOT NULL),
+      |r AS (SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn FROM dd),
+      |n AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM dd GROUP BY 1),
+      |p2 AS (
+      |  SELECT n.g, qs.q, qs.q * (cnt - 1.0) AS h,
+      |    CAST(FLOOR(qs.q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |    LEAST(CAST(FLOOR(qs.q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |  FROM n, (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL SELECT CAST(0.5 AS DOUBLE)
+      |           UNION ALL SELECT CAST(0.75 AS DOUBLE)) qs),
+      |b AS (
+      |  SELECT p2.g, p2.q, p2.h,
+      |    MAX(CASE WHEN r.rn = p2.rlo THEN r.x END) AS x_lo,
+      |    MAX(CASE WHEN r.rn = p2.rhi THEN r.x END) AS x_hi
+      |  FROM r JOIN p2 ON r.g = p2.g AND (r.rn = p2.rlo OR r.rn = p2.rhi)
+      |  GROUP BY p2.g, p2.q, p2.h)
+      |SELECT g AS stage, q, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS dur_us
+      |FROM b ORDER BY stage, q""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

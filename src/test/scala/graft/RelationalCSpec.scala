@@ -210,6 +210,18 @@ class RelationalCSpec extends SparkSpec {
     }
   }
 
+  test("q75 funnel time: quartiles ordered, durations positive, no stage window") {
+    val out = SparkEntry.queries("q75_funnel_time")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.map(_._1).distinct.sorted === Seq("click_to_purchase", "view_to_click"))
+    out.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b >= a },
+        "quartiles must be non-decreasing")
+      assert(sorted.forall(_ > 0.0), "conversion takes strictly positive time")
+    }
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
