@@ -958,6 +958,64 @@ object RelationalC extends Module {
       |FROM b ORDER BY stage, q""".stripMargin)
   )
 
+  // q76 — Gini coefficient of customer spend (the inequality /
+  // concentration readout: "do 10% of customers drive 90% of
+  // revenue?"). Gini needs Σ rank·x over the GLOBALLY sorted values —
+  // the classic one-task sort — so the rank comes from the q48/q66
+  // bucket-offset discipline instead: per-bucket counts → cumulative
+  // offsets (bounded metadata) → row_number within buckets only. Ties
+  // contribute identically under any tie order (equal x), so the
+  // statistic is exact; Σ rank·z accumulates in DECIMAL(38,0) (rank ≤
+  // n makes the product quadratic in n — a long sum dies first) and
+  // Gini is one fixed IEEE expression, scale-invariant on the cent
+  // grid.
+  private val q76 = Q(
+    "q76_gini",
+    (s, d) => {
+      import s.implicits._
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("z"))
+        .select(col("z").cast("double").as("x"))
+      val r = spend.agg(min(col("x")), max(col("x")), count(lit(1))).head()
+      val (lo, hi, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+      val bCol =
+        if (lo == hi) lit(1L)
+        else least(width_bucket(col("x"), lit(lo), lit(hi), lit(65536)), lit(65536L))
+      val perBucket = spend.groupBy(bCol.as("bk")).agg(count(lit(1)).as("c"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = perBucket.map { case (bk, c) => val o = (bk, acc); acc += c; o }
+      val offDf = broadcast(offsets.toSeq.toDF("ob", "off"))
+      val w = Window.partitionBy(col("bk")).orderBy(col("x"))
+      val g = spend.withColumn("bk", bCol)
+        .join(offDf, col("bk") === col("ob"))
+        .withColumn("rank", col("off") + row_number().over(w))
+        .agg(
+          // multiply in DECIMAL: rank·x ≈ n·Σx per row brushes int64
+          // long before the sum does
+          sum(col("rank").cast(DecimalType(38, 0)) *
+            col("x").cast("long").cast(DecimalType(38, 0)))
+            .cast("double").as("srx"),
+          sum(col("x").cast("long").cast(DecimalType(38, 0))).cast("double").as("sx"))
+      g.select(lit(n).as("n_customers"),
+        (lit(2.0) * col("srx") / (lit(n.toDouble) * col("sx")) -
+          (lit(n.toDouble) + lit(1.0)) / lit(n.toDouble)).as("gini"))
+    },
+    Some("""WITH spend AS (
+      |  SELECT CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |ranked AS (
+      |  SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rank FROM spend),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(rank AS HUGEINT) * CAST(CAST(x AS BIGINT) AS HUGEINT)) AS DOUBLE) AS srx,
+      |    CAST(SUM(CAST(CAST(x AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sx
+      |  FROM ranked)
+      |SELECT n AS n_customers,
+      |  2.0 * srx / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+      |FROM g""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

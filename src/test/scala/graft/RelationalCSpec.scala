@@ -222,6 +222,20 @@ class RelationalCSpec extends SparkSpec {
     }
   }
 
+  test("q76 Gini: bounded in [0,1), equals the naive sorted formula") {
+    val r = SparkEntry.queries("q76_gini")(spark, sf).head()
+    val (n, gini) = (r.getLong(0), r.getDouble(1))
+    assert(gini >= 0.0 && gini < 1.0)
+    // naive local recomputation over sorted cent spend
+    val xs = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("z"))
+      .select("z").collect().map(_.getLong(0).toDouble).sorted
+    assert(n === xs.length)
+    val srx = xs.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+    val naive = 2.0 * srx / (xs.length * xs.sum) - (xs.length + 1.0) / xs.length
+    assert(math.abs(gini - naive) < 1e-12, s"distributed $gini vs naive $naive")
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
