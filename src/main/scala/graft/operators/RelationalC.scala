@@ -1016,6 +1016,83 @@ object RelationalC extends Module {
       |FROM g""".stripMargin)
   )
 
+  // q77 — Spearman rank correlation between quantity and price (the
+  // robust, monotone-association sibling of q69's Pearson). Average-tie
+  // ranks per column come from the bucket-offset discipline (distinct-
+  // value counts → bounded offsets → avg rank = below + (ct+1)/2, an
+  // exactly-representable X.0/X.5 double, identical to the oracle's
+  // AVG-of-row_number window), joined back to rows by value. DOUBLING
+  // the ranks makes them integers, so the Pearson-over-ranks moments
+  // are exact DECIMAL(38,0) sums (u·v ≈ 4n² per row — quadratic in n,
+  // a long dies first) and rho is one fixed IEEE expression —
+  // scale/shift invariance of correlation absorbs the doubling.
+  private val q77 = Q(
+    "q77_spearman",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d).select(
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      // avg-tie rank table for one column: (value, doubled avg rank)
+      def rankTable(c: String): DataFrame = {
+        val cnt = l.groupBy(col(c).as("v")).agg(count(lit(1)).as("ct"))
+        val r = cnt.agg(min(col("v")), max(col("v"))).head()
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        val bCol =
+          if (lo == hi) lit(1L)
+          else least(width_bucket(col("v"), lit(lo), lit(hi), lit(65536)), lit(65536L))
+        val perBucket = cnt.groupBy(bCol.as("bk")).agg(sum(col("ct")).as("t"))
+          .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+        var acc = 0L
+        val offsets = perBucket.map { case (bk, t) => val o = (bk, acc); acc += t; o }
+        val offDf = broadcast(offsets.toSeq.toDF("ob", "off"))
+        val w = Window.partitionBy(col("bk")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cnt.withColumn("bk", bCol)
+          .join(offDf, col("bk") === col("ob"))
+          .withColumn("below", col("off") + sum(col("ct")).over(w) - col("ct"))
+          .select(col("v").as(s"${c}_v"),
+            (col("below") * 2L + col("ct") + 1L).as(s"${c}_u2"))
+      }
+      val ranked = l
+        .join(rankTable("x"), col("x") === col("x_v"))
+        .join(rankTable("y"), col("y") === col("y_v"))
+      val dz = (c: Column) => c.cast(DecimalType(38, 0))
+      val g = ranked.agg(
+        count(lit(1)).as("n_l"),
+        sum(dz(col("x_u2"))).cast("double").as("su"),
+        sum(dz(col("y_u2"))).cast("double").as("sv"),
+        sum(dz(col("x_u2")) * dz(col("y_u2"))).cast("double").as("suv"),
+        sum(dz(col("x_u2")) * dz(col("x_u2"))).cast("double").as("suu"),
+        sum(dz(col("y_u2")) * dz(col("y_u2"))).cast("double").as("svv"))
+      val n = col("n_l").cast("double")
+      val cov = col("suv") - col("su") * col("sv") / n
+      val vu = col("suu") - col("su") * col("su") / n
+      val vv = col("svv") - col("sv") * col("sv") / n
+      g.select(col("n_l").as("n"), (cov / (sqrt(vu) * sqrt(vv))).as("spearman_rho"))
+    },
+    Some("""WITH r AS (
+      |  SELECT
+      |    CAST(2.0 * AVG(rx) OVER (PARTITION BY x) AS BIGINT) AS u,
+      |    CAST(2.0 * AVG(ry) OVER (PARTITION BY y) AS BIGINT) AS v
+      |  FROM (
+      |    SELECT l_quantity AS x, l_extendedprice AS y,
+      |      ROW_NUMBER() OVER (ORDER BY l_quantity) AS rx,
+      |      ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS ry
+      |    FROM lineitem)),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(u AS HUGEINT)) AS DOUBLE) AS su,
+      |    CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS suv,
+      |    CAST(SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS DOUBLE) AS suu,
+      |    CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS svv
+      |  FROM r)
+      |SELECT n_l AS n,
+      |  (suv - su * sv / n)
+      |  / (SQRT(suu - su * su / n) * SQRT(svv - sv * sv / n)) AS spearman_rho
+      |FROM g""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }

@@ -236,6 +236,31 @@ class RelationalCSpec extends SparkSpec {
     assert(math.abs(gini - naive) < 1e-12, s"distributed $gini vs naive $naive")
   }
 
+  test("q77 Spearman equals the naive average-tie rank correlation") {
+    val r = SparkEntry.queries("q77_spearman")(spark, sf).head()
+    val (n, rho) = (r.getLong(0), r.getDouble(1))
+    assert(rho >= -1.0 && rho <= 1.0)
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice").collect()
+      .map(row => (row.getDouble(0), row.getDouble(1)))
+    assert(n === rows.length)
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val below = xs.groupBy(identity).view.mapValues(_.length).toMap
+      val sorted = below.keys.toArray.sorted
+      val cum = scala.collection.mutable.Map[Double, Long]()
+      var acc = 0L
+      sorted.foreach { v => cum(v) = acc; acc += below(v) }
+      xs.map(v => cum(v) + (below(v) + 1) / 2.0)
+    }
+    val rx = avgRanks(rows.map(_._1)); val ry = avgRanks(rows.map(_._2))
+    val nn = rows.length.toDouble
+    val (mx, my) = (rx.sum / nn, ry.sum / nn)
+    val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val naive = cov / math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+      ry.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(rho - naive) < 1e-9, s"distributed $rho vs naive $naive")
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
