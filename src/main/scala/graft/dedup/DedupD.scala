@@ -481,7 +481,33 @@ object DedupD extends Module {
       |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)
   )
 
+  // dd_dup_weights — duplicate-aware training weights (the SoftDeDup
+  // alternative to removal: keep every copy but down-weight it by its
+  // cluster multiplicity, so the corpus-level contribution of a
+  // duplicated document stays 1). weight = 1/cluster_size from the
+  // same cluster assignment dd_clusters certifies; one rollup + one
+  // join keyed on the high-cardinality doc/cluster ids.
+  private val ddDupWeights = Q(
+    "dd_dup_weights",
+    (s, d) => {
+      val clustered = clusterDf(s, d)
+      val sizes = clustered.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      clustered.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("sz").as("cluster_size"),
+          (lit(1.0) / col("sz").cast("double")).as("weight"))
+        .orderBy("doc_id")
+    },
+    Some(clusterCte +
+      """
+      |, sizes AS (
+      |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM clusters GROUP BY 1)
+      |SELECT c.doc_id, c.cluster_id, s.sz AS cluster_size,
+      |  1.0 / CAST(s.sz AS DOUBLE) AS weight
+      |FROM clusters c JOIN sizes s USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddSimhash,
     ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
-    ddEmbedCosine, ddWinnowPairs, ddClusterSizes)
+    ddEmbedCosine, ddWinnowPairs, ddClusterSizes, ddDupWeights)
 }

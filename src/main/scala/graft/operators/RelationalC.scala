@@ -1093,6 +1093,67 @@ object RelationalC extends Module {
       |FROM g""".stripMargin)
   )
 
+  // q78 — Lorenz curve points (the decile revenue-share table q76's
+  // Gini summarizes: "the top decile holds X% of revenue"). Decile
+  // fences over customer spend come from the distributed quantile
+  // selection; the share table is one partial-aggregable pass with
+  // exact integer cent sums and a 10-row cumulative window. Fences and
+  // shares are fixed IEEE expressions, so the curve hash-matches.
+  private val q78 = Q(
+    "q78_lorenz",
+    (s, d) => {
+      import s.implicits._
+      val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("z"))
+        .select(col("z").cast("double").as("x"))
+      val fences = Quantiles.exactQuantiles(spend, Seq("x"), (1 to 9).map(_ / 10.0)).map(_._3)
+      val decile = fences.foldLeft(lit(1L)) { (acc, f) =>
+        acc + when(col("x") > lit(f), 1L).otherwise(0L)
+      }
+      val byDec = spend.groupBy(decile.as("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          // decimal accumulator: a flat long cent sum per decile
+          // overflows around 1e10 customers
+          sum(col("x").cast("long").cast(DecimalType(38, 0))).cast("double").as("cents"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byDec
+        .withColumn("cum_cents", sum(col("cents").cast(DecimalType(38, 6))).over(w).cast("double"))
+        .withColumn("tot_cents", sum(col("cents").cast(DecimalType(38, 6))).over(all).cast("double"))
+        .select(col("decile"), col("n_customers"),
+          (col("cents") / col("tot_cents")).as("share"),
+          (col("cum_cents") / col("tot_cents")).as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""WITH spend AS (
+      |  SELECT CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |f AS (
+      |  SELECT q, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value FROM (
+      |    SELECT q, q * (cnt - 1.0) AS h,
+      |      CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |      LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM spend) n,
+      |         (SELECT unnest(generate_series(1, 9)) / 10.0 AS q) qs) h
+      |  JOIN (SELECT x AS x_lo, ROW_NUMBER() OVER (ORDER BY x) AS rn_lo FROM spend) lo ON rlo = rn_lo
+      |  JOIN (SELECT x AS x_hi, ROW_NUMBER() OVER (ORDER BY x) AS rn_hi FROM spend) hi ON rhi = rn_hi),
+      |dec AS (
+      |  SELECT CAST(1 + (SELECT COUNT(*) FROM f WHERE s.x > f.value) AS BIGINT) AS decile, s.x
+      |  FROM spend s),
+      |byd AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(CAST(SUM(CAST(x AS BIGINT)) AS HUGEINT) AS DOUBLE) AS cents
+      |  FROM dec GROUP BY decile)
+      |SELECT decile, n_customers,
+      |  cents / CAST(SUM(CAST(cents AS DECIMAL(38,6))) OVER () AS DOUBLE) AS share,
+      |  CAST(SUM(CAST(cents AS DECIMAL(38,6))) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(SUM(CAST(cents AS DECIMAL(38,6))) OVER () AS DOUBLE) AS cum_share
+      |FROM byd ORDER BY decile""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

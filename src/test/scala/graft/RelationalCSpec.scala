@@ -261,6 +261,30 @@ class RelationalCSpec extends SparkSpec {
     assert(math.abs(rho - naive) < 1e-9, s"distributed $rho vs naive $naive")
   }
 
+  test("q78 Lorenz: shares sum to 1, cum_share monotone, top decile heaviest") {
+    val out = SparkEntry.queries("q78_lorenz")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._2).sum === Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-9)
+    val cums = out.map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(cums.last - 1.0) < 1e-12)
+    assert(out.last._3 === out.map(_._3).max, "deciles are spend-ordered")
+  }
+
+  test("dd_dup_weights: weights sum to one per cluster") {
+    val out = SparkEntry.queries("dd_dup_weights")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.length === rs.head._2.toInt, "cluster_size must equal membership")
+      assert(math.abs(rs.map(_._3).sum - 1.0) < 1e-9,
+        "per-cluster weights must sum to 1")
+    }
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
