@@ -49,6 +49,36 @@ class QuantilesSpec extends SparkSpec {
     qs.foreach(q => assert(got(q) === ref(xs, q), s"q=$q"))
   }
 
+  test("property: grouped quantiles match per-group references on mixture draws") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val value: Gen[Double] = Gen.oneOf(
+      Gen.const(-3.5),
+      Gen.choose(-1e9, 1e9),
+      Gen.choose(0.0, 1e-6),
+      Gen.choose(0.0, 10.0).map(x => math.rint(x * 10) / 10))
+    // groups of wildly different sizes, including singletons and
+    // constant groups — the shapes the per-group short-circuits handle
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      v <- if (g == "d") Gen.const(9.25) else value
+    } yield (g, v)
+    val listGen = Gen.choose(8, 800).flatMap(n => Gen.listOfN(n, rowGen))
+    (1 to 12).foreach { i =>
+      val rows = listGen(Gen.Parameters.default, rng.Seed(100L + i)).get
+      val got = operators.Quantiles.groupedExactQuantiles(
+        rows.toDF("g", "x"), "g", "x", Seq(0.25, 0.5, 0.75))
+        .map { case (g, q, v) => (g, q) -> v }.toMap
+      rows.groupBy(_._1).foreach { case (g, grows) =>
+        val xs = grows.map(_._2)
+        Seq(0.25, 0.5, 0.75).foreach { q =>
+          assert(got((g, q)) === ref(xs, q),
+            s"seed=$i group=$g n=${xs.length} q=$q")
+        }
+      }
+    }
+  }
+
   test("property: adversarial mixture distributions match the reference (30 seeded draws)") {
     import org.scalacheck.{Gen, rng}
     // each draw mixes the histogram's hard regimes: point masses (empty
