@@ -289,7 +289,11 @@ object RelationalC extends Module {
     "q63_group_percent_rank",
     (s, d) => {
       import s.implicits._
-      val l = Tables.lineitem(s, d)
+      // explicit NULL parity: engines disagree on NULL placement inside
+      // rank windows (Spark NULLS FIRST vs DuckDB NULLS LAST) — exclude
+      // them identically on both sides so the contract is pinned even
+      // on corpora that have them (this one doesn't)
+      val l = Tables.lineitem(s, d).filter(col("l_extendedprice").isNotNull)
       val g = "l_returnflag"; val v = "l_extendedprice"
       val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
           count(lit(1)).as("ng"))
@@ -325,7 +329,8 @@ object RelationalC extends Module {
     },
     Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
       |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS pr
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 
   // q64 — Welch two-sample t-test between the open/finished lineitem
@@ -1154,6 +1159,84 @@ object RelationalC extends Module {
       |FROM byd ORDER BY decile""".stripMargin)
   )
 
+  // q79 — Mann–Whitney U / Wilcoxon rank-sum test between the O/F
+  // price populations (the nonparametric location test beside q64's
+  // Welch t and q66's KS): average-tie ranks over the COMBINED sample
+  // via the bucket-offset discipline (doubled to integers, as in q77),
+  // with the exact tie-correction term Σ(t³−t) computed from the same
+  // distinct-value counts. U, its null mean/variance and z are fixed
+  // IEEE expressions over exact integer sums.
+  private val q79 = Q(
+    "q79_mann_whitney",
+    (s, d) => {
+      import s.implicits._
+      val u0 = Tables.lineitem(s, d)
+        .filter(col("l_linestatus").isin("O", "F"))
+        .select(col("l_extendedprice").as("x"),
+          when(col("l_linestatus") === "O", 1L).otherwise(0L).as("isa"))
+      val cnt = u0.groupBy(col("x"))
+        .agg(count(lit(1)).as("ct"), sum(col("isa")).as("ca"))
+      val r = cnt.agg(min(col("x")), max(col("x"))).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val bCol =
+        if (lo == hi) lit(1L)
+        else least(width_bucket(col("x"), lit(lo), lit(hi), lit(65536)), lit(65536L))
+      val perBucket = cnt.groupBy(bCol.as("bk")).agg(sum(col("ct")).as("t"))
+        .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = perBucket.map { case (bk, t) => val o = (bk, acc); acc += t; o }
+      val offDf = broadcast(offsets.toSeq.toDF("ob", "off"))
+      val w = Window.partitionBy(col("bk")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def dz(c: Column): Column = c.cast(DecimalType(38, 0))
+      val g = cnt.withColumn("bk", bCol)
+        .join(offDf, col("bk") === col("ob"))
+        .withColumn("below", col("off") + sum(col("ct")).over(w) - col("ct"))
+        // doubled avg rank of the value: 2·below + ct + 1 (integral)
+        .agg(
+          sum(dz(col("ca")) * dz(col("below") * 2L + col("ct") + 1L))
+            .cast("double").as("r2a"),
+          sum(col("ca")).as("na_l"), sum(col("ct") - col("ca")).as("nb_l"),
+          sum(dz(col("ct")) * dz(col("ct")) * dz(col("ct")) - dz(col("ct")))
+            .cast("double").as("tie3"))
+      val na = col("na_l").cast("double"); val nb = col("nb_l").cast("double")
+      val n = na + nb
+      val ua = col("r2a") / lit(2.0) - na * (na + lit(1.0)) / lit(2.0)
+      val mu = na * nb / lit(2.0)
+      val sigma = sqrt(na * nb / lit(12.0) *
+        ((n + lit(1.0)) - col("tie3") / (n * (n - lit(1.0)))))
+      g.select(col("na_l").as("n_a"), col("nb_l").as("n_b"),
+        ua.as("u_a"), (na * nb - ua).as("u_b"),
+        ((ua - mu) / sigma).as("z"))
+    },
+    Some("""WITH u0 AS (
+      |  SELECT l_extendedprice AS x,
+      |    CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS isa
+      |  FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+      |cnt AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS ct, CAST(SUM(isa) AS BIGINT) AS ca
+      |  FROM u0 GROUP BY x),
+      |rk AS (
+      |  SELECT ct, ca,
+      |    CAST(SUM(ct) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct AS BIGINT) AS below
+      |  FROM cnt),
+      |g AS (
+      |  SELECT
+      |    CAST(SUM(CAST(ca AS HUGEINT) * CAST(below * 2 + ct + 1 AS HUGEINT)) AS DOUBLE) AS r2a,
+      |    CAST(SUM(ca) AS BIGINT) AS na_l, CAST(SUM(ct - ca) AS BIGINT) AS nb_l,
+      |    CAST(SUM(CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) * CAST(ct AS HUGEINT) - CAST(ct AS HUGEINT)) AS DOUBLE) AS tie3
+      |  FROM rk),
+      |m AS (
+      |  SELECT na_l, nb_l, CAST(na_l AS DOUBLE) AS na, CAST(nb_l AS DOUBLE) AS nb,
+      |    r2a, tie3 FROM g)
+      |SELECT na_l AS n_a, nb_l AS n_b,
+      |  r2a / 2.0 - na * (na + 1.0) / 2.0 AS u_a,
+      |  na * nb - (r2a / 2.0 - na * (na + 1.0) / 2.0) AS u_b,
+      |  (r2a / 2.0 - na * (na + 1.0) / 2.0 - na * nb / 2.0)
+      |  / SQRT(na * nb / 12.0 * ((na + nb + 1.0) - tie3 / ((na + nb) * (na + nb - 1.0)))) AS z
+      |FROM m""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 }

@@ -285,6 +285,20 @@ class RelationalCSpec extends SparkSpec {
     }
   }
 
+  test("q79 Mann-Whitney: U_a + U_b = n_a*n_b, z finite") {
+    val r = SparkEntry.queries("q79_mann_whitney")(spark, sf).head()
+    val (na, nb, ua, ub, z) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(na > 0 && nb > 0)
+    assert(math.abs(ua + ub - na.toDouble * nb.toDouble) < 1e-6,
+      "U statistics must partition the pair count")
+    assert(ua >= 0.0 && ub >= 0.0 && !z.isNaN)
+    // same populations as the Welch test: both should agree on direction
+    val t = SparkEntry.queries("q64_welch_ttest")(spark, sf).head().getDouble(3)
+    assert(z.sign === t.sign || z == 0.0 || t == 0.0,
+      s"rank z=$z and Welch t=$t should not point opposite ways")
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
