@@ -1237,6 +1237,58 @@ object RelationalC extends Module {
       |FROM m""".stripMargin)
   )
 
+  // q80 — out-of-fold target encoding (the leakage-safe categorical
+  // encoder gradient-boosting pipelines use where one-hot explodes):
+  // each row's segment is encoded by the target mean of OTHER folds'
+  // rows in the same segment — its own fold's contribution is
+  // subtracted, so the encoding never sees the row's own label. The
+  // (segment × fold) sufficient-statistics surface is tiny and
+  // broadcast; folds come from the deterministic Z-mod-p gate. All
+  // sums are exact integers; a segment confined to one fold falls back
+  // to NULL on both sides (no silent prior).
+  private val q80 = Q(
+    "q80_target_encode",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          when(col("c_acctbal") < 0, 1L).otherwise(0L).as("y"),
+          ((col("c_custkey") % lit(1000000007L)) * lit(654435747L)
+            % lit(1000000007L) % 5).as("fold"))
+      val sf = c.groupBy(col("segment").as("s_seg"), col("fold").as("s_fold"))
+        .agg(count(lit(1)).as("n_sf"), sum(col("y")).as("y_sf"))
+      val st = sf.groupBy(col("s_seg").as("t_seg"))
+        .agg(sum(col("n_sf")).as("n_s"), sum(col("y_sf")).as("y_s"))
+      c.join(broadcast(sf), col("segment") === col("s_seg") && col("fold") === col("s_fold"))
+        .join(broadcast(st), col("segment") === col("t_seg"))
+        .select(col("c_custkey"), col("segment"), col("fold"), col("y"),
+          when(col("n_s") > col("n_sf"),
+            (col("y_s") - col("y_sf")).cast("double") /
+              (col("n_s") - col("n_sf")).cast("double")).as("te"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH c AS (
+      |  SELECT c_custkey, c_mktsegment AS segment,
+      |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS y,
+      |    (((c_custkey % 1000000007) * 654435747) % 1000000007) % 5 AS fold
+      |  FROM customer),
+      |sf AS (
+      |  SELECT segment AS s_seg, fold AS s_fold,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sf, CAST(SUM(y) AS BIGINT) AS y_sf
+      |  FROM c GROUP BY 1, 2),
+      |st AS (
+      |  SELECT s_seg AS t_seg, CAST(SUM(n_sf) AS BIGINT) AS n_s,
+      |    CAST(SUM(y_sf) AS BIGINT) AS y_s
+      |  FROM sf GROUP BY 1)
+      |SELECT c.c_custkey, c.segment, c.fold, CAST(c.y AS BIGINT) AS y,
+      |  CASE WHEN st.n_s > sf.n_sf
+      |       THEN CAST(st.y_s - sf.y_sf AS DOUBLE) / CAST(st.n_s - sf.n_sf AS DOUBLE)
+      |       END AS te
+      |FROM c JOIN sf ON c.segment = sf.s_seg AND c.fold = sf.s_fold
+      |JOIN st ON c.segment = st.t_seg
+      |ORDER BY c_custkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
+    q80)
 }

@@ -299,6 +299,25 @@ class RelationalCSpec extends SparkSpec {
       s"rank z=$z and Welch t=$t should not point opposite ways")
   }
 
+  test("q80 target encoding is leakage-free: own fold never contributes") {
+    val out = SparkEntry.queries("q80_target_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(out.nonEmpty)
+    // recompute one row's encoding from the raw table, excluding its fold
+    val sample = out.head
+    val peers = out.filter(t => t._2 == sample._2 && t._3 != sample._3)
+    val expect = peers.map(_._4).sum.toDouble / peers.length
+    assert(math.abs(sample._5 - expect) < 1e-12,
+      s"oof mean must exclude the row's own fold: ${sample._5} vs $expect")
+    // encodings are probabilities
+    assert(out.filter(!_._5.isNaN).forall(t => t._5 >= 0.0 && t._5 <= 1.0))
+    // all rows of one (segment, fold) share the encoding
+    out.groupBy(t => (t._2, t._3)).values.foreach { rs =>
+      assert(rs.map(_._5).distinct.length === 1)
+    }
+  }
+
   test("q66 KS: cumulative window keys on the bucket id, D within [0,1]") {
     val p = plan("q66_ks_test")
     assert("hashpartitioning\\(bk#\\d+".r.findFirstIn(p).isDefined,
