@@ -1288,7 +1288,39 @@ object RelationalC extends Module {
       |ORDER BY c_custkey""".stripMargin)
   )
 
+  // q81 — standardized residuals of the contingency table (the
+  // which-cell-drives-it drill-down after q67's chi²): one observed
+  // row per (flag, status) with its expected count and Pearson residual
+  // (o−e)/√e — the heatmap cells an analyst actually reads. Same
+  // single-scan + |r|×|c|-surface windows as q67.
+  private val q81 = Q(
+    "q81_chi2_residuals",
+    (s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+      val e = sum(col("o")).over(Window.partitionBy(col("rf"))).cast("double") *
+        sum(col("o")).over(Window.partitionBy(col("ls"))).cast("double") /
+        sum(col("o")).over(Window.partitionBy()).cast("double")
+      obs.withColumn("e", e)
+        .select(col("rf"), col("ls"), col("o"), col("e"),
+          ((col("o").cast("double") - col("e")) / sqrt(col("e"))).as("residual"))
+        .orderBy("rf", "ls")
+    },
+    Some("""WITH obs AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT rf, ls, o,
+      |    CAST(SUM(o) OVER (PARTITION BY rf) AS DOUBLE)
+      |      * CAST(SUM(o) OVER (PARTITION BY ls) AS DOUBLE)
+      |      / CAST(SUM(o) OVER () AS DOUBLE) AS e
+      |  FROM obs)
+      |SELECT rf, ls, o, e, (CAST(o AS DOUBLE) - e) / SQRT(e) AS residual
+      |FROM c ORDER BY rf, ls""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79,
-    q80)
+    q80, q81)
 }

@@ -335,6 +335,17 @@ class RelationalCSpec extends SparkSpec {
     assert(r.getLong(0) === Tables.lineitem(spark, sf).count())
   }
 
+  test("q81 residuals: squares re-sum to q67's chi2, expecteds match totals") {
+    val cells = SparkEntry.queries("q81_chi2_residuals")(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val chi2 = SparkEntry.queries("q67_chi2")(spark, sf).head().getDouble(1)
+    val sumSq = cells.map(t => t._3 * t._3).sum
+    assert(math.abs(sumSq - chi2) < 1e-6 * math.max(1.0, chi2),
+      s"sum of squared residuals $sumSq must equal chi2 $chi2")
+    assert(math.abs(cells.map(_._2).sum - cells.map(_._1).sum.toDouble) < 1e-6,
+      "expected counts must conserve the total")
+  }
+
   test("q68 autocorr: 6 lags, |acf| <= 1, fact table reduced before the self-join") {
     val out = SparkEntry.queries("q68_autocorr")(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq === (1L to 6L))
