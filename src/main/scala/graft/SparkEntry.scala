@@ -9,6 +9,7 @@ object SparkEntry {
   def modules: Seq[Module] = Seq(
     graft.operators.RelationalA,
     graft.operators.RelationalC,
+    graft.operators.RelationalD,
     graft.operators.PreprocessB,
     graft.sources.SourcesI,
     graft.ml.MlC,

@@ -1,0 +1,373 @@
+package graft.operators
+
+import graft.{Exact, Q, Tables, Module}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-5 (continued) statistics additions: trend fit, robust trimmed
+  * mean, association effect size, first-digit (Benford) profiling,
+  * concentration/diversity indices, and CUSUM change detection. Same
+  * discipline as [[RelationalC]]: exact integer/decimal accumulation,
+  * derived statistics as fixed IEEE expressions shaped identically to
+  * the DuckDB oracle, fact tables reduce to bounded surfaces before any
+  * window, and no libm transcendentals on data-dependent values (logs
+  * only ever appear as Scala-computed literals interpolated into BOTH
+  * engines — see q85).
+  */
+object RelationalD extends Module {
+
+  /** Zero-filled hourly event-count series (the q68/q72 surface): one
+    * scan of events partial-aggregates to |hours| rows, gap hours are
+    * restored from a 1-row span aggregate. Checkpointed so the span fit
+    * and the join reuse one scan.
+    */
+  private def hourlySeries(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = true)
+    counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), unix_millis(col("h")).as("hm"),
+        coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  private val hourlySql =
+    """counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+      |    (SELECT MAX(h) FROM counts), INTERVAL 1 HOUR)) AS h),
+      |series AS (
+      |  SELECT spine.h AS h, epoch_ms(spine.h) AS hm, COALESCE(counts.y, 0) AS y
+      |  FROM spine LEFT JOIN counts ON spine.h = counts.h)""".stripMargin
+
+  // q82 — OLS trend line of the hourly event series (the "is traffic
+  // growing" EDA readout; the regression sibling of q73's Theil–Sen).
+  // The fact table reduces ONCE to the zero-filled |hours| surface;
+  // slope/intercept/R² come from the five exact sums n, Σt, Σtt, Σy,
+  // Σty, Σyy accumulated in DECIMAL(38,0) (t·y products would outgrow a
+  // long on year-scale series at 100 TB event rates), assembled as one
+  // fixed IEEE expression per statistic. No window, no sort — the only
+  // wide operation is the hourly partial aggregate.
+  private val q82 = Q(
+    "q82_ols",
+    (s, d) => {
+      val series = hourlySeries(s, d)
+      val lo = series.agg(min(col("hm"))).head().getLong(0)
+      val t = ((col("hm") - lit(lo)) / lit(3600000L)).cast("long")
+        .cast(DecimalType(38, 0))
+      val y = col("y").cast(DecimalType(38, 0))
+      val a = series.agg(
+        count(lit(1)).as("n"),
+        sum(t).cast("double").as("st"),
+        sum(t * t).cast("double").as("stt"),
+        sum(y).cast("double").as("sy"),
+        sum(t * y).cast("double").as("sty"),
+        sum(y * y).cast("double").as("syy"))
+      val n = col("n").cast("double")
+      val cov = n * col("sty") - col("st") * col("sy")
+      val vt = n * col("stt") - col("st") * col("st")
+      val vy = n * col("syy") - col("sy") * col("sy")
+      a.select(col("n"),
+        (cov / vt).as("slope"),
+        ((col("sy") - (cov / vt) * col("st")) / n).as("intercept"),
+        (cov * cov / (vt * vy)).as("r2"))
+    },
+    Some(s"""WITH $hourlySql,
+      |idx AS (
+      |  SELECT CAST((hm - (SELECT MIN(hm) FROM series)) / 3600000 AS HUGEINT) AS t,
+      |    CAST(y AS HUGEINT) AS y
+      |  FROM series),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS stt,
+      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(t * y) AS DOUBLE) AS sty,
+      |    CAST(SUM(y * y) AS DOUBLE) AS syy
+      |  FROM idx)
+      |SELECT n,
+      |  (CAST(n AS DOUBLE) * sty - st * sy) / (CAST(n AS DOUBLE) * stt - st * st) AS slope,
+      |  (sy - ((CAST(n AS DOUBLE) * sty - st * sy) / (CAST(n AS DOUBLE) * stt - st * st)) * st) / CAST(n AS DOUBLE) AS intercept,
+      |  (CAST(n AS DOUBLE) * sty - st * sy) * (CAST(n AS DOUBLE) * sty - st * sy)
+      |    / ((CAST(n AS DOUBLE) * stt - st * st) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+      |FROM g""".stripMargin)
+  )
+
+  // q83 — 10%-each-side trimmed mean per group (scipy trim_mean, the
+  // robust location estimate between q56's mode and q60's MAD). Exact
+  // count-based trimming WITHOUT a global sort: the (group, bucket)
+  // histogram (q63's discipline) gives every bucket its rank interval
+  // [off+1, off+c]; buckets entirely inside the keep range contribute
+  // their exact cent-grid sums straight from the histogram, buckets
+  // entirely outside are dropped, and ONLY the ≤ 2·groups fence-
+  // straddling buckets (~n/65536 rows each) are ranked row-by-row
+  // (value, orderkey, linenumber tiebreak — same total order as the
+  // oracle's naive window). Driver metadata stays ≤ groups × 65536 rows
+  // by construction.
+  private val q83 = Q(
+    "q83_trimmed_mean",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d).filter(col("l_extendedprice").isNotNull)
+      val g = "l_returnflag"; val v = "l_extendedprice"
+      val zc = round(col(v) * lit(100.0)).cast("long")
+      val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
+          count(lit(1)).as("ng"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      val statsDf = broadcast(stats.toSeq.toDF("sg", "lo", "hi", "ng"))
+      val keyed0 = l.withColumn("zc", zc).join(statsDf, col(g) === col("sg"))
+      val bCol = when(col("lo") === col("hi"), lit(1L))
+        .otherwise(least(width_bucket(col(v), col("lo"), col("hi"), lit(65536)), lit(65536L)))
+      val hist = keyed0.select(col("sg").as("cg"), bCol.as("b"), col("zc").as("cz"))
+        .groupBy("cg", "b")
+        .agg(count(lit(1)).as("c"), sum(col("cz").cast(DecimalType(38, 0))).as("sz"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3))))
+      // per group: keep ranks in (cut, ng-cut]; classify every bucket as
+      // fully-inside / fully-outside / fence-straddling
+      case class B(g: String, b: Long, off: Long, cut: Long, ng: Long,
+          inside: Boolean, outside: Boolean, c: Long, sum: BigDecimal)
+      val plan = hist.groupBy(_._1).toSeq.flatMap { case (gv, rows) =>
+        val ng = stats.find(_._1 == gv).get._4
+        val cut = ng / 10
+        val sorted = rows.sortBy(_._2)
+        val offs = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(offs).map { case ((_, b, c, sz), off) =>
+          val first = off + 1; val last = off + c
+          B(gv, b, off, cut, ng,
+            inside = first > cut && last <= ng - cut,
+            outside = last <= cut || first > ng - cut, c, sz)
+        }
+      }
+      val planDf = broadcast(plan
+        .map(p => (p.g, p.b, p.off, p.cut, p.ng, p.inside, p.outside))
+        .toDF("og", "ob", "off", "cut", "ong", "inside", "outside"))
+      // straddling buckets: rank row-by-row with the oracle's tiebreak
+      val keyed = keyed0.withColumn("b", bCol)
+        .join(planDf, col(g) === col("og") && col("b") === col("ob"))
+      val straddle = keyed.filter(!col("inside") && !col("outside"))
+      val w = Window.partitionBy(col(g), col("b"))
+        .orderBy(col(v), col("l_orderkey"), col("l_linenumber"))
+      val straddleKept = straddle
+        .withColumn("grank", col("off") + row_number().over(w))
+        .filter(col("grank") > col("cut") && col("grank") <= col("ong") - col("cut"))
+        .groupBy(col(g).as("kg"))
+        .agg(sum(col("zc").cast(DecimalType(38, 0))).as("ssz"), count(lit(1)).as("sn"))
+      // inside buckets contribute exact histogram sums (bounded metadata)
+      val insideRows = plan.filter(_.inside).groupBy(_.g).toSeq.map { case (gv, rows) =>
+        (gv, rows.map(_.sum).sum, rows.map(_.c).sum)
+      }
+      val inDf = insideRows.toDF("kg", "ssz", "sn")
+        .select(col("kg"), col("ssz").cast(DecimalType(38, 0)).as("ssz"), col("sn"))
+      straddleKept.unionByName(inDf)
+        .groupBy(col("kg").as(g))
+        .agg(sum(col("ssz")).as("tz"), sum(col("sn")).as("n_kept"))
+        .select(col(g), col("n_kept").cast("long").as("n_kept"),
+          (col("tz").cast("double") / col("n_kept").cast("double") / lit(100.0))
+            .as("trimmed_mean"))
+        .orderBy(g)
+    },
+    Some("""WITH r AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS zc,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |SELECT g AS l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CAST(zc AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
+      |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+      |GROUP BY g ORDER BY g""".stripMargin)
+  )
+
+  // q84 — Cramér's V effect size for the (returnflag × linestatus)
+  // association (the "is it LARGE" companion to q67's "is it
+  // significant"): same one-scan observed surface and exact-decimal
+  // chi² term sum as q67, then V = sqrt(chi²/(n·min(r−1,c−1))) as a
+  // fixed IEEE expression. The |r|×|c| surface is the only thing the
+  // windows ever see.
+  private val q84 = Q(
+    "q84_cramers_v",
+    (s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("rf"))
+      val wc = Window.partitionBy(col("ls"))
+      val wa = Window.partitionBy()
+      val e = sum(col("o")).over(wr).cast("double") *
+        sum(col("o")).over(wc).cast("double") /
+        sum(col("o")).over(wa).cast("double")
+      val cells = obs.withColumn("e", e)
+        .withColumn("term", (col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"))
+      val nr = obs.select("rf").distinct().count()
+      val nc = obs.select("ls").distinct().count()
+      val minDim = math.min(nr - 1, nc - 1)
+      cells.agg(sum(col("o")).as("n"),
+          sum(Exact.d12(col("term"))).cast("double").as("chi2"))
+        .select(col("n"), col("chi2"),
+          sqrt(col("chi2") / (col("n").cast("double") * lit(minDim.toDouble)))
+            .as("cramers_v"))
+    },
+    Some("""WITH obs AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM lineitem GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT o,
+      |    (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term
+      |  FROM (
+      |    SELECT o,
+      |      CAST(SUM(o) OVER (PARTITION BY rf) AS DOUBLE)
+      |        * CAST(SUM(o) OVER (PARTITION BY ls) AS DOUBLE)
+      |        / CAST(SUM(o) OVER () AS DOUBLE) AS e
+      |    FROM obs)),
+      |dims AS (
+      |  SELECT CAST(LEAST(COUNT(DISTINCT rf) - 1, COUNT(DISTINCT ls) - 1) AS DOUBLE) AS md
+      |  FROM obs)
+      |SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+      |  SQRT(CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+      |    / (CAST(CAST(SUM(o) AS BIGINT) AS DOUBLE) * (SELECT md FROM dims))) AS cramers_v
+      |FROM cells""".stripMargin)
+  )
+
+  // q85 — Benford first-significant-digit profile of order totals (the
+  // classic fabricated-data / data-quality screen). The digit is read
+  // from the CENT-grid integer's decimal string — never from
+  // floor(log10(x)), which flips at exact powers of ten when two libms
+  // disagree by an ulp. The Benford expectations log10(1+1/d) ARE libm
+  // values — so they are computed ONCE in Scala and interpolated as
+  // shortest-round-trip literals into BOTH plans, making them identical
+  // by construction. One scan, 9-row surface.
+  private val q85 = Q(
+    "q85_benford",
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 0)
+      val digit = substring(round(col("o_totalprice") * lit(100.0))
+        .cast("long").cast("string"), 1, 1).cast("long")
+      val counts = o.groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+      val expected = (1 to 9).map(dd => (dd.toLong, math.log10(1.0 + 1.0 / dd)))
+      import o.sparkSession.implicits._
+      val expDf = broadcast(expected.toDF("ed", "expected"))
+      val wa = Window.partitionBy()
+      counts.join(expDf, col("digit") === col("ed"))
+        .withColumn("share", col("n").cast("double") / sum(col("n")).over(wa).cast("double"))
+        .select(col("digit"), col("n"), col("share"), col("expected"),
+          abs(col("share") - col("expected")).as("abs_dev"))
+        .orderBy("digit")
+    },
+    Some {
+      // CAST('…' AS DOUBLE): a bare numeric literal would be parsed as
+      // DECIMAL first and lose the final ulp on conversion
+      val exp = (1 to 9)
+        .map(dd => s"($dd, CAST('${math.log10(1.0 + 1.0 / dd)}' AS DOUBLE))")
+        .mkString(", ")
+      s"""WITH counts AS (
+      |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+      |e(ed, expected) AS (VALUES $exp)
+      |SELECT digit, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+      |  expected,
+      |  ABS(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) - expected) AS abs_dev
+      |FROM counts JOIN e ON digit = ed
+      |ORDER BY digit""".stripMargin
+    }
+  )
+
+  // q86 — revenue concentration per nation: Herfindahl–Hirschman index
+  // over customer spend shares, plus the effective customer count
+  // 1/HHI and Simpson diversity 1−HHI. HHI = Σcᵢ²/(Σcᵢ)² on the exact
+  // cent grid — shares never materialize as per-row floats, so the sum
+  // of squares is an order-independent DECIMAL(38,0) aggregate (cᵢ² ≈
+  // 1e16 per customer breaks a flat long immediately). Two partial-
+  // aggregable shuffles: orders→customer spend (high-cardinality key),
+  // then customer→nation. This is the diversity-index formulation that
+  // stays log-free (Shannon entropy would hang cross-engine bit
+  // equality on libm log2).
+  private val q86 = Q(
+    "q86_hhi",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val spend = o.groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+      val z = col("cents").cast(DecimalType(38, 0))
+      spend.groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(z).cast("double").as("tot"),
+          sum(z * z).cast("double").as("sq"))
+        .select(col("nation"), col("n_cust"),
+          (col("sq") / (col("tot") * col("tot"))).as("hhi"),
+          ((col("tot") * col("tot")) / col("sq")).as("effective_n"),
+          (lit(1.0) - col("sq") / (col("tot") * col("tot"))).as("simpson_diversity"))
+        .orderBy("nation")
+    },
+    Some("""WITH spend AS (
+      |  SELECT c_nationkey AS nation,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS HUGEINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey, o_custkey),
+      |g AS (
+      |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |    CAST(SUM(cents) AS DOUBLE) AS tot,
+      |    CAST(SUM(cents * cents) AS DOUBLE) AS sq
+      |  FROM spend GROUP BY nation)
+      |SELECT nation, n_cust,
+      |  sq / (tot * tot) AS hhi,
+      |  (tot * tot) / sq AS effective_n,
+      |  1.0 - sq / (tot * tot) AS simpson_diversity
+      |FROM g ORDER BY nation""".stripMargin)
+  )
+
+  // q87 — CUSUM mean-shift detection on the hourly event series (the
+  // change-point companion to st_anomaly's pointwise z-flags): Sₖ =
+  // Σ_{i≤k}(yᵢ−ȳ) computed EXACTLY as (n·cum_y − k·Σy)/n — the
+  // cumulative window runs over the pre-aggregated |hours| surface
+  // only, the rational mean never accumulates as a float, and the
+  // peak flag (argmax |S|, the estimated change point) compares exact
+  // integers so tie behavior is engine-identical. One fact scan.
+  private val q87 = Q(
+    "q87_cusum",
+    (s, d) => {
+      val series = hourlySeries(s, d)
+      val g = series.agg(count(lit(1)).as("n"), sum(col("y")).as("sy")).head()
+      val (n, sy) = (g.getLong(0), g.getLong(1))
+      val w = Window.orderBy(col("hm"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scaled = (lit(n).cast(DecimalType(38, 0)) * sum(col("y")).over(w).cast(DecimalType(38, 0))
+        - row_number().over(Window.orderBy(col("hm"))).cast(DecimalType(38, 0))
+          * lit(sy).cast(DecimalType(38, 0)))
+      val wa = Window.partitionBy()
+      series
+        .withColumn("scaled", scaled)
+        .withColumn("cusum", col("scaled").cast("double") / lit(n.toDouble))
+        .withColumn("is_peak", abs(col("scaled")) === max(abs(col("scaled"))).over(wa))
+        .select(col("h"), col("y"), col("cusum"), col("is_peak"))
+        .orderBy("h")
+    },
+    Some(s"""WITH $hourlySql,
+      |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS sy FROM series),
+      |c AS (
+      |  SELECT h, y,
+      |    (SELECT n FROM g) * SUM(CAST(y AS HUGEINT)) OVER (ORDER BY hm)
+      |      - CAST(ROW_NUMBER() OVER (ORDER BY hm) AS HUGEINT) * (SELECT sy FROM g) AS scaled
+      |  FROM series)
+      |SELECT h, y,
+      |  CAST(scaled AS DOUBLE) / CAST((SELECT n FROM g) AS DOUBLE) AS cusum,
+      |  ABS(scaled) = MAX(ABS(scaled)) OVER () AS is_peak
+      |FROM c ORDER BY h""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87)
+}

