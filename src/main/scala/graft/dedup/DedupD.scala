@@ -214,26 +214,30 @@ object DedupD extends Module {
   // pair, both computed in SQL-expressible arithmetic so the oracle
   // hash-checks estimator and truth together. This is the number LSH
   // thresholds are calibrated against: E[est] = J, σ ≈ √(J(1−J)/64).
-  private val ddMinhashEst = Q(
-    "dd_minhash_est",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-        .filter(col("doc_id") < 40 && length(col("text")) >= 5)
-      val sig = Dedup.minhashSig(docs, "text", "doc_id")
-      val sh = Dedup.withShingles(docs, "text").select(col("doc_id"), col("shingles"))
-      val a = sig.join(sh, "doc_id")
-        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a"))
-      val b = sig.join(sh, "doc_id")
-        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            bb => bb)).cast("double") / lit(64.0)).as("est_jaccard"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("exact_jaccard"))
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH sh AS (
+  /** (id_a, id_b, est_jaccard, exact_jaccard) for every pair of the
+    * doc_id < 40 slice — shared by dd_minhash_est and dd_lsh_calibrate.
+    */
+  private def estPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") < 40 && length(col("text")) >= 5)
+    val sig = Dedup.minhashSig(docs, "text", "doc_id")
+    val sh = Dedup.withShingles(docs, "text").select(col("doc_id"), col("shingles"))
+    val a = sig.join(sh, "doc_id")
+      .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("shingles").as("sh_a"))
+    val b = sig.join(sh, "doc_id")
+      .select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("shingles").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bb => bb)).cast("double") / lit(64.0)).as("est_jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("exact_jaccard"))
+  }
+
+  /** DuckDB twin of [[estPairs]] as a WITH-body ending in a `pairs`
+    * CTE — shared by dd_minhash_est and dd_lsh_calibrate.
+    */
+  private val estPairsCte: String = """sh AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(
       |      generate_series(1, greatest(length(text) - 4, 1)),
@@ -266,10 +270,65 @@ object DedupD extends Module {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    CAST(len(list_intersect(a.sh5, b.sh5)) AS DOUBLE) /
       |    CAST(len(list_distinct(list_concat(a.sh5, b.sh5))) AS DOUBLE) AS exact_jaccard
-      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
-      |SELECT agree.id_a, agree.id_b, est_jaccard, exact_jaccard
-      |FROM agree JOIN ex ON agree.id_a = ex.id_a AND agree.id_b = ex.id_b
-      |ORDER BY agree.id_a, agree.id_b""".stripMargin)
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT agree.id_a, agree.id_b, est_jaccard, exact_jaccard
+      |  FROM agree JOIN ex ON agree.id_a = ex.id_a AND agree.id_b = ex.id_b)""".stripMargin
+
+  private val ddMinhashEst = Q(
+    "dd_minhash_est",
+    (s, d) => estPairs(s, d).orderBy("id_a", "id_b"),
+    Some(s"""WITH $estPairsCte
+      |SELECT id_a, id_b, est_jaccard, exact_jaccard
+      |FROM pairs ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  // dd_lsh_calibrate — the operating-point table an LSH deployment is
+  // actually tuned from: precision/recall of "signature estimate ≥ τ"
+  // against the exact-Jaccard truth (≥ 0.2, this corpus's near-dup
+  // level), swept over τ = 1/64..32/64 — every threshold the 64-perm
+  // signature can express. The estimates are dyadic rationals (k/64) and
+  // the thresholds are built as i/64 in BOTH engines, so comparisons are
+  // exact — no epsilon fudge. One pass over the shared pair surface
+  // cross-joined with the 32-row broadcast threshold spine; ratios are
+  // NULL-guarded (a τ above every estimate has no flagged pairs).
+  private val ddLshCalibrate = Q(
+    "dd_lsh_calibrate",
+    (s, d) => {
+      import s.implicits._
+      val pairs = estPairs(s, d)
+      val thr = broadcast((1 to 32).map(i => i / 64.0).toDF("tau"))
+      val truth = col("exact_jaccard") >= 0.2
+      val flag = col("est_jaccard") >= col("tau")
+      pairs.crossJoin(thr)
+        .groupBy("tau")
+        .agg(
+          sum(when(flag && truth, 1L).otherwise(0L)).as("tp"),
+          sum(when(flag && !truth, 1L).otherwise(0L)).as("fp"),
+          sum(when(!flag && truth, 1L).otherwise(0L)).as("fn"),
+          sum(when(!flag && !truth, 1L).otherwise(0L)).as("tn"))
+        .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .as("prec"),
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .as("rec"))
+        .orderBy("tau")
+    },
+    Some(s"""WITH $estPairsCte,
+      |thr AS (SELECT CAST(unnest(generate_series(1, 32)) AS DOUBLE) / 64.0 AS tau),
+      |cells AS (
+      |  SELECT tau,
+      |    CAST(SUM(CASE WHEN est_jaccard >= tau AND exact_jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN est_jaccard >= tau AND NOT exact_jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN NOT est_jaccard >= tau AND exact_jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN NOT est_jaccard >= tau AND NOT exact_jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM pairs CROSS JOIN thr GROUP BY tau)
+      |SELECT tau, tp, fp, fn, tn,
+      |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+      |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec
+      |FROM cells ORDER BY tau""".stripMargin)
   )
 
   /** Shared by dd_clusters / dd_keep_best: weak-similarity candidate
@@ -507,7 +566,7 @@ object DedupD extends Module {
       |ORDER BY doc_id""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddSimhash,
+  override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddLshCalibrate, ddSimhash,
     ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
     ddEmbedCosine, ddWinnowPairs, ddClusterSizes, ddDupWeights)
 }

@@ -720,8 +720,100 @@ object MlC extends Module {
     None
   )
 
+  // ml_ols_exact — multivariate linear regression solved EXACTLY in
+  // closed form (the reference's sklearn LinearRegression analog, done
+  // the distributed way): ONE partial-aggregable scan accumulates the
+  // 15 normal-equation moments (XᵀX, Xᵀy, Σy²) as DECIMAL(38,0) sums on
+  // the integer grid — order-independent and overflow-safe where a
+  // flat long dies (zq·zy ≈ 5e11 per row) — then the 4×4 system is
+  // solved on the DRIVER (bounded metadata: features² numbers, never
+  // data). No gradient iterations, no per-row floats, bit-reproducible
+  // on any cluster shape. β and R² are rescaled back to raw units.
+  // Rows-only: the 4×4 solve isn't SQL; MlSpec reconciles against
+  // MLlib's LinearRegression(normal solver) to 1e-6.
+  private val mlOlsExact = Q(
+    "ml_ols_exact",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      def z(c: String, g: Double) =
+        round(col(c) * lit(g)).cast("long").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      val (zq, zd, zt, zy) =
+        (z("l_quantity", 1000.0), z("l_discount", 1000.0),
+          z("l_tax", 1000.0), z("l_extendedprice", 100.0))
+      val xs = Seq(lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0)), zq, zd, zt)
+      val moments =
+        (for (i <- 0 until 4; j <- i until 4)
+          yield sum(xs(i) * xs(j)).cast("double").as(s"m_${i}_$j")) ++
+        (for (i <- 0 until 4) yield sum(xs(i) * zy).cast("double").as(s"v_$i")) :+
+        sum(zy * zy).cast("double").as("syy")
+      val r = l.agg(moments.head, moments.tail: _*).head()
+      val a = Array.ofDim[Double](4, 5)
+      for (i <- 0 until 4; j <- i until 4) {
+        val m = r.getAs[Double](s"m_${i}_$j"); a(i)(j) = m; a(j)(i) = m
+      }
+      for (i <- 0 until 4) a(i)(4) = r.getAs[Double](s"v_$i")
+      // Gaussian elimination with partial pivoting on the 4×5 tableau
+      for (p <- 0 until 4) {
+        val piv = (p until 4).maxBy(i => math.abs(a(i)(p)))
+        val tmp = a(p); a(p) = a(piv); a(piv) = tmp
+        for (i <- p + 1 until 4) {
+          val f = a(i)(p) / a(p)(p)
+          for (j <- p to 4) a(i)(j) -= f * a(p)(j)
+        }
+      }
+      val beta = Array.ofDim[Double](4)
+      for (p <- 3 to 0 by -1) {
+        var acc = a(p)(4)
+        for (j <- p + 1 until 4) acc -= a(p)(j) * beta(j)
+        beta(p) = acc / a(p)(p)
+      }
+      val n = r.getAs[Double]("m_0_0")
+      val sy = r.getAs[Double]("v_0")
+      val syy = r.getAs[Double]("syy")
+      // SSres = Σy² − 2βᵀXᵀy + βᵀXᵀXβ (all in scaled units — R² is
+      // scale-invariant so no rescale needed)
+      var bXty = 0.0; var bXtXb = 0.0
+      for (i <- 0 until 4) {
+        bXty += beta(i) * r.getAs[Double](s"v_$i")
+        for (j <- 0 until 4) {
+          val m = if (i <= j) r.getAs[Double](s"m_${i}_$j") else r.getAs[Double](s"m_${j}_$i")
+          bXtXb += beta(i) * m * beta(j)
+        }
+      }
+      val ssRes = syy - 2.0 * bXty + bXtXb
+      val ssTot = syy - sy * sy / n
+      // raw-unit coefficients: y = zy/100, features = zx/1000
+      Seq((n.toLong, beta(0) / 100.0, beta(1) * 10.0, beta(2) * 10.0,
+        beta(3) * 10.0, 1.0 - ssRes / ssTot))
+        .toDF("n", "intercept", "b_quantity", "b_discount", "b_tax", "r2")
+    },
+    None
+  )
+
+  // ml_naive_bayes — Gaussian Naive Bayes on the customer features (the
+  // cheap generative baseline next to ml_logreg's discriminative one):
+  // fit is one pass of per-(class, feature) moments, predict is a
+  // broadcast-model map. Emits the hold-out confusion counts +
+  // accuracy. Rows-only (seeded MLlib); MlSpec pins determinism and
+  // that the confusion partitions the hold-out.
+  private val mlNaiveBayes = Q(
+    "ml_naive_bayes",
+    (s, d) => {
+      val (train, test) = split(customerFeatures(s, d))
+      val nb = new org.apache.spark.ml.classification.NaiveBayes()
+        .setModelType("gaussian").setLabelCol("label").setFeaturesCol("features")
+      val model = new Pipeline().setStages(Array(assembler, nb)).fit(train)
+      val preds = model.transform(test)
+      preds.groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "prediction")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
-    mlPermImp)
+    mlPermImp, mlOlsExact, mlNaiveBayes)
 }

@@ -221,4 +221,20 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be id_a < id_b")
     assert(out.forall(_.getLong(2) >= 3L), "shared_fps threshold is 3")
   }
+
+  test("lsh calibration: counts partition the pairs, recall falls as tau rises") {
+    val rows = SparkEntry.queries("dd_lsh_calibrate")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length === 32)
+    val totals = rows.map { case (_, tp, fp, fn, tn) => tp + fp + fn + tn }
+    assert(totals.distinct.length === 1, "every threshold sees all pairs")
+    val positives = rows.map { case (_, tp, _, fn, _) => tp + fn }
+    assert(positives.distinct.length === 1, "truth set is threshold-independent")
+    // flagged count (tp+fp) and tp are monotone non-increasing in tau
+    val flagged = rows.map { case (_, tp, fp, _, _) => tp + fp }
+    assert(flagged.zip(flagged.tail).forall { case (a, b) => b <= a })
+    val tps = rows.map(_._2)
+    assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
+  }
 }

@@ -262,4 +262,42 @@ class MlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     assert(again.toSeq === out.toSeq, "hash permutation must be deterministic")
   }
+
+  test("ols exact: closed-form betas reconcile with MLlib's normal solver") {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val got = SparkEntry.queries("ml_ols_exact")(spark, sf).head()
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_discount"), col("l_tax"),
+        col("l_extendedprice").as("y"))
+    val asm = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_discount", "l_tax"))
+      .setOutputCol("features")
+    val lr = new LinearRegression().setSolver("normal").setRegParam(0.0)
+      .setLabelCol("y").setFeaturesCol("features")
+    val m = lr.fit(asm.transform(l))
+    // the operator quantizes to the 1e-3/cent grid; MLlib fits the raw
+    // doubles — agreement is to grid resolution, not machine epsilon
+    val want = Array(m.intercept) ++ m.coefficients.toArray
+    val gotB = Array(got.getDouble(1), got.getDouble(2), got.getDouble(3), got.getDouble(4))
+    want.zip(gotB).zipWithIndex.foreach { case ((w, g), i) =>
+      assert(math.abs(w - g) <= 1e-4 * math.max(1.0, math.abs(w)),
+        s"beta[$i]: mllib $w vs exact $g")
+    }
+    assert(math.abs(m.summary.r2 - got.getDouble(5)) < 1e-6,
+      s"r2 ${m.summary.r2} vs ${got.getDouble(5)}")
+    assert(got.getLong(0) === l.count())
+  }
+
+  test("naive bayes: confusion partitions the hold-out, deterministic") {
+    val out = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(out.map(_._3).sum > 0)
+    out.foreach { case (l, p, _) =>
+      assert(Set(0.0, 1.0)(l) && Set(0.0, 1.0)(p))
+    }
+    val again = SparkEntry.queries("ml_naive_bayes")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq, "gaussian NB fit must be deterministic")
+  }
 }
