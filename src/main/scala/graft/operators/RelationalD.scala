@@ -369,5 +369,93 @@ object RelationalD extends Module {
       |FROM c ORDER BY h""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87)
+  // q88 — OLS of price on quantity WITHIN each return-flag group (the
+  // pandas groupby().apply(linregress) pattern; q69's correlation
+  // machinery extended to the fit itself). One partial-aggregable scan
+  // accumulates the six exact grid sums per group; slope/intercept/R²
+  // are fixed IEEE expressions over them, rescaled to raw units by
+  // constant factors (slope ×10 = the 1000/100 grid ratio). Group
+  // cardinality only shapes the |groups|-row output — never a window.
+  private val q88 = Q(
+    "q88_group_ols",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      def z(c: String, g: Double): Column =
+        round(col(c) * lit(g)).cast("long").cast(DecimalType(38, 0))
+      val (zx, zy) = (z("l_quantity", 1000.0), z("l_extendedprice", 100.0))
+      val a = l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_l"),
+          sum(zx).cast("double").as("sx"), sum(zy).cast("double").as("sy"),
+          sum(zx * zx).cast("double").as("sxx"),
+          sum(zy * zy).cast("double").as("syy"),
+          sum(zx * zy).cast("double").as("sxy"))
+      val n = col("n_l").cast("double")
+      val cov = n * col("sxy") - col("sx") * col("sy")
+      val vx = n * col("sxx") - col("sx") * col("sx")
+      val vy = n * col("syy") - col("sy") * col("sy")
+      val slope = lit(10.0) * cov / vx
+      a.select(col("l_returnflag"), col("n_l").as("n"),
+          slope.as("slope"),
+          (col("sy") / n / lit(100.0) - (lit(10.0) * cov / vx) * (col("sx") / n / lit(1000.0)))
+            .as("intercept"),
+          (cov * cov / (vx * vy)).as("r2"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  10.0 * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
+      |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE)) AS slope,
+      |  CAST(SUM(zy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+      |    - (10.0 * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
+      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE)))
+      |      * (CAST(SUM(zx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000.0) AS intercept,
+      |  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
+      |    * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
+      |    / ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE))
+      |      * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zy * zy) AS DOUBLE) - CAST(SUM(zy) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))) AS r2
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS HUGEINT) AS zx,
+      |    CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS zy
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  )
+
+  // q89 — seasonal quantile bands: p10/p50/p90 of the hourly event
+  // count per hour-of-day (the banded version of q70's mean heatmap —
+  // what a daily-seasonality plot actually draws). The fact table
+  // reduces once to the |hours| surface; the rank windows run over that
+  // 24×~30 surface only. Discrete (no-interpolation) quantiles at rank
+  // ceil(p·n) with a (y, hm) total order, and the p spine is built from
+  // string-parsed double literals on both sides so ceil(p·n) rounds
+  // identically.
+  private val q89 = Q(
+    "q89_seasonal_bands",
+    (s, d) => {
+      import s.implicits._
+      val surface = hourlySeries(s, d)
+        .select(hour(col("h")).cast("long").as("hod"), col("y"), col("hm"))
+      val w = Window.partitionBy(col("hod")).orderBy(col("y"), col("hm"))
+      val ranked = surface
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("hod"))))
+      val ps = broadcast(Seq(0.1, 0.5, 0.9).toDF("p"))
+      ranked.crossJoin(ps)
+        .filter(col("rn") === ceil(col("p") * col("ng").cast("double")))
+        .select(col("hod"), col("p"), col("y").as("band_value"))
+        .orderBy("hod", "p")
+    },
+    Some(s"""WITH $hourlySql,
+      |ranked AS (
+      |  SELECT CAST(hour(h) AS BIGINT) AS hod, y, hm,
+      |    ROW_NUMBER() OVER (PARTITION BY hour(h) ORDER BY y, hm) AS rn,
+      |    COUNT(*) OVER (PARTITION BY hour(h)) AS ng
+      |  FROM series),
+      |ps AS (SELECT CAST(unnest(['0.1','0.5','0.9']) AS DOUBLE) AS p)
+      |SELECT hod, p, y AS band_value
+      |FROM ranked CROSS JOIN ps
+      |WHERE rn = CEIL(p * CAST(ng AS DOUBLE))
+      |ORDER BY hod, p""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -97,6 +97,53 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q88 group ols: matches a naive per-group fit on the grid") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val xs = rs.map(r => math.round(r._2 * 1000.0).toDouble)
+      val ys = rs.map(r => math.round(r._3 * 100.0).toDouble)
+      val n = rs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(x => x * x).sum
+      val slope = 10.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = sy / n / 100.0 - slope * (sx / n / 1000.0)
+      g -> (slope, intercept)
+    }
+    val got = SparkEntry.queries("q88_group_ols")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (g, (sl, ic)) =>
+      assert(math.abs(got(g)._1 - sl) < 1e-9 * math.max(1.0, math.abs(sl)), s"$g slope")
+      assert(math.abs(got(g)._2 - ic) < 1e-6 * math.max(1.0, math.abs(ic)), s"$g intercept")
+      assert(got(g)._3 >= 0.0 && got(g)._3 <= 1.0, s"$g r2")
+    }
+  }
+
+  test("q89 seasonal bands: ordered bands drawn from each group's values") {
+    val rows = SparkEntry.queries("q89_seasonal_bands")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byHod = rows.groupBy(_._1)
+    assert(byHod.keySet === (0L to 23L).toSet)
+    byHod.foreach { case (hod, rs) =>
+      val m = rs.map(r => r._2 -> r._3).toMap
+      assert(m.size === 3, s"hod $hod must have 3 bands")
+      assert(m(0.1) <= m(0.5) && m(0.5) <= m(0.9), s"hod $hod bands out of order")
+    }
+    // band values are actual observed hourly counts for that hour-of-day
+    val surface = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .select(hour(col("h")).cast("long").as("hod"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val observed = surface.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (hod, _, v) =>
+      assert(observed(hod).contains(v) || v == 0L, s"hod $hod band $v not observed")
+    }
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
