@@ -315,6 +315,41 @@ object SimE extends Module {
       |FROM q GROUP BY pos ORDER BY pos""".stripMargin)
   )
 
+  // sim_recall_eval — the index-selection readout: recall@5 of every
+  // approximate method against the exact brute-force truth on the
+  // shared query set, as one table (method, n_queries, mean_recall).
+  // This is the number that decides which index a deployment ships —
+  // the per-method specs assert floors; this operator makes the
+  // comparison a first-class queryable surface. Truth is computed once
+  // and joined against each method's top-k (all bounded: queries × k
+  // rows). Deterministic given the methods' fixed seeds. Rows-only —
+  // the k-means/PQ fits aren't SQL; SimilaritySpec cross-checks the
+  // brute self-recall anchor (exactly 1.0) and bounds.
+  private val simRecallEval = Q(
+    "sim_recall_eval",
+    (s, d) => {
+      import s.implicits._
+      val (q, c) = split(s, d)
+      val truth = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val nQ = truth.select("query_id").distinct().count()
+      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "brute" -> Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 5),
+        "lsh" -> Similarity.lshTopK(q, c, "vec_id", "embedding", k = 5),
+        "ivf" -> Ivf.ivfTopK(q, c, "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 3),
+        "pq" -> Pq.pqTopK(q, c, "vec_id", "embedding", k = 5),
+        "ivfpq" -> IvfPq.ivfPqTopK(q, c, "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 4))
+      methods.map { case (name, res) =>
+        val hits = res.select(col("query_id"), col("corpus_id"))
+          .join(truth, Seq("query_id", "corpus_id"), "left_semi")
+          .count()
+        (name, nQ, hits.toDouble / (nQ * 5).toDouble)
+      }.toDF("method", "n_queries", "recall_at_5")
+        .orderBy("method")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
-    embCentroid, simRange, embKnn, embPurity, embDimStats)
+    embCentroid, simRange, embKnn, embPurity, embDimStats, simRecallEval)
 }

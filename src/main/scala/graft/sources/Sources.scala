@@ -138,6 +138,35 @@ object Sources {
       .forEach(p => Files.deleteIfExists(p))
     nFiles
   }
+
+  /** Keyed upsert into a parquet table without a table format (the
+    * MERGE-by-key sibling of [[overwritePartitions]]' MERGE-by-
+    * partition): base rows whose key appears in `updates` are replaced,
+    * new keys are appended, everything else is carried over byte-
+    * identical. One left-anti join (keyed shuffle or broadcast when
+    * `updates` is a small delta — the common CDC case) + one union; the
+    * rewrite goes through a staging directory and lands as a directory
+    * rename, so a failed job never half-clobbers the table. At real
+    * scale this is what a Delta/Iceberg MERGE compiles to minus the
+    * transaction log — and partitioning `base` keeps the anti join
+    * pruned to touched partitions.
+    */
+  def mergeByKey(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = spark.read.parquet(path)
+    val merged = base.join(updates.select(keyCols.map(col): _*),
+        keyCols, "left_anti")
+      .unionByName(updates.select(base.columns.map(col).toIndexedSeq: _*))
+    val staging = Paths.get(path + "__merge_staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val dir = Paths.get(path)
+    val backup = Paths.get(path + "__merge_old")
+    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(backup).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
 }
 
 /** q19 — semi-structured extraction: events.props JSON → typed column,

@@ -197,4 +197,14 @@ class SimilaritySpec extends SparkSpec {
     val mean = out.map(_.getDouble(2)).sum / out.length
     assert(mean > 0.0, f"mean centroid cosine $mean%.4f")
   }
+
+  test("sim_recall_eval: brute anchors at exactly 1.0, others in [0,1]") {
+    val byMethod = SparkEntry.queries("sim_recall_eval")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byMethod.keySet === Set("brute", "lsh", "ivf", "pq", "ivfpq"))
+    assert(byMethod("brute")._2 === 1.0, "brute force is its own truth")
+    byMethod.values.foreach { case (nq, rec) =>
+      assert(nq > 0 && rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }
