@@ -457,5 +457,127 @@ object RelationalD extends Module {
       |ORDER BY hod, p""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89)
+  /** One-way ANOVA F + effect size from per-group exact grid sums:
+    * SSB/SSW assembled from (n_g, Σz_g, Σz²_g). Every cross-group
+    * accumulation stays in DECIMAL(38,0): scale-0 decimal→double is a
+    * SINGLE correctly-rounded conversion in both engines, where a
+    * scaled decimal (38,12) would double-round in DuckDB (int128→double
+    * then ÷10¹² — observed 1-ulp drift at e18 magnitudes). The
+    * per-group quadratic terms S²/n are integer-rounded before the
+    * decimal sum — they are ≥ n·mean² ≈ 1e15 on any cent grid, so the
+    * unit digit is far below double resolution and the rounding is
+    * engine-identical (same input double). F and η² are
+    * grid-scale-invariant.
+    */
+  private def anovaOn(grouped: DataFrame): DataFrame = {
+    // grouped: (n_l long, sd decimal, ssd decimal) per group — exact sums
+    val term = round(col("sd").cast("double") * col("sd").cast("double")
+      / col("n_l").cast("double")).cast(DecimalType(38, 0))
+    val agg = grouped.agg(
+      count(lit(1)).as("k"),
+      sum(col("n_l")).as("n"),
+      sum(col("sd")).cast("double").as("ts"),
+      sum(col("ssd")).cast("double").as("tss"),
+      sum(term).cast("double").as("sterm"))
+    val n = col("n").cast("double"); val k = col("k").cast("double")
+    val ssb = col("sterm") - col("ts") * col("ts") / n
+    val ssw = col("tss") - col("sterm")
+    agg.select(col("k"), col("n"),
+      ((ssb / (k - lit(1.0))) / (ssw / (n - k))).as("f_stat"),
+      (ssb / (ssb + ssw)).as("eta_sq"))
+  }
+
+  private def anovaSql(src: String): String =
+    s"""pg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+       |    SUM(z) AS sd, SUM(z * z) AS ssd
+       |  FROM $src GROUP BY g),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_l) AS BIGINT) AS n,
+       |    CAST(SUM(sd) AS DOUBLE) AS ts,
+       |    CAST(SUM(ssd) AS DOUBLE) AS tss,
+       |    CAST(SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n_l AS DOUBLE)) AS HUGEINT)) AS DOUBLE) AS sterm
+       |  FROM pg)
+       |SELECT k, n,
+       |  ((sterm - ts * ts / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+       |    / ((tss - sterm) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat,
+       |  (sterm - ts * ts / CAST(n AS DOUBLE))
+       |    / ((sterm - ts * ts / CAST(n AS DOUBLE)) + (tss - sterm)) AS eta_sq
+       |FROM a""".stripMargin
+
+  // q90 — one-way ANOVA across the return-flag groups (scipy f_oneway;
+  // the k-group generalization of q64's two-sample t): ONE partial-
+  // aggregable scan to per-group exact cent-grid sums, the |groups|-row
+  // surface carries everything else. F and η² are scale-invariant so
+  // the grid factor never reappears.
+  private val q90 = Q(
+    "q90_anova",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val z = round(col("l_extendedprice") * lit(100.0)).cast("long")
+        .cast(DecimalType(38, 0))
+      anovaOn(l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_l"),
+          sum(z).as("sd"),
+          sum(z * z).as("ssd")))
+    },
+    Some(s"""WITH src AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS z
+      |  FROM lineitem),
+      |${anovaSql("src")}""".stripMargin)
+  )
+
+  // q91 — Brown–Forsythe homogeneity-of-variance test (scipy levene
+  // with center='median' — the robust gatekeeper run BEFORE trusting
+  // q90's equal-variance reading): per-group medians via the bounded-
+  // metadata (group, bucket) histogram selection (q60's machinery — no
+  // group-keyed quantile window), then |x − med| quantized to the
+  // half-cent grid (the interpolated median sits on half-cents; both
+  // engines derive the deviation from IDENTICAL doubles so the
+  // quantization is engine-stable) and the same exact-sum ANOVA F over
+  // the deviations.
+  private val q91 = Q(
+    "q91_levene",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val meds = Quantiles.groupedExactQuantiles(
+        l, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .map { case (g, _, v) => (g, v) }
+      val devs = l.join(broadcast(meds.toDF("mg", "med")),
+          col("l_returnflag") === col("mg"))
+        .select(col("l_returnflag").as("g"),
+          round(abs(col("l_extendedprice") - col("med")) * lit(200.0))
+            .cast("long").cast(DecimalType(38, 0)).as("z"))
+      anovaOn(devs.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_l"),
+          sum(col("z")).as("sd"),
+          sum(col("z") * col("z")).as("ssd")))
+    },
+    Some {
+      val medSql =
+        """med AS (
+          |  SELECT b.g, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value FROM (
+          |    SELECT r.g, p.h,
+          |      MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+          |      MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+          |    FROM (SELECT l_returnflag AS g, l_extendedprice AS x,
+          |            ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn FROM lineitem) r
+          |    JOIN (SELECT g, 0.5 * (cnt - 1.0) AS h,
+          |            CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+          |            LEAST(CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+          |          FROM (SELECT l_returnflag AS g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM lineitem GROUP BY 1)) p
+          |      ON r.g = p.g AND (r.rn = p.rlo OR r.rn = p.rhi)
+          |    GROUP BY r.g, p.h) b)""".stripMargin
+      s"""WITH $medSql,
+         |src AS (
+         |  SELECT l.l_returnflag AS g,
+         |    CAST(CAST(ROUND(ABS(l.l_extendedprice - med.value) * 200.0) AS BIGINT) AS HUGEINT) AS z
+         |  FROM lineitem l JOIN med ON l.l_returnflag = med.g),
+         |${anovaSql("src")}""".stripMargin
+    }
+  )
+
+  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

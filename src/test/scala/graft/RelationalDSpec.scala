@@ -144,6 +144,49 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q90 anova: F and eta2 match the naive per-group computation") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100.0).toDouble))
+    val groups = rows.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = rows.length.toDouble; val k = groups.size.toDouble
+    val grand = rows.map(_._2).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val fNaive = (ssb / (k - 1.0)) / (ssw / (n - k))
+    val r = SparkEntry.queries("q90_anova")(spark, sf).head()
+    assert(r.getLong(0) === groups.size.toLong)
+    assert(r.getLong(1) === rows.length.toLong)
+    assert(math.abs(r.getDouble(2) - fNaive) < 1e-6 * math.max(1.0, fNaive),
+      s"F ${r.getDouble(2)} vs naive $fNaive")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("q91 levene: matches naive Brown-Forsythe on half-cent deviations") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def medianInterp(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val h = 0.5 * (s.length - 1.0)
+      val lo = s(math.floor(h).toInt); val hi = s(math.min(math.floor(h).toInt + 1, s.length - 1))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val devs = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      val med = medianInterp(rs.map(_._2))
+      rs.map(r => (g, math.round(math.abs(r._2 - med) * 200.0).toDouble))
+    }
+    val groups = devs.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = devs.length.toDouble; val k = groups.size.toDouble
+    val grand = devs.map(_._2).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val fNaive = (ssb / (k - 1.0)) / (ssw / (n - k))
+    val r = SparkEntry.queries("q91_levene")(spark, sf).head()
+    assert(math.abs(r.getDouble(2) - fNaive) < 1e-6 * math.max(1.0, fNaive),
+      s"BF ${r.getDouble(2)} vs naive $fNaive")
+    assert(r.getDouble(2) >= 0.0)
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
