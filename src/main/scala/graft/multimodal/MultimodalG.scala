@@ -111,32 +111,35 @@ object MultimodalG extends Module {
   // both sides, so the oracle hash-matches. Disjoint windows ⇒ total
   // work is one pass over the payload. A real PCM decoder slots in at
   // [[MediaDecode]] without changing this schema.
-  private val mmAudioWindow = Q(
-    "mm_audio_window",
-    (s, d) => {
-      val wlen = 100
-      Tables.documents(s, d)
-        .withColumn("n", length(col("text")))
-        // empty payloads emit no windows: sequence(0, -1) would yield a
-        // DESCENDING [0, -1] (Spark auto-steps -1) where DuckDB's
-        // generate_series(0, -1) is empty — filter first so both agree
-        .filter(col("n") > 0)
-        .withColumn("nwin", ceil(col("n").cast("double") / wlen).cast("int"))
-        .select(col("doc_id"), col("n"),
-          posexplode(transform(sequence(lit(0), col("nwin") - 1), w =>
-            aggregate(
-              transform(sequence(lit(1), least(lit(wlen), col("n") - w * wlen)),
-                i => ascii(substring(col("text"), w * lit(wlen) + i, lit(1))).cast("long")),
-              lit(0L), (acc, x) => acc + x * x))))
-        .toDF("doc_id", "n", "win_idx", "energy")
-        .withColumn("n_samples",
-          least(lit(wlen.toLong), col("n").cast("long") - col("win_idx") * wlen))
-        .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
-          col("n_samples"), col("energy"),
-          sqrt(col("energy").cast("double") / col("n_samples").cast("double")).as("rms"))
-        .orderBy("doc_id", "win_idx")
-    },
-    Some("""WITH w AS (
+  /** The per-window (doc_id, win_idx, n_samples, energy, rms) surface —
+    * shared by mm_audio_window and mm_silence_spans.
+    */
+  private def audioWindows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val wlen = 100
+    Tables.documents(s, d)
+      .withColumn("n", length(col("text")))
+      // empty payloads emit no windows: sequence(0, -1) would yield a
+      // DESCENDING [0, -1] (Spark auto-steps -1) where DuckDB's
+      // generate_series(0, -1) is empty — filter first so both agree
+      .filter(col("n") > 0)
+      .withColumn("nwin", ceil(col("n").cast("double") / wlen).cast("int"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("nwin") - 1), w =>
+          aggregate(
+            transform(sequence(lit(1), least(lit(wlen), col("n") - w * wlen)),
+              i => ascii(substring(col("text"), w * lit(wlen) + i, lit(1))).cast("long")),
+            lit(0L), (acc, x) => acc + x * x))))
+      .toDF("doc_id", "n", "win_idx", "energy")
+      .withColumn("n_samples",
+        least(lit(wlen.toLong), col("n").cast("long") - col("win_idx") * wlen))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        col("n_samples"), col("energy"),
+        sqrt(col("energy").cast("double") / col("n_samples").cast("double")).as("rms"))
+  }
+
+  /** DuckDB twin of [[audioWindows]] as a WITH-body ending in `wins`. */
+  private val audioWindowsSql: String =
+    """w AS (
       |  SELECT doc_id, length(text) AS n, text,
       |    unnest(generate_series(0, CAST(CEIL(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) - 1)) AS win_idx
       |  FROM documents),
@@ -146,11 +149,54 @@ object MultimodalG extends Module {
       |    list_sum(list_transform(generate_series(1, CAST(LEAST(100, n - win_idx * 100) AS BIGINT)),
       |      i -> CAST(ascii(substr(text, CAST(win_idx * 100 + i AS INTEGER), 1)) AS BIGINT) *
       |           CAST(ascii(substr(text, CAST(win_idx * 100 + i AS INTEGER), 1)) AS BIGINT))) AS energy
-      |  FROM w)
-      |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
-      |  CAST(n_samples AS BIGINT) AS n_samples, CAST(energy AS BIGINT) AS energy,
-      |  SQRT(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
-      |FROM e ORDER BY doc_id, win_idx""".stripMargin)
+      |  FROM w),
+      |wins AS (
+      |  SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+      |    CAST(n_samples AS BIGINT) AS n_samples, CAST(energy AS BIGINT) AS energy,
+      |    SQRT(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+      |  FROM e)""".stripMargin
+
+  private val mmAudioWindow = Q(
+    "mm_audio_window",
+    (s, d) => audioWindows(s, d).orderBy("doc_id", "win_idx"),
+    Some(s"""WITH $audioWindowsSql
+      |SELECT doc_id, win_idx, n_samples, energy, rms
+      |FROM wins ORDER BY doc_id, win_idx""".stripMargin)
+  )
+
+  // mm_silence_spans — contiguous low-energy runs per payload (the
+  // silence-trim / VAD segmentation step of an audio pipeline): windows
+  // with rms below the threshold collapse to (start, end, length) spans
+  // via the gap-and-island idiom — win_idx − row_number() is constant
+  // within a run. The island window is keyed on the HIGH-cardinality
+  // doc_id, so parallelism scales with corpus size; the rms threshold
+  // compares doubles that are bit-identical in both engines (same
+  // integer energy, same sqrt). A real frontend swaps the byte-grid
+  // energy for PCM energy behind the same schema.
+  private val mmSilence = Q(
+    "mm_silence_spans",
+    (s, d) => {
+      val silent = audioWindows(s, d).filter(col("rms") < lit(98.5))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+      silent
+        .withColumn("island", col("win_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("win_idx")).as("span_start"),
+          max(col("win_idx")).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some(s"""WITH $audioWindowsSql,
+      |silent AS (
+      |  SELECT doc_id, win_idx,
+      |    win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win_idx) AS island
+      |  FROM wins WHERE rms < 98.5)
+      |SELECT doc_id, MIN(win_idx) AS span_start, MAX(win_idx) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM silent GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin)
   )
 
   // mm_phash — perceptual-hash near-dup detection over the payload (the
@@ -258,7 +304,7 @@ object MultimodalG extends Module {
   )
 
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,
-    mmPhash, mmSharedFrames)
+    mmSilence, mmPhash, mmSharedFrames)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

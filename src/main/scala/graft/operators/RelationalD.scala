@@ -579,5 +579,54 @@ object RelationalD extends Module {
     }
   )
 
-  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+  // q92 — expanding mean/std per customer (pandas expanding(), the
+  // unbounded-history sibling of q39's rolling and q58's EWMA): one lag
+  // window on the HIGH-cardinality customer key carries cumulative
+  // exact cent-grid sums (DECIMAL(38,0) — a century of orders per key
+  // overflows nothing); mean and sample std (ddof=1, the pandas
+  // default) are fixed IEEE expressions per row, NULL at n=1. Order is
+  // pinned to (o_orderdate, o_orderkey) so retries are deterministic.
+  private val q92 = Q(
+    "q92_expanding",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val z = round(col("o_totalprice") * lit(100.0)).cast("long")
+        .cast(DecimalType(38, 0))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val base = o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), z.as("z"))
+        .withColumn("rn", row_number().over(wn).cast("long"))
+        .withColumn("cs", sum(col("z")).over(w).cast("double"))
+        .withColumn("css", sum(col("z") * col("z")).over(w).cast("double"))
+      val n = col("rn").cast("double")
+      base.select(col("o_custkey"), col("o_orderkey"), col("rn").as("n"),
+          ((col("cs") / n) / lit(100.0)).as("exp_mean"),
+          when(col("rn") > 1L,
+            sqrt((col("css") - col("cs") * col("cs") / n) / (n - lit(1.0))) / lit(100.0))
+            .as("exp_std"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, rn AS n,
+      |  (cs / CAST(rn AS DOUBLE)) / 100.0 AS exp_mean,
+      |  CASE WHEN rn > 1 THEN
+      |    SQRT((css - cs * cs / CAST(rn AS DOUBLE)) / (CAST(rn AS DOUBLE) - 1.0)) / 100.0
+      |  END AS exp_std
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
+      |    CAST(SUM(z) OVER win AS DOUBLE) AS cs,
+      |    CAST(SUM(z * z) OVER win AS DOUBLE) AS css
+      |  FROM (
+      |    SELECT o_custkey, o_orderkey, o_orderdate,
+      |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS HUGEINT) AS z
+      |    FROM orders)
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
+  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

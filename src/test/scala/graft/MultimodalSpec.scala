@@ -90,4 +90,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out.get((2L, 3L)) === Some(3L))
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("mm_silence_spans: spans are maximal runs of sub-threshold windows") {
+    val wins = SparkEntry.queries("mm_audio_window")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val silent = wins.filter(_._3 < 98.5)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val spans = SparkEntry.queries("mm_silence_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every span covers exactly its windows, all silent, and is maximal
+    spans.foreach { case (doc, s, e, n) =>
+      assert(e - s + 1 === n, "span length must equal its window count")
+      (s to e).foreach(w => assert(silent(doc).contains(w), s"doc $doc win $w not silent"))
+      assert(!silent.getOrElse(doc, Set.empty).contains(s - 1), "span must be left-maximal")
+      assert(!silent.getOrElse(doc, Set.empty).contains(e + 1), "span must be right-maximal")
+    }
+    // and every silent window is covered by exactly one span
+    val covered = spans.flatMap { case (doc, s, e, _) => (s to e).map(doc -> _) }
+    assert(covered.length === covered.distinct.length, "spans must not overlap")
+    assert(covered.toSet === silent.toSeq.flatMap { case (d, ws) => ws.map(d -> _) }.toSet)
+  }
 }

@@ -187,6 +187,32 @@ class RelationalDSpec extends SparkSpec {
     assert(r.getDouble(2) >= 0.0)
   }
 
+  test("q92 expanding: prefix stats match a naive per-customer fold") {
+    val hist = Tables.orders(spark, sf)
+      .filter(col("o_custkey") === 7L)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100.0)))
+    assume(hist.length >= 3, "customer 7 needs history")
+    val got = SparkEntry.queries("q92_expanding")(spark, sf)
+      .filter(col("o_custkey") === 7L).orderBy("n").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(got.length === hist.length)
+    got.zipWithIndex.foreach { case ((ok, n, mean, std), i) =>
+      val prefix = hist.take(i + 1).map(_._2.toDouble)
+      assert(n === i + 1)
+      assert(math.abs(mean - prefix.sum / prefix.length / 100.0) < 1e-9, s"row $i mean")
+      if (i == 0) assert(std.isNaN, "n=1 std must be NULL")
+      else {
+        val m = prefix.sum / prefix.length
+        val sd = math.sqrt(prefix.map(x => (x - m) * (x - m)).sum / (prefix.length - 1)) / 100.0
+        assert(math.abs(std - sd) < 1e-9, s"row $i std $std vs $sd")
+      }
+      assert(ok === hist(i)._1, "order identity preserved")
+    }
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
