@@ -628,5 +628,76 @@ object RelationalD extends Module {
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
-  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+  // q93 — RFM customer segmentation (the classic recency/frequency/
+  // monetary quintile coding of CRM analytics): the fact table reduces
+  // ONCE to the per-customer (R, F, M) surface — integer days / counts /
+  // exact cents — then each metric's four quintile fences come from
+  // [[Quantiles]]' distributed bucket-histogram selection (bounded
+  // driver metadata, the q45 no-global-sort discipline ×3) and coding
+  // is a narrow broadcast map: code = 1 + #fences strictly below. The
+  // oracle recomputes the fences with the identical interpolation
+  // expression, so codes match exactly — no ntile tie ambiguity on
+  // either side.
+  private val q93 = Q(
+    "q93_rfm",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(
+          datediff(max(col("o_orderdate")).cast("date"),
+            to_date(lit("1970-01-01"))).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("monetary_cents"))
+        .localCheckpoint(eager = true)
+      val metrics = Seq("recency_days", "frequency", "monetary_cents")
+      val fences = Quantiles.exactQuantiles(perCust, metrics, Seq(0.2, 0.4, 0.6, 0.8))
+        .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+      def code(c: String): Column =
+        fences(c).foldLeft(lit(1L)) { (acc, f) =>
+          acc + when(col(c).cast("double") > lit(f), lit(1L)).otherwise(lit(0L))
+        }
+      perCust.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          code("recency_days").as("r_code"),
+          code("frequency").as("f_code"),
+          code("monetary_cents").as("m_code"))
+        .withColumn("rfm",
+          col("r_code") * 100L + col("f_code") * 10L + col("m_code"))
+        .orderBy("o_custkey")
+    },
+    Some {
+      def fenceSql(c: String): String =
+        s"""SELECT x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value
+           |FROM (
+           |  SELECT q * (cnt - 1.0) AS h, CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+           |    LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+           |  FROM (SELECT CAST(unnest(['0.2','0.4','0.6','0.8']) AS DOUBLE) AS q) qs,
+           |    (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM pc) n
+           |) h
+           |JOIN (SELECT CAST($c AS DOUBLE) AS x_lo, ROW_NUMBER() OVER (ORDER BY $c) AS rn_lo FROM pc) lo ON rlo = rn_lo
+           |JOIN (SELECT CAST($c AS DOUBLE) AS x_hi, ROW_NUMBER() OVER (ORDER BY $c) AS rn_hi FROM pc) hi ON rhi = rn_hi""".stripMargin
+      s"""WITH pc AS (
+         |  SELECT o_custkey,
+         |    CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01' AS BIGINT) AS recency_days,
+         |    CAST(COUNT(*) AS BIGINT) AS frequency,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS monetary_cents
+         |  FROM orders GROUP BY o_custkey),
+         |fr AS (${fenceSql("recency_days")}),
+         |ff AS (${fenceSql("frequency")}),
+         |fm AS (${fenceSql("monetary_cents")}),
+         |coded AS (
+         |  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         |    CAST(1 + (SELECT COUNT(*) FROM fr WHERE CAST(pc.recency_days AS DOUBLE) > fr.value) AS BIGINT) AS r_code,
+         |    CAST(1 + (SELECT COUNT(*) FROM ff WHERE CAST(pc.frequency AS DOUBLE) > ff.value) AS BIGINT) AS f_code,
+         |    CAST(1 + (SELECT COUNT(*) FROM fm WHERE CAST(pc.monetary_cents AS DOUBLE) > fm.value) AS BIGINT) AS m_code
+         |  FROM pc)
+         |SELECT o_custkey, recency_days, frequency, monetary_cents,
+         |  r_code, f_code, m_code,
+         |  r_code * 100 + f_code * 10 + m_code AS rfm
+         |FROM coded ORDER BY o_custkey""".stripMargin
+    }
+  )
+
+  override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
+    q92, q93)
 }

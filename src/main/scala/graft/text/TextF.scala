@@ -33,38 +33,81 @@ object TextF extends Module {
   // tx_lang_id — stopword-profile language ID. Argmax over per-language
   // token-hit counts with a fixed tiebreak chain (alphabetical language
   // order), all integer arithmetic.
+  /** Documents with per-language stopword scores and the argmax
+    * prediction — shared by tx_lang_id and tx_lang_confusion.
+    */
+  private def langScored(s: SparkSession, d: String): DataFrame = {
+    var df = Tables.documents(s, d)
+    for ((lang, words) <- stopwords)
+      df = df.withColumn(s"s_$lang", stopCount(words))
+    val langs = stopwords.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { (lang, acc) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(acc)
+    }
+    df.select(col("doc_id") +: col("lang") +: langs.map(l => col(s"s_$l")) :+
+      pred.as("pred_lang"): _*)
+  }
+
+  /** DuckDB twin of [[langScored]] as a WITH-body ending in `pred`. */
+  private val langScoredSql: String = {
+    val langs = stopwords.map(_._1)
+    val scores = stopwords
+      .map { case (l, ws) => s"${stopCountSql(ws)} AS s_$l" }.mkString(",\n    ")
+    val chain = langs.dropRight(1).map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""sc AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents),
+       |pred AS (
+       |  SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
+       |    CASE $chain ELSE '${langs.last}' END AS pred_lang
+       |  FROM sc)""".stripMargin
+  }
+
   private val txLangId = Q(
     "tx_lang_id",
-    (s, d) => {
-      var df = Tables.documents(s, d)
-      for ((lang, words) <- stopwords)
-        df = df.withColumn(s"s_$lang", stopCount(words))
-      val langs = stopwords.map(_._1)
-      val pred = langs.foldRight(lit(langs.last)) { (lang, acc) =>
-        val isMax = langs.filter(_ != lang)
-          .map(o => col(s"s_$lang") >= col(s"s_$o"))
-          .reduce(_ && _)
-        when(isMax, lit(lang)).otherwise(acc)
-      }
-      df.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
-        .orderBy("doc_id")
-    },
+    (s, d) => langScored(s, d).drop("lang").orderBy("doc_id"),
     Some {
       val langs = stopwords.map(_._1)
-      val scores = stopwords
-        .map { case (l, ws) => s"${stopCountSql(ws)} AS s_$l" }.mkString(",\n    ")
-      val chain = langs.dropRight(1).map { l =>
-        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString(" ")
-      s"""WITH sc AS (
-         |  SELECT doc_id,
-         |    $scores
-         |  FROM documents)
-         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
-         |  CASE $chain ELSE '${langs.last}' END AS pred_lang
-         |FROM sc ORDER BY doc_id""".stripMargin
+      s"""WITH $langScoredSql
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, pred_lang
+         |FROM pred ORDER BY doc_id""".stripMargin
     }
+  )
+
+  // tx_lang_confusion — labeled vs detected language as a confusion
+  // matrix with per-label recall shares (the corpus-QA readout that
+  // decides whether the cheap n-gram/stopword detector is trustworthy
+  // per source language, and which label pockets need a stronger
+  // model). One pass over the shared scored surface to the |langs|²
+  // cell table; shares are windows over that tiny surface only.
+  private val txLangConfusion = Q(
+    "tx_lang_confusion",
+    (s, d) => {
+      val cells = langScored(s, d)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      cells
+        .withColumn("share_of_label",
+          col("n").cast("double") / sum(col("n")).over(wl).cast("double"))
+        .withColumn("correct", col("lang") === col("pred_lang"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some(s"""WITH $langScoredSql,
+      |cells AS (
+      |  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM pred GROUP BY lang, pred_lang)
+      |SELECT lang, pred_lang, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share_of_label,
+      |  lang = pred_lang AS correct
+      |FROM cells ORDER BY lang, pred_lang""".stripMargin)
   )
 
   // tx_quality — document quality score from length / punctuation /
@@ -738,5 +781,5 @@ object TextF extends Module {
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
     txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
-    txLmBuckets, txNgramFreq)
+    txLmBuckets, txNgramFreq, txLangConfusion)
 }

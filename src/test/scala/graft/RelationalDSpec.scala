@@ -213,6 +213,24 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q93 rfm: codes span 1..5, segment digits reassemble, quintiles balance") {
+    val rows = SparkEntry.queries("q93_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rc, fc, mc, rfm) =>
+      assert(rc >= 1 && rc <= 5 && fc >= 1 && fc <= 5 && mc >= 1 && mc <= 5)
+      assert(rfm === rc * 100 + fc * 10 + mc, "segment must encode the codes")
+    }
+    // value-threshold quintiles on a continuous-ish metric are roughly
+    // balanced: monetary cents are near-unique, so each code gets
+    // 20% ± ties
+    val n = rows.length.toDouble
+    val byM = rows.groupBy(_._4).view.mapValues(_.size / n).toMap
+    (1L to 5L).foreach { c =>
+      assert(byM.getOrElse(c, 0.0) > 0.05, s"monetary code $c missing/starved: $byM")
+    }
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -65,4 +65,19 @@ class TextSpec extends SparkSpec {
     assert(mid.forall(s => s > maxHead - 1e-12 && s < minTail + 1e-12) || mid.isEmpty)
     assert(maxHead <= minTail)
   }
+
+  test("tx_lang_confusion: cells partition the corpus, label shares sum to 1") {
+    val cells = SparkEntry.queries("tx_lang_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val total = cells.map(_._3).sum
+    assert(total === Tables.documents(spark, sf).count(), "cells cover every doc")
+    cells.groupBy(_._1).foreach { case (lang, rs) =>
+      val share = rs.map(_._4).sum
+      assert(math.abs(share - 1.0) < 1e-12, s"$lang shares sum $share")
+    }
+    cells.foreach { case (l, p, _, _, c) => assert(c === (l == p)) }
+    // the detector must beat random guessing overall (5 languages)
+    val acc = cells.filter(_._5).map(_._3).sum.toDouble / total
+    assert(acc > 0.2, f"lang-id accuracy $acc%.2f at chance level")
+  }
 }
