@@ -698,6 +698,56 @@ object RelationalD extends Module {
     }
   )
 
+  // q94 — market-basket association (support / confidence / lift over
+  // part pairs co-occurring in an order — the Apriori readout of retail
+  // analytics): items dedupe once per (order, part), the pair self-join
+  // runs WITHIN order keys only (baskets are bounded — ~4 lines here —
+  // so the join is linear in orders, never |parts|²), and the
+  // min-support floor (n_ab ≥ 2) is exactly Apriori's prune: at 100 TB
+  // the floor rises with the data and the surviving pair surface stays
+  // reporting-sized. Metrics are fixed IEEE expressions over exact
+  // counts; the basket total N is a 1-row aggregate.
+  private val q94 = Q(
+    "q94_market_basket",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val nOrders = items.select(col("ok")).distinct().count()
+      val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      val a = items.select(col("ok"), col("pk").as("pk_a"))
+      val b = items.select(col("ok").as("ok_b"), col("pk").as("pk_b"))
+      val bigN = lit(nOrders.toDouble)
+      a.join(b, col("ok") === col("ok_b") && col("pk_a") < col("pk_b"))
+        .groupBy(col("pk_a"), col("pk_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2L)
+        .join(broadcast(itemCounts.select(col("pk").as("pk_a"), col("n_i").as("n_a"))), "pk_a")
+        .join(broadcast(itemCounts.select(col("pk").as("pk_b"), col("n_i").as("n_b"))), "pk_b")
+        .select(col("pk_a"), col("pk_b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") / bigN).as("support"),
+          (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+          (col("n_ab").cast("double") * bigN /
+            (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+        .orderBy("pk_a", "pk_b")
+    },
+    Some("""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS big_n FROM items),
+      |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY pk),
+      |p AS (
+      |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pk_a, pk_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      |  CAST(n_ab AS DOUBLE) / n.big_n AS support,
+      |  CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+      |  CAST(n_ab AS DOUBLE) * n.big_n / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+      |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk, n
+      |ORDER BY pk_a, pk_b""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93)
+    q92, q93, q94)
 }

@@ -231,6 +231,30 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q94 market basket: metric identities hold against independent counts") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length.toDouble
+    val itemN = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = items.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val pks = rs.map(_._2).sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = SparkEntry.queries("q94_market_basket")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val wantPairs = pairN.filter(_._2 >= 2L)
+    assert(rows.map(r => (r._1, r._2)).toSet === wantPairs.keySet, "pair set")
+    rows.foreach { case (pa, pb, nab, na, nb, sup, conf, lift) =>
+      assert(nab === wantPairs((pa, pb)))
+      assert(na === itemN(pa) && nb === itemN(pb), "item counts")
+      assert(math.abs(sup - nab / nOrders) < 1e-15)
+      assert(math.abs(conf - nab.toDouble / na) < 1e-15)
+      assert(math.abs(lift - nab * nOrders / (na.toDouble * nb.toDouble)) < 1e-12)
+    }
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
