@@ -812,8 +812,34 @@ object MlC extends Module {
     None
   )
 
+  // ml_isotonic_calibration — monotone recalibration of the classifier
+  // score (sklearn CalibratedClassifierCV(method='isotonic') analog;
+  // the nonparametric upgrade over ml_calibration's fixed bins): MLlib
+  // IsotonicRegression pools adjacent violators over (score, label) on
+  // the hold-out, and the fitted step function is emitted as its knot
+  // table (boundary, calibrated_p) — bounded output, the model IS the
+  // readout. The PAV fit is driver-side over a sorted sample by design
+  // in MLlib; at 100 TB the scores would be histogram-compressed first
+  // (the ml_calibration bins feed it) — noted, not needed here.
+  // Rows-only (iterative fit); MlSpec pins monotonicity and range.
+  private val mlIsotonic = Q(
+    "ml_isotonic_calibration",
+    (s, d) => {
+      import s.implicits._
+      val preds = logregPredictions(s, d)
+        .select(col("prob_1"), col("label"))
+      val iso = new org.apache.spark.ml.regression.IsotonicRegression()
+        .setFeaturesCol("prob_1").setLabelCol("label").setIsotonic(true)
+      val model = iso.fit(preds)
+      model.boundaries.toArray.zip(model.predictions.toArray).toSeq
+        .toDF("boundary", "calibrated_p")
+        .orderBy("boundary")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
-    mlPermImp, mlOlsExact, mlNaiveBayes)
+    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic)
 }

@@ -853,4 +853,44 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class ExpEvent(user_id: Long, order_id: Long,
+      ts: java.sql.Timestamp, cents: Long)
+  case class ExpOut(user_id: Long, order_id: Long, n: Long,
+      exp_mean: Double, exp_std: Option[Double])
+
+  /** Streaming twin of q92_expanding: the running statistics ARE the
+    * state — exactly (n, Σz, Σz²) per customer, three numbers no matter
+    * how long the history — and every event emits the same fixed IEEE
+    * mean/std expression the batch window computes over its cumulative
+    * exact sums, so for in-order delivery the outputs are bit-identical
+    * (Σz² accumulates in BigInt, mirroring the batch DECIMAL(38,0)).
+    * Events within a micro-batch are applied in (event-time, order_id)
+    * order — the batch window's sort key.
+    */
+  def expandingStream(events: Dataset[ExpEvent]): Dataset[ExpOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, BigDecimal), ExpOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[ExpEvent], state: GroupState[(Long, Long, BigDecimal)]) =>
+          var (n, s, ss) = state.getOption.getOrElse((0L, 0L, BigDecimal(0)))
+          val out = evs.toSeq.sortBy(e => (us(e.ts), e.order_id)).map { e =>
+            n += 1; s += e.cents; ss += BigDecimal(e.cents) * BigDecimal(e.cents)
+            val nd = n.toDouble
+            val cs = s.toDouble
+            val css = ss.toDouble
+            val mean = (cs / nd) / 100.0
+            val std =
+              if (n > 1) Some(math.sqrt((css - cs * cs / nd) / (nd - 1.0)) / 100.0)
+              else None
+            ExpOut(uid, e.order_id, n, mean, std)
+          }
+          state.update((n, s, ss))
+          out.iterator
+      }
+  }
 }

@@ -300,4 +300,18 @@ class MlSpec extends SparkSpec {
       .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
     assert(again.toSeq === out.toSeq, "gaussian NB fit must be deterministic")
   }
+
+  test("isotonic calibration: knots are monotone in score and probability") {
+    val knots = SparkEntry.queries("ml_isotonic_calibration")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(knots.nonEmpty)
+    knots.foreach { case (b, p) =>
+      assert(b >= 0.0 && b <= 1.0, s"boundary $b")
+      assert(p >= 0.0 && p <= 1.0, s"calibrated $p")
+    }
+    knots.zip(knots.tail).foreach { case ((b1, p1), (b2, p2)) =>
+      assert(b1 <= b2, "boundaries must ascend")
+      assert(p1 <= p2, "PAV output must be non-decreasing")
+    }
+  }
 }

@@ -419,6 +419,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming expanding stats match the batch q92 bit-for-bit across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"), col("o_totalprice"))
+      .collect().map(r => Streaming.ExpEvent(r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), math.rint(r.getDouble(3) * 100.0).toLong))
+      .sortBy(e => (e.ts.getTime, e.order_id)) // in-order delivery contract
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.ExpEvent]
+    val q = Streaming.expandingStream(input.toDS())
+      .writeStream.format("memory").queryName("expanding")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("expanding").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+      val batch = SparkEntry.queries("q92_expanding")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+      assert(streamed === batch,
+        "three-number state must reproduce the batch window bit-for-bit")
+    } finally q.stop()
+  }
+
   test("streaming transition pairs match the batch lag window across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
