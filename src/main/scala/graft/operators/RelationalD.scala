@@ -748,6 +748,56 @@ object RelationalD extends Module {
       |ORDER BY pk_a, pk_b""".stripMargin)
   )
 
+  // q95 — as-of join with a tolerance bound (pandas
+  // merge_asof(direction='backward', tolerance='24h'); st_asof is the
+  // unbounded special case): the same one-shuffle ignore-nulls
+  // last_value shape carries the prior purchase's (ts, id, value), then
+  // a narrow map NULLs the match when it is staler than the tolerance —
+  // no range join, no per-key state beyond one row, deterministic
+  // (ts, event_id) tiebreak. The tolerance comparison runs on integer
+  // epoch millis so both engines agree exactly.
+  private val q95 = Q(
+    "q95_asof_tolerance",
+    (s, d) => {
+      val tolMs = 24L * 3600000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastP(c: Column) =
+        last(when(col("event_type") === "purchase", c), ignoreNulls = true).over(w)
+      val fresh = col("asof_ts").isNotNull &&
+        unix_millis(col("ts")) - unix_millis(col("asof_ts")) <= tolMs
+      Tables.events(s, d)
+        .withColumn("asof_ts", lastP(col("ts")))
+        .withColumn("asof_event_id", lastP(col("event_id")))
+        .withColumn("asof_value", lastP(col("value")))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(fresh, col("asof_event_id")).as("asof_event_id"),
+          when(fresh, col("asof_value")).as("asof_value"),
+          fresh.as("matched"))
+        .orderBy("event_id")
+    },
+    Some("""WITH t AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+      |      OVER w AS asof_ts,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      |      OVER w AS asof_event_id,
+      |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |      OVER w AS asof_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN asof_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(asof_ts) <= 86400000
+      |    THEN asof_event_id END AS asof_event_id,
+      |  CASE WHEN asof_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(asof_ts) <= 86400000
+      |    THEN asof_value END AS asof_value,
+      |  COALESCE(asof_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(asof_ts) <= 86400000, FALSE) AS matched
+      |FROM t WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94)
+    q92, q93, q94, q95)
 }

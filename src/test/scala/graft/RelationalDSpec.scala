@@ -255,6 +255,33 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q95 asof tolerance: matches st_asof except for stale pairs") {
+    val unbounded = SparkEntry.queries("st_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val rows = SparkEntry.queries("q95_asof_tolerance")(spark, sf).collect()
+    assert(rows.length === unbounded.size, "same click set as st_asof")
+    rows.foreach { r =>
+      val click = r.getLong(0)
+      val tolMatch = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val matched = r.getBoolean(5)
+      assert(matched === tolMatch.isDefined)
+      (unbounded(click), tolMatch) match {
+        case (None, t) => assert(t.isEmpty, "no prior purchase can't gain one")
+        case (Some(p), Some(t)) =>
+          assert(t === p, "a fresh match must be the same most-recent purchase")
+          assert(events(click) - events(p) <= 24L * 3600000L)
+        case (Some(p), None) =>
+          assert(events(click) - events(p) > 24L * 3600000L,
+            "a dropped match must be stale beyond the tolerance")
+      }
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "corpus must exercise both fresh and stale pairs")
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
