@@ -109,69 +109,82 @@ object RelationalD extends Module {
   // (value, orderkey, linenumber tiebreak — same total order as the
   // oracle's naive window). Driver metadata stays ≤ groups × 65536 rows
   // by construction.
+  /** 1/`trimDen`-each-side trimmed mean of `v` per `g`, cent-grid exact,
+    * without a group-keyed global sort: the (group, bucket) histogram
+    * assigns every bucket a rank interval; fully-inside buckets answer
+    * from exact histogram sums, fully-outside buckets drop, and only
+    * fence-straddling buckets rank row-by-row (ordered by `v` then
+    * `idCols` — the caller's oracle tiebreak). Public so the spec can
+    * drive it over adversarial planted frames (point-mass buckets
+    * spanning a fence, all-identical groups).
+    */
+  def trimmedMean(df0: DataFrame, g: String, v: String, idCols: Seq[String],
+      trimDen: Long = 10L): DataFrame = {
+    val s = df0.sparkSession
+    import s.implicits._
+    val l = df0.filter(col(v).isNotNull)
+    val zc = round(col(v) * lit(100.0)).cast("long")
+    val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
+        count(lit(1)).as("ng"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val statsDf = broadcast(stats.toSeq.toDF("sg", "lo", "hi", "ng"))
+    val keyed0 = l.withColumn("zc", zc).join(statsDf, col(g) === col("sg"))
+    val bCol = when(col("lo") === col("hi"), lit(1L))
+      .otherwise(least(width_bucket(col(v), col("lo"), col("hi"), lit(65536)), lit(65536L)))
+    val hist = keyed0.select(col("sg").as("cg"), bCol.as("b"), col("zc").as("cz"))
+      .groupBy("cg", "b")
+      .agg(count(lit(1)).as("c"), sum(col("cz").cast(DecimalType(38, 0))).as("sz"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3))))
+    // per group: keep ranks in (cut, ng-cut]; classify every bucket as
+    // fully-inside / fully-outside / fence-straddling
+    case class B(g: String, b: Long, off: Long, cut: Long, ng: Long,
+        inside: Boolean, outside: Boolean, c: Long, sum: BigDecimal)
+    val plan = hist.groupBy(_._1).toSeq.flatMap { case (gv, rows) =>
+      val ng = stats.find(_._1 == gv).get._4
+      val cut = ng / trimDen
+      val sorted = rows.sortBy(_._2)
+      val offs = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(offs).map { case ((_, b, c, sz), off) =>
+        val first = off + 1; val last = off + c
+        B(gv, b, off, cut, ng,
+          inside = first > cut && last <= ng - cut,
+          outside = last <= cut || first > ng - cut, c, sz)
+      }
+    }
+    val planDf = broadcast(plan
+      .map(p => (p.g, p.b, p.off, p.cut, p.ng, p.inside, p.outside))
+      .toDF("og", "ob", "off", "cut", "ong", "inside", "outside"))
+    // straddling buckets: rank row-by-row with the oracle's tiebreak
+    val keyed = keyed0.withColumn("b", bCol)
+      .join(planDf, col(g) === col("og") && col("b") === col("ob"))
+    val straddle = keyed.filter(!col("inside") && !col("outside"))
+    val w = Window.partitionBy(col(g), col("b"))
+      .orderBy(col(v) +: idCols.map(col): _*)
+    val straddleKept = straddle
+      .withColumn("grank", col("off") + row_number().over(w))
+      .filter(col("grank") > col("cut") && col("grank") <= col("ong") - col("cut"))
+      .groupBy(col(g).as("kg"))
+      .agg(sum(col("zc").cast(DecimalType(38, 0))).as("ssz"), count(lit(1)).as("sn"))
+    // inside buckets contribute exact histogram sums (bounded metadata)
+    val insideRows = plan.filter(_.inside).groupBy(_.g).toSeq.map { case (gv, rows) =>
+      (gv, rows.map(_.sum).sum, rows.map(_.c).sum)
+    }
+    val inDf = insideRows.toDF("kg", "ssz", "sn")
+      .select(col("kg"), col("ssz").cast(DecimalType(38, 0)).as("ssz"), col("sn"))
+    straddleKept.unionByName(inDf)
+      .groupBy(col("kg").as(g))
+      .agg(sum(col("ssz")).as("tz"), sum(col("sn")).as("n_kept"))
+      .select(col(g), col("n_kept").cast("long").as("n_kept"),
+        (col("tz").cast("double") / col("n_kept").cast("double") / lit(100.0))
+          .as("trimmed_mean"))
+      .orderBy(g)
+  }
+
   private val q83 = Q(
     "q83_trimmed_mean",
-    (s, d) => {
-      import s.implicits._
-      val l = Tables.lineitem(s, d).filter(col("l_extendedprice").isNotNull)
-      val g = "l_returnflag"; val v = "l_extendedprice"
-      val zc = round(col(v) * lit(100.0)).cast("long")
-      val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
-          count(lit(1)).as("ng"))
-        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-      val statsDf = broadcast(stats.toSeq.toDF("sg", "lo", "hi", "ng"))
-      val keyed0 = l.withColumn("zc", zc).join(statsDf, col(g) === col("sg"))
-      val bCol = when(col("lo") === col("hi"), lit(1L))
-        .otherwise(least(width_bucket(col(v), col("lo"), col("hi"), lit(65536)), lit(65536L)))
-      val hist = keyed0.select(col("sg").as("cg"), bCol.as("b"), col("zc").as("cz"))
-        .groupBy("cg", "b")
-        .agg(count(lit(1)).as("c"), sum(col("cz").cast(DecimalType(38, 0))).as("sz"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          BigDecimal(r.getDecimal(3))))
-      // per group: keep ranks in (cut, ng-cut]; classify every bucket as
-      // fully-inside / fully-outside / fence-straddling
-      case class B(g: String, b: Long, off: Long, cut: Long, ng: Long,
-          inside: Boolean, outside: Boolean, c: Long, sum: BigDecimal)
-      val plan = hist.groupBy(_._1).toSeq.flatMap { case (gv, rows) =>
-        val ng = stats.find(_._1 == gv).get._4
-        val cut = ng / 10
-        val sorted = rows.sortBy(_._2)
-        val offs = sorted.scanLeft(0L)(_ + _._3)
-        sorted.zip(offs).map { case ((_, b, c, sz), off) =>
-          val first = off + 1; val last = off + c
-          B(gv, b, off, cut, ng,
-            inside = first > cut && last <= ng - cut,
-            outside = last <= cut || first > ng - cut, c, sz)
-        }
-      }
-      val planDf = broadcast(plan
-        .map(p => (p.g, p.b, p.off, p.cut, p.ng, p.inside, p.outside))
-        .toDF("og", "ob", "off", "cut", "ong", "inside", "outside"))
-      // straddling buckets: rank row-by-row with the oracle's tiebreak
-      val keyed = keyed0.withColumn("b", bCol)
-        .join(planDf, col(g) === col("og") && col("b") === col("ob"))
-      val straddle = keyed.filter(!col("inside") && !col("outside"))
-      val w = Window.partitionBy(col(g), col("b"))
-        .orderBy(col(v), col("l_orderkey"), col("l_linenumber"))
-      val straddleKept = straddle
-        .withColumn("grank", col("off") + row_number().over(w))
-        .filter(col("grank") > col("cut") && col("grank") <= col("ong") - col("cut"))
-        .groupBy(col(g).as("kg"))
-        .agg(sum(col("zc").cast(DecimalType(38, 0))).as("ssz"), count(lit(1)).as("sn"))
-      // inside buckets contribute exact histogram sums (bounded metadata)
-      val insideRows = plan.filter(_.inside).groupBy(_.g).toSeq.map { case (gv, rows) =>
-        (gv, rows.map(_.sum).sum, rows.map(_.c).sum)
-      }
-      val inDf = insideRows.toDF("kg", "ssz", "sn")
-        .select(col("kg"), col("ssz").cast(DecimalType(38, 0)).as("ssz"), col("sn"))
-      straddleKept.unionByName(inDf)
-        .groupBy(col("kg").as(g))
-        .agg(sum(col("ssz")).as("tz"), sum(col("sn")).as("n_kept"))
-        .select(col(g), col("n_kept").cast("long").as("n_kept"),
-          (col("tz").cast("double") / col("n_kept").cast("double") / lit(100.0))
-            .as("trimmed_mean"))
-        .orderBy(g)
-    },
+    (s, d) => trimmedMean(Tables.lineitem(s, d), "l_returnflag",
+      "l_extendedprice", Seq("l_orderkey", "l_linenumber")),
     Some("""WITH r AS (
       |  SELECT l_returnflag AS g,
       |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS zc,

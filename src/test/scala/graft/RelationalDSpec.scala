@@ -61,6 +61,36 @@ class RelationalDSpec extends SparkSpec {
       s"window not keyed on the bucket column: $sp"))
   }
 
+  test("trimmed mean survives adversarial point-mass and degenerate groups") {
+    import spark.implicits._
+    import graft.operators.RelationalD
+    val rng = new scala.util.Random(7)
+    // group A: 50% point mass at one value, fences inside the mass run;
+    // group B: ALL values identical (lo == hi single-bucket path);
+    // group C: two clusters crowding two buckets with the cut between
+    val a = (1 to 200).map(i =>
+      ("A", if (i <= 100) 42.0 else rng.nextInt(10000) / 100.0, i.toLong))
+    val b = (1 to 50).map(i => ("B", 7.77, (1000 + i).toLong))
+    val c = (1 to 120).map(i =>
+      ("C", if (i % 2 == 0) 1.0 + (i % 5) / 100.0 else 9999.0 + (i % 3) / 100.0,
+        (2000 + i).toLong))
+    val df = (a ++ b ++ c).toDF("g", "v", "id")
+    val got = RelationalD.trimmedMean(df, "g", "v", Seq("id")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = (a ++ b ++ c).groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val cut = sorted.length / 10
+      val kept = sorted.slice(cut, sorted.length - cut)
+      g -> (kept.length.toLong,
+        kept.map(r => math.round(r._2 * 100.0)).sum.toDouble / kept.length / 100.0)
+    }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (g, (k, m)) =>
+      assert(got(g)._1 === k, s"group $g kept")
+      assert(math.abs(got(g)._2 - m) < 1e-9, s"group $g mean ${got(g)._2} vs $m")
+    }
+  }
+
   test("q84 cramers v: reconciles with q67 chi2 and sits in [0,1]") {
     val v = SparkEntry.queries("q84_cramers_v")(spark, sf).head()
     val chi2q67 = SparkEntry.queries("q67_chi2")(spark, sf).head().getDouble(1)
