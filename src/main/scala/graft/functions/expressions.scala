@@ -454,6 +454,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (args: Seq[Expression]) => MinHashAgg(args.head, 64)),
+    (FunctionIdentifier("graft_kmv_agg"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv_agg"),
+      (args: Seq[Expression]) => KmvAgg(args(0),
+        args(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalize(args.head)),

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values sketching (Bar-Yossef et al. 2002; the Theta-sketch
+  * family): per-group bounded sketches supporting distinct estimation
+  * AND set algebra — union sketches merge exactly, so intersections /
+  * Jaccard come from one pass over bounded metadata. This is the
+  * overlap readout HLL cannot provide (ap_distinct estimates sizes
+  * only): "how much does corpus A overlap corpus B" per language /
+  * source / shard, without ever shuffling the value sets.
+  */
+object Kmv {
+
+  /** Per-group KMV sketch of `v`'s distinct values: (g, mins[≤k]).
+    * One partial-aggregable shuffle; O(k) state per group.
+    */
+  def sketches(df: DataFrame, g: String, v: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // 63-bit positive hash; xxhash64 is Spark-native and stable
+    val h = expr(s"xxhash64($v) & 9223372036854775807")
+    df.select(col(g), h.as("h"))
+      .groupBy(col(g))
+      .agg(call_function("graft_kmv_agg", col("h"), lit(k)).as("mins"))
+  }
+
+  private val Max = BigDecimal(Long.MaxValue)
+
+  /** Distinct estimate from a sketch: exact when |mins| < k (the sketch
+    * saw every distinct value), else the KMV estimator (k−1)/u with u =
+    * normalized k-th minimum.
+    */
+  def estimate(mins: Seq[Long], k: Int): Double =
+    if (mins.length < k) mins.length.toDouble
+    else (k - 1).toDouble / (BigDecimal(mins.max) / Max).toDouble
+
+  /** Pairwise overlap table from the bounded sketch collection:
+    * (g_a, g_b, est_distinct_a, est_distinct_b, est_jaccard,
+    * est_union, est_intersection). Union sketches merge exactly
+    * (k smallest of the combined sets); Jaccard is the shared fraction
+    * of the union sketch — the standard KMV set-algebra estimators.
+    * Driver work is O(groups² · k): sketch metadata, never data.
+    */
+  def overlaps(df: DataFrame, g: String, v: String, k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val sk = sketches(df, g, v, k).collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toVector)).sortBy(_._1)
+    val rows = for {
+      i <- sk.indices
+      j <- (i + 1) until sk.length
+    } yield {
+      val (ga, a) = sk(i); val (gb, b) = sk(j)
+      val aSet = a.toSet; val bSet = b.toSet
+      val union = (aSet ++ bSet).toVector.sorted.take(k)
+      val shared = union.count(x => aSet.contains(x) && bSet.contains(x))
+      val jac = if (union.isEmpty) 0.0 else shared.toDouble / union.length.toDouble
+      val estU = estimate(union, k)
+      (ga, gb, estimate(a, k), estimate(b, k), jac, estU, jac * estU)
+    }
+    rows.toDF("g_a", "g_b", "est_distinct_a", "est_distinct_b",
+      "est_jaccard", "est_union", "est_intersection")
+      .orderBy("g_a", "g_b")
+  }
+}

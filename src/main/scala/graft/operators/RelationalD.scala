@@ -811,6 +811,20 @@ object RelationalD extends Module {
       |FROM t WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
   )
 
+  // ap_kmv_overlap — K-minimum-values set-algebra sketches over the
+  // document corpus grouped by language: distinct sizes AND pairwise
+  // union/intersection/Jaccard estimates from one partial-aggregable
+  // pass + O(groups²·k) driver metadata (see [[Kmv]]). The overlap
+  // readout HLL can't give: which corpus shards duplicate each other,
+  // without shuffling value sets. Rows-only (sketch estimates aren't
+  // SQL); ApproxSpec pins exactness below k, planted-overlap accuracy,
+  // and the merge law.
+  private val apKmv = Q(
+    "ap_kmv_overlap",
+    (s, d) => Kmv.overlaps(Tables.documents(s, d), "lang", "text", k = 32),
+    None
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95)
+    q92, q93, q94, q95, apKmv)
 }

@@ -78,4 +78,34 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a - e) / e <= 0.02, s"approx $a vs exact $e")
     }
   }
+
+  test("kmv: exact below k, accurate on planted overlap, disjoint reads zero") {
+    import spark.implicits._
+    import graft.operators.Kmv
+    // planted universes: A = 0..999, B = 500..1499 (|∩| = 500, J = 1/3),
+    // C = 2000..2009 (tiny: sketch must be EXACT), D disjoint from all
+    val rows =
+      (0 until 1000).map(i => ("A", s"val_$i")) ++
+      (500 until 1500).map(i => ("B", s"val_$i")) ++
+      (2000 until 2010).map(i => ("C", s"val_$i")) ++
+      (5000 until 5800).map(i => ("D", s"other_$i"))
+    val df = rows.toDF("g", "v")
+    val k = 256
+    val out = Kmv.overlaps(df, "g", "v", k).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // distinct estimates: σ ≈ 1/√k ≈ 6%; assert 4σ
+    val (estA, estB, jAB, uAB, iAB) = out(("A", "B"))
+    assert(math.abs(estA - 1000) / 1000.0 < 0.25, s"estA $estA")
+    assert(math.abs(estB - 1000) / 1000.0 < 0.25, s"estB $estB")
+    assert(math.abs(jAB - 1.0 / 3.0) < 0.15, s"jaccard $jAB")
+    assert(math.abs(uAB - 1500) / 1500.0 < 0.3, s"union $uAB")
+    assert(math.abs(iAB - 500) / 500.0 < 0.5, s"intersection $iAB")
+    // tiny group: sketch degenerates to the exact set
+    val cPair = out(("A", "C"))
+    assert(cPair._2 === 10.0, "below-k sketch must be exact")
+    assert(cPair._3 === 0.0, "disjoint groups must estimate zero overlap")
+    assert(out(("A", "D"))._3 === 0.0 && out(("B", "D"))._3 === 0.0)
+  }
 }
