@@ -825,6 +825,127 @@ object RelationalD extends Module {
     None
   )
 
+  // q96 — share-of-parent contribution table (the BI "percent of total"
+  // readout): revenue per (region, nation) with each nation's share of
+  // its region and each region's share of the world, in ONE pass — the
+  // fact tables reduce to the |nations| surface first, dims broadcast,
+  // and all the share windows run over that surface. Shares divide
+  // exact cent sums, so they are engine-identical.
+  private val q96 = Q(
+    "q96_share_of_total",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val cents = o.join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+      val surface = cents
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+      val wr = Window.partitionBy(col("r_name"))
+      val wa = Window.partitionBy()
+      surface.select(col("r_name"), col("n_name"),
+          (col("cents").cast("double") / lit(100.0)).as("revenue"),
+          (col("cents").cast("double") / sum(col("cents")).over(wr).cast("double"))
+            .as("share_of_region"),
+          (sum(col("cents")).over(wr).cast("double") / sum(col("cents")).over(wa).cast("double"))
+            .as("region_share_of_world"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""WITH cents AS (
+      |  SELECT c_nationkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_nationkey),
+      |surface AS (
+      |  SELECT r_name, n_name, cents
+      |  FROM cents
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey)
+      |SELECT r_name, n_name,
+      |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE) AS share_of_region,
+      |  CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)
+      |    / CAST(SUM(cents) OVER () AS DOUBLE) AS region_share_of_world
+      |FROM surface ORDER BY r_name, n_name""".stripMargin)
+  )
+
+  // q97 — month-over-month and year-over-year growth of order revenue
+  // (the period-comparison readout every revenue dashboard opens with):
+  // the fact table reduces once to the |months| surface; both lags are
+  // windows over that surface, growth ratios divide exact cent sums,
+  // and missing comparison periods stay NULL on both engines.
+  private val q97 = Q(
+    "q97_growth",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val monthly = o.groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+      val w = Window.orderBy(col("y"), col("m"))
+      // MoM = previous observed month (lag over the surface); YoY joins
+      // (y−1, m) explicitly so a gap month can't shift the comparison
+      val prevYear = monthly.select((col("y") + 1L).as("py"), col("m").as("pm"),
+        col("cents").as("prev_y"))
+      monthly
+        .withColumn("prev_m", lag(col("cents"), 1).over(w))
+        .join(prevYear, col("y") === col("py") && col("m") === col("pm"), "left")
+        .select(col("y"), col("m"),
+          (col("cents").cast("double") / lit(100.0)).as("revenue"),
+          (col("cents").cast("double") / col("prev_m").cast("double") - lit(1.0))
+            .as("mom_growth"),
+          (col("cents").cast("double") / col("prev_y").cast("double") - lit(1.0))
+            .as("yoy_growth"))
+        .orderBy("y", "m")
+    },
+    Some("""WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |    CAST(month(o_orderdate) AS BIGINT) AS m,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT a.y, a.m, a.cents,
+      |    LAG(a.cents, 1) OVER (ORDER BY a.y, a.m) AS prev_m,
+      |    p.cents AS prev_y
+      |  FROM monthly a LEFT JOIN monthly p ON p.y = a.y - 1 AND p.m = a.m)
+      |SELECT y, m, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(cents AS DOUBLE) / CAST(prev_m AS DOUBLE) - 1.0 AS mom_growth,
+      |  CAST(cents AS DOUBLE) / CAST(prev_y AS DOUBLE) - 1.0 AS yoy_growth
+      |FROM lagged ORDER BY y, m""".stripMargin)
+  )
+
+  // q98 — PageRank centrality of parts in the co-purchase graph (which
+  // products anchor baskets — the graph sibling of q94's pairwise
+  // lift): distinct co-purchase pairs form an undirected graph, 15
+  // damped power iterations run as keyed join + partial-aggregable sum
+  // per step with per-iteration lineage checkpoints (the
+  // connectedComponents discipline — see [[Graph]]). Rows-only (an
+  // iterative float fixpoint has no bit-stable SQL twin); the spec
+  // reconciles against a local power iteration and pins the
+  // probability-mass invariant.
+  private val q98 = Q(
+    "q98_pagerank",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = items.select(col("ok"), col("pk").as("src"))
+      val b = items.select(col("ok").as("ok_b"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok_b") && col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      Graph.pagerank(edges)
+        .orderBy(desc("rank"), col("id"))
+        .limit(100)
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, apKmv)
+    q92, q93, q94, q95, q96, q97, q98, apKmv)
 }

@@ -312,6 +312,34 @@ class RelationalDSpec extends SparkSpec {
       "corpus must exercise both fresh and stale pairs")
   }
 
+  test("pagerank matches a local power iteration on the same graph") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // planted graph: a star (hub 1) + a chain + an isolated pair
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (6L, 7L), (7L, 8L), (10L, 11L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, damping = 0.85, iters = 15).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // local reference power iteration
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (6L, 7L), (7L, 8L), (10L, 11L)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val nodes = und.map(_._1).distinct.sorted
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val outs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 15) {
+      val in = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      for (u <- nodes; v <- outs(u)) in(v) += rank(u) / deg(u)
+      rank = nodes.map(u => u -> (0.15 / nodes.size + 0.85 * in(u))).toMap
+    }
+    assert(got.keySet === nodes.toSet)
+    nodes.foreach(u =>
+      assert(math.abs(got(u) - rank(u)) < 1e-9, s"node $u: ${got(u)} vs ${rank(u)}"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "probability mass conserved")
+    // the star hub must dominate its leaves
+    assert(got(1L) > got(2L) && got(2L) === got(3L), "hub above symmetric leaves")
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
