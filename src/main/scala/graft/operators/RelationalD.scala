@@ -946,6 +946,54 @@ object RelationalD extends Module {
     None
   )
 
+  // q99 — ABC / Pareto inventory classification: parts ranked by
+  // revenue, class A = the prefix covering 80% of revenue, B = to 95%,
+  // C = the tail. The fact table reduces once to the |parts| surface;
+  // the cumulative-share window runs over that surface with a
+  // deterministic (cents DESC, partkey) total order, and shares divide
+  // exact cent sums so the 0.80/0.95 compares see identical doubles in
+  // both engines. Scale note: |parts| is catalog-sized (dim-scale); for
+  // a nine-figure catalog the cumulative pass swaps to the q48
+  // bucket-offset machinery (offsets on revenue buckets, intra-bucket
+  // cumsum) without changing the output contract.
+  private val q99 = Q(
+    "q99_abc",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val perPart = l.groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+      val w = Window.orderBy(desc("cents"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wa = Window.partitionBy()
+      val cumShare = sum(col("cents")).over(w).cast("double") /
+        sum(col("cents")).over(wa).cast("double")
+      perPart
+        .withColumn("cum_share", cumShare)
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.80, "A")
+            .when(col("cum_share") <= 0.95, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), (col("cents").cast("double") / lit(100.0)).as("revenue"),
+          col("cum_share"), col("abc_class"))
+        .orderBy(desc("revenue"), col("l_partkey"))
+    },
+    Some("""WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY l_partkey),
+      |c AS (
+      |  SELECT l_partkey, cents,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |      / CAST(SUM(cents) OVER () AS DOUBLE) AS cum_share
+      |  FROM per_part)
+      |SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS revenue, cum_share,
+      |  CASE WHEN cum_share <= 0.80 THEN 'A'
+      |       WHEN cum_share <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, apKmv)
+    q92, q93, q94, q95, q96, q97, q98, q99, apKmv)
 }

@@ -340,6 +340,27 @@ class RelationalDSpec extends SparkSpec {
     assert(got(1L) > got(2L) && got(2L) === got(3L), "hub above symmetric leaves")
   }
 
+  test("q99 abc: classes are revenue-prefix-consistent and cover all parts") {
+    val rows = SparkEntry.queries("q99_abc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per part")
+    // cum_share ascends to exactly 1.0 in output order
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a._3 <= b._3 + 1e-15, "cumulative share must ascend")
+      assert(a._2 >= b._2, "revenue must descend")
+    }
+    assert(math.abs(rows.last._3 - 1.0) < 1e-12)
+    // class boundaries: A before B before C in the ranking
+    val classSeq = rows.map(_._4)
+    assert(classSeq.sameElements(classSeq.sortBy("ABC".indexOf(_))), "A→B→C prefix order")
+    assert(classSeq.toSet === Set("A", "B", "C"), "corpus must populate every class")
+    // A covers ≤ 80% of revenue, A∪B ≤ 95%
+    val aShare = rows.filter(_._4 == "A").map(_._3).maxOption.getOrElse(0.0)
+    assert(aShare <= 0.80 + 1e-12)
+    val abShare = rows.filter(r => r._4 == "A" || r._4 == "B").map(_._3).max
+    assert(abShare <= 0.95 + 1e-12)
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
