@@ -191,4 +191,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length === 1,
       "funnel stages must reuse one user_id distribution:\n" + p)
   }
+
+  test("round-5 stint operators keep their scale shapes") {
+    // q92 expanding: the cumulative window is keyed on the
+    // high-cardinality customer, never unpartitioned
+    val p92 = plan("q92_expanding")
+    assert(!p92.contains("Exchange SinglePartition"), p92)
+    assert("windowspecdefinition\\(o_custkey".r.findFirstIn(p92).isDefined, p92)
+    // q93 rfm: fences are inlined literals — no window, no join back
+    val p93 = plan("q93_rfm")
+    assert(!p93.contains("Window"), "q93 must code via broadcast fence literals:\n" + p93)
+    // q96: all three dims reach the fact via broadcast joins
+    val p96 = plan("q96_share_of_total")
+    assert("BroadcastHashJoin".r.findAllIn(p96).length >= 3, p96)
+    assert(!p96.contains("SortMergeJoin"), p96)
+    // q94: the item-count enrichment joins broadcast; the only
+    // sort-merge allowed is the within-order pair join
+    val p94 = plan("q94_market_basket")
+    assert("BroadcastHashJoin".r.findAllIn(p94).length >= 2, p94)
+    // q90/q82: single scan, no window anywhere
+    assert(scans(plan("q90_anova")) === 1)
+    assert(!plan("q90_anova").contains("Window"))
+    assert(!plan("q82_ols").contains("Window"))
+  }
 }
