@@ -854,6 +854,38 @@ object Streaming {
       }
   }
 
+  case class KmvEvent(event_id: Long, user_id: Long, event_type: String)
+  case class KmvEst(event_type: String, n_min: Int, est_distinct: Double)
+
+  /** Streaming twin of the KMV sketch ([[graft.operators.Kmv]]): the
+    * per-group state is the k smallest distinct 63-bit hashes of the
+    * user ids — bounded at k longs per event type no matter how many
+    * users stream past — and each micro-batch emits the group's current
+    * distinct estimate. KMV insertion is ORDER-INSENSITIVE, so after
+    * any batch split the state equals the batch-computed sketch of the
+    * same prefix exactly (the spec pins set equality, not tolerance).
+    * Uses the same xxhash64(seed 42) & Long.MaxValue hash as the batch
+    * aggregate.
+    */
+  def kmvStream(events: Dataset[KmvEvent], k: Int): Dataset[KmvEst] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[Seq[Long], KmvEst](
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, evs: Iterator[KmvEvent], state: GroupState[Seq[Long]]) =>
+          val buf = scala.collection.mutable.TreeSet.empty[Long]
+          buf ++= state.getOption.getOrElse(Nil)
+          evs.foreach { e =>
+            val h = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashLong(e.user_id, 42L) & Long.MaxValue
+            if (buf.size < k) buf += h
+            else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
+          }
+          state.update(buf.toSeq)
+          KmvEst(t, buf.size, graft.operators.Kmv.estimate(buf.toSeq, k))
+      }
+  }
+
   case class ExpEvent(user_id: Long, order_id: Long,
       ts: java.sql.Timestamp, cents: Long)
   case class ExpOut(user_id: Long, order_id: Long, n: Long,

@@ -449,6 +449,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming kmv sketch equals the batch sketch after any split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 64
+    val evs = batchEvents.select("event_id", "user_id", "event_type")
+      .collect().map(r => Streaming.KmvEvent(r.getLong(0), r.getLong(1), r.getString(2)))
+    val (first, second) = evs.splitAt(evs.length / 3)
+    val input = MemoryStream[Streaming.KmvEvent]
+    val q = Streaming.kmvStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("update").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // final estimate per type: KMV estimates are monotone
+      // non-decreasing as values arrive (the k-th minimum only
+      // shrinks), so the latest emission is the per-type max — an
+      // order-free way to read "final" out of the update-mode sink
+      val streamed = spark.table("kmv").groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.max("est_distinct").as("est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val batchSk = graft.operators.Kmv.sketches(
+        batchEvents.select("event_type", "user_id"), "event_type", "user_id", k)
+        .collect().map(r => r.getString(0) ->
+          graft.operators.Kmv.estimate(r.getSeq[Long](1), k)).toMap
+      assert(streamed === batchSk,
+        "order-insensitive sketch state must equal the batch sketch exactly")
+      // sanity: estimates are near the true distinct-user counts
+      val exact = batchEvents.groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      streamed.foreach { case (t, est) =>
+        assert(math.abs(est - exact(t)) / exact(t) < 0.5, s"$t: $est vs ${exact(t)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming transition pairs match the batch lag window across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
