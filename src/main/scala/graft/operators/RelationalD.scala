@@ -994,6 +994,66 @@ object RelationalD extends Module {
       |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin)
   )
 
+  // q100 — Bollinger bands per customer (rolling mean ± 2σ over the
+  // trailing 7 orders — the band-plot sibling of q39's rolling mean,
+  // adding the rolling SAMPLE std q39 lacks): one window on the
+  // high-cardinality customer key carries exact cent-grid Σz and Σz²
+  // (DECIMAL(38,0)); mean, std (ddof=1, NULL at n=1), bands and the
+  // outside-band flag are fixed IEEE expressions per row. The flag
+  // compares the row's own exact cents against band doubles that both
+  // engines derived identically, so it is engine-identical too.
+  private val q100 = Q(
+    "q100_bollinger",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val z = round(col("o_totalprice") * lit(100.0)).cast("long")
+        .cast(DecimalType(38, 0))
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w = ord.rowsBetween(-6, Window.currentRow)
+      val base = o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), z.as("z"))
+        .withColumn("wn", count(lit(1)).over(w).cast("long"))
+        .withColumn("cs", sum(col("z")).over(w).cast("double"))
+        .withColumn("css", sum(col("z") * col("z")).over(w).cast("double"))
+      val n = col("wn").cast("double")
+      val mean = (col("cs") / n) / lit(100.0)
+      val std = sqrt((col("css") - col("cs") * col("cs") / n) / (n - lit(1.0))) / lit(100.0)
+      base.select(col("o_custkey"), col("o_orderkey"),
+          (col("z").cast("double") / lit(100.0)).as("price"),
+          mean.as("roll_mean"),
+          when(col("wn") > 1L, std).as("roll_std"),
+          when(col("wn") > 1L, mean + lit(2.0) * std).as("upper"),
+          when(col("wn") > 1L, mean - lit(2.0) * std).as("lower"),
+          when(col("wn") > 1L,
+            col("z").cast("double") / lit(100.0) > mean + lit(2.0) * std ||
+              col("z").cast("double") / lit(100.0) < mean - lit(2.0) * std)
+            .as("outside"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""WITH b AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(z AS DOUBLE) / 100.0 AS price,
+      |    CAST(COUNT(*) OVER win AS BIGINT) AS wn,
+      |    CAST(SUM(z) OVER win AS DOUBLE) AS cs,
+      |    CAST(SUM(z * z) OVER win AS DOUBLE) AS css
+      |  FROM (
+      |    SELECT o_custkey, o_orderkey, o_orderdate,
+      |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS HUGEINT) AS z
+      |    FROM orders)
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT o_custkey, o_orderkey, price,
+      |  (cs / CAST(wn AS DOUBLE)) / 100.0 AS roll_mean,
+      |  CASE WHEN wn > 1 THEN SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0 END AS roll_std,
+      |  CASE WHEN wn > 1 THEN (cs / CAST(wn AS DOUBLE)) / 100.0 + 2.0 * (SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0) END AS upper,
+      |  CASE WHEN wn > 1 THEN (cs / CAST(wn AS DOUBLE)) / 100.0 - 2.0 * (SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0) END AS lower,
+      |  CASE WHEN wn > 1 THEN
+      |    price > (cs / CAST(wn AS DOUBLE)) / 100.0 + 2.0 * (SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0)
+      |    OR price < (cs / CAST(wn AS DOUBLE)) / 100.0 - 2.0 * (SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0)
+      |  END AS outside
+      |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, apKmv)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, apKmv)
 }

@@ -74,10 +74,12 @@ class RelationalDSpec extends SparkSpec {
     val c = (1 to 120).map(i =>
       ("C", if (i % 2 == 0) 1.0 + (i % 5) / 100.0 else 9999.0 + (i % 3) / 100.0,
         (2000 + i).toLong))
-    val df = (a ++ b ++ c).toDF("g", "v", "id")
+    // group E: fewer rows than the trim denominator (cut = 0, keep all)
+    val e = Seq(("E", 5.0, 3001L), ("E", 6.0, 3002L), ("E", 100.0, 3003L))
+    val df = (a ++ b ++ c ++ e).toDF("g", "v", "id")
     val got = RelationalD.trimmedMean(df, "g", "v", Seq("id")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    val want = (a ++ b ++ c).groupBy(_._1).map { case (g, rs) =>
+    val want = (a ++ b ++ c ++ e).groupBy(_._1).map { case (g, rs) =>
       val sorted = rs.sortBy(r => (r._2, r._3))
       val cut = sorted.length / 10
       val kept = sorted.slice(cut, sorted.length - cut)
@@ -359,6 +361,37 @@ class RelationalDSpec extends SparkSpec {
     assert(aShare <= 0.80 + 1e-12)
     val abShare = rows.filter(r => r._4 == "A" || r._4 == "B").map(_._3).max
     assert(abShare <= 0.95 + 1e-12)
+  }
+
+  test("q100 bollinger: bands reconcile with a naive trailing-7 fold") {
+    val hist = Tables.orders(spark, sf)
+      .filter(col("o_custkey") === 7L)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100.0)))
+    assume(hist.length >= 3)
+    val got = SparkEntry.queries("q100_bollinger")(spark, sf)
+      .filter(col("o_custkey") === 7L)
+      .orderBy("o_orderkey").collect()
+    // re-derive each row's window from the date-ordered history
+    val byKey = got.map(r => r.getLong(1) -> r).toMap
+    hist.zipWithIndex.foreach { case ((ok, _), i) =>
+      val window = hist.slice(math.max(0, i - 6), i + 1).map(_._2.toDouble)
+      val r = byKey(ok)
+      val n = window.length
+      val mean = window.sum / n / 100.0
+      assert(math.abs(r.getDouble(3) - mean) < 1e-9, s"row $i mean")
+      if (n == 1) assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(7))
+      else {
+        val m = window.sum / n
+        val sd = math.sqrt(window.map(x => (x - m) * (x - m)).sum / (n - 1)) / 100.0
+        assert(math.abs(r.getDouble(4) - sd) < 1e-9, s"row $i std")
+        assert(math.abs(r.getDouble(5) - (mean + 2 * sd)) < 1e-9)
+        assert(math.abs(r.getDouble(6) - (mean - 2 * sd)) < 1e-9)
+        val price = r.getDouble(2)
+        assert(r.getBoolean(7) === (price > mean + 2 * sd || price < mean - 2 * sd))
+      }
+    }
   }
 
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
