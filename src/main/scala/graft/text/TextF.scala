@@ -778,8 +778,43 @@ object TextF extends Module {
       |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin)
   )
 
+  // tx_hash_features — the feature-hashing trick (HashingTF; Weinberger
+  // et al. 2009): tokens hash straight into a fixed 64-dim count vector
+  // with NO vocabulary fit, no dictionary shuffle, no driver state —
+  // the property that makes text featurization embarrassingly parallel
+  // at 100 TB. Emitted in (doc_id, dim, count) long form (sparse; zero
+  // dims absent). The token hash is the `graft_poly_hash` codegen
+  // Horner (base 31 mod 1e9+7), mirrored in the oracle by DuckDB's
+  // list_reduce over the same recurrence — bit-identical dims.
+  private val txHashFeatures = Q(
+    "tx_hash_features",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens).as("t"))
+        .filter(length(col("t")) > 0)
+        .select(col("doc_id"),
+          pmod(call_function("graft_poly_hash", col("t")), lit(64L)).as("dim"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id", "dim")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(generate_series(1, length(t)),
+      |      i -> CAST(ascii(substr(t, i, 1)) AS BIGINT)),
+      |      (x, y) -> (x * 31 + y) % 1000000007) % 64 AS dim
+      |  FROM toks)
+      |SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
     txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
-    txLmBuckets, txNgramFreq, txLangConfusion)
+    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures)
 }

@@ -80,4 +80,22 @@ class TextSpec extends SparkSpec {
     val acc = cells.filter(_._5).map(_._3).sum.toDouble / total
     assert(acc > 0.2, f"lang-id accuracy $acc%.2f at chance level")
   }
+
+  test("tx_hash_features: per-doc counts total the token count, dims bounded") {
+    val feats = SparkEntry.queries("tx_hash_features")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(feats.forall(f => f._2 >= 0 && f._2 < 64), "dims in [0, 64)")
+    val perDoc = feats.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tokenCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0)).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    tokenCounts.foreach { case (doc, n) =>
+      assert(perDoc.getOrElse(doc, 0L) === n, s"doc $doc mass")
+    }
+    // same token always lands in the same dim: determinism across runs
+    val again = SparkEntry.queries("tx_hash_features")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === feats.toSet)
+  }
 }
