@@ -1054,6 +1054,51 @@ object RelationalD extends Module {
       |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin)
   )
 
+  // q101 — robust outlier flags via the modified z-score (Iglewicz &
+  // Hoaglin: 0.6745·(x−med)/MAD, flag |Mz| > 3.5 — the
+  // median-based upgrade over q08's IQR fences, immune to the outliers
+  // it hunts): median and MAD both come from [[Quantiles]]' distributed
+  // selection (bounded driver metadata, two passes — the q60 shape,
+  // ungrouped), then flagging is a narrow broadcast-literal map. The
+  // oracle recomputes both statistics with the identical interpolation
+  // expression so the flag threshold sees the same doubles.
+  private val q101 = Q(
+    "q101_robust_z",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val med = Quantiles.exactQuantiles(o, Seq("o_totalprice"), Seq(0.5)).head._3
+      val devs = o.select(abs(col("o_totalprice") - lit(med)).as("dev"))
+      val mad = Quantiles.exactQuantiles(devs, Seq("dev"), Seq(0.5)).head._3
+      val mz = lit(0.6745) * (col("o_totalprice") - lit(med)) / lit(mad)
+      o.select(col("o_orderkey"), col("o_totalprice"),
+          mz.as("modified_z"),
+          (abs(mz) > lit(3.5)).as("is_outlier"))
+        .orderBy("o_orderkey")
+    },
+    Some {
+      def medSql(src: String, x: String, out: String): String =
+        s"""$out AS (
+           |  SELECT x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value FROM (
+           |    SELECT p.h,
+           |      MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+           |      MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+           |    FROM (SELECT $x AS x, ROW_NUMBER() OVER (ORDER BY $x) AS rn FROM $src) r
+           |    JOIN (SELECT 0.5 * (cnt - 1.0) AS h,
+           |            CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+           |            LEAST(CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+           |          FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM $src)) p
+           |      ON (r.rn = p.rlo OR r.rn = p.rhi)
+           |    GROUP BY p.h))""".stripMargin
+      s"""WITH ${medSql("orders", "o_totalprice", "med")},
+         |d AS (SELECT ABS(o_totalprice - (SELECT value FROM med)) AS dev FROM orders),
+         |${medSql("d", "dev", "madv")}
+         |SELECT o_orderkey, o_totalprice,
+         |  0.6745 * (o_totalprice - (SELECT value FROM med)) / (SELECT value FROM madv) AS modified_z,
+         |  ABS(0.6745 * (o_totalprice - (SELECT value FROM med)) / (SELECT value FROM madv)) > 3.5 AS is_outlier
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    }
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, apKmv)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, apKmv)
 }

@@ -394,6 +394,30 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q101 robust z: matches naive median/MAD, immune to a planted outlier") {
+    val prices = Tables.orders(spark, sf).select("o_totalprice").collect()
+      .map(_.getDouble(0))
+    def medInterp(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val h = 0.5 * (s.length - 1.0)
+      val lo = s(math.floor(h).toInt)
+      val hi = s(math.min(math.floor(h).toInt + 1, s.length - 1))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val med = medInterp(prices.toSeq)
+    val mad = medInterp(prices.toSeq.map(x => math.abs(x - med)))
+    val rows = SparkEntry.queries("q101_robust_z")(spark, sf).collect()
+    rows.foreach { r =>
+      val x = r.getDouble(1)
+      val want = 0.6745 * (x - med) / mad
+      assert(math.abs(r.getDouble(2) - want) < 1e-9, s"mz ${r.getDouble(2)} vs $want")
+      assert(r.getBoolean(3) === (math.abs(r.getDouble(2)) > 3.5))
+    }
+    // robustness: recomputing the statistics with one huge value added
+    // barely moves them (the estimator the flags rely on)
+    val med2 = medInterp((prices :+ 1e12).toSeq)
+    assert(math.abs(med2 - med) / med < 0.01, "median must shrug off one outlier")
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
