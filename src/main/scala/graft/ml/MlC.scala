@@ -838,8 +838,37 @@ object MlC extends Module {
     None
   )
 
+  // ml_ensemble_vote — soft-voting ensemble of the discriminative
+  // (logreg) and tree (GBT) scorers (sklearn VotingClassifier
+  // analog): hold-out probabilities averaged per row, vote threshold
+  // 0.5. One join on the hold-out key; components are the same seeded
+  // fits the standalone queries run. Emits per-row component and
+  // ensemble predictions so the spec can reconcile the vote rule
+  // exactly. Rows-only (seeded fits).
+  private val mlEnsemble = Q(
+    "ml_ensemble_vote",
+    (s, d) => {
+      val lrP = logregPredictions(s, d)
+        .select(col("c_custkey"), col("label"), col("prob_1").as("p_lr"))
+      val (train, test) = split(customerFeatures(s, d))
+      val gbt = new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(42L)
+      val gm = new Pipeline().setStages(Array(assembler, gbt)).fit(train)
+      val gbtP = gm.transform(test)
+        .select(col("c_custkey").as("gk"),
+          org.apache.spark.ml.functions.vector_to_array(col("probability"))
+            .getItem(1).as("p_gbt"))
+      lrP.join(gbtP, col("c_custkey") === col("gk"))
+        .select(col("c_custkey"), col("label"), col("p_lr"), col("p_gbt"),
+          ((col("p_lr") + col("p_gbt")) / lit(2.0)).as("p_vote"),
+          (((col("p_lr") + col("p_gbt")) / lit(2.0)) >= lit(0.5)).cast("double")
+            .as("prediction"))
+        .orderBy("c_custkey")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
-    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic)
+    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble)
 }

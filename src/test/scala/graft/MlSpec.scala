@@ -301,6 +301,17 @@ class MlSpec extends SparkSpec {
     assert(again.toSeq === out.toSeq, "gaussian NB fit must be deterministic")
   }
 
+  test("ensemble vote: the vote rule holds row-by-row on the hold-out") {
+    val rows = SparkEntry.queries("ml_ensemble_vote")(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lr, gbt, vote, pred) =>
+      assert(math.abs(vote - (lr + gbt) / 2.0) < 1e-15)
+      assert(pred === (if (vote >= 0.5) 1.0 else 0.0))
+      assert(lr >= 0.0 && lr <= 1.0 && gbt >= 0.0 && gbt <= 1.0)
+    }
+  }
+
   test("isotonic calibration: knots are monotone in score and probability") {
     val knots = SparkEntry.queries("ml_isotonic_calibration")(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))
