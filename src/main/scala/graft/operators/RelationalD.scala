@@ -1099,6 +1099,54 @@ object RelationalD extends Module {
     }
   )
 
+  // q102 — Kaplan–Meier survival of customer activity (time from first
+  // to last order; customers still active in the final 90 days are
+  // right-CENSORED — the estimator's defining feature, which a plain
+  // duration histogram gets wrong): per-customer spans and the
+  // (duration, events, censored) surface are distributed aggregates;
+  // the cumulative product Π(1 − dᵢ/nᵢ) runs on the DRIVER over that
+  // bounded surface as an EXACT BigInt fraction (a float cumprod
+  // drifts; exp-sum-log hangs on libm), divided to double once per
+  // step. Rows-only — SQL has no product aggregate both engines share
+  // bit-for-bit; the spec reconciles against a naive local KM.
+  private val q102 = Q(
+    "q102_survival",
+    (s, d) => {
+      import s.implicits._
+      // o_orderdate is TIMESTAMP_NTZ on read — pin to session-UTC
+      // timestamps once so driver-side java.sql types line up
+      val o = Tables.orders(s, d)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      val spans = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_o"), max(col("o_orderdate")).as("last_o"))
+      val obsEnd = o.agg(max(col("o_orderdate"))).head().getTimestamp(0)
+      val cutoff = java.sql.Timestamp.from(obsEnd.toInstant.minusSeconds(90L * 86400L))
+      val perCust = spans.select(
+        datediff(col("last_o").cast("date"), col("first_o").cast("date"))
+          .cast("long").as("t"),
+        (col("last_o") < lit(cutoff)).as("event"))
+      val surface = perCust.groupBy(col("t"))
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("all_at_t"))
+        .orderBy("t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val total = surface.map(_._3).sum
+      var atRisk = total
+      var num = BigInt(1); var den = BigInt(1)
+      val rows = surface.map { case (t, d0, allT) =>
+        if (d0 > 0) { num *= (atRisk - d0); den *= atRisk }
+        val surv = (BigDecimal(num, java.math.MathContext.DECIMAL64) /
+          BigDecimal(den, java.math.MathContext.DECIMAL64)).toDouble
+        val out = (t, atRisk, d0, allT - d0, surv)
+        atRisk -= allT
+        out
+      }
+      rows.toSeq.toDF("t_days", "n_risk", "n_events", "n_censored", "survival")
+        .orderBy("t_days")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, apKmv)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, apKmv)
 }

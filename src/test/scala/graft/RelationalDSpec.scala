@@ -418,6 +418,44 @@ class RelationalDSpec extends SparkSpec {
     assert(math.abs(med2 - med) / med < 0.01, "median must shrug off one outlier")
   }
 
+  test("q102 survival: matches a naive Kaplan-Meier with censoring") {
+    val spans = Tables.orders(spark, sf)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("f"), max(col("o_orderdate")).as("l"))
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2)))
+    val obsEnd = spans.map(_._2.getTime).max
+    val cutoff = obsEnd - 90L * 86400000L
+    def days(a: java.sql.Timestamp, b: java.sql.Timestamp): Long =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        a.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate,
+        b.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    val obs = spans.map { case (f, l) => (days(f, l), l.getTime < cutoff) }
+    // naive KM
+    val byT = obs.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = obs.length.toLong
+    var s = 1.0
+    val want = byT.map { case (t, rs) =>
+      val d = rs.count(_._2).toLong
+      if (d > 0) s *= (atRisk - d).toDouble / atRisk.toDouble
+      val out = (t, atRisk, d, s)
+      atRisk -= rs.length
+      out
+    }.map { case (t, r, d, sv) => t -> (r, d, sv) }.toMap
+    val got = SparkEntry.queries("q102_survival")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (t, (r, d, sv)) =>
+      assert(got(t)._1 === r, s"t=$t at-risk")
+      assert(got(t)._2 === d, s"t=$t events")
+      assert(math.abs(got(t)._3 - sv) < 1e-9, s"t=$t survival ${got(t)._3} vs $sv")
+    }
+    // survival is monotone non-increasing and starts at ≤ 1
+    val ordered = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(ordered.head <= 1.0 + 1e-12)
+    ordered.zip(ordered.tail).foreach { case (a, b) => assert(b <= a + 1e-12) }
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
