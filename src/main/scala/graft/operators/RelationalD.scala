@@ -1147,6 +1147,144 @@ object RelationalD extends Module {
     None
   )
 
+  // q103 — seasonal-naive forecast backtest (the "can we even beat a
+  // dumb baseline" gate every forecasting project starts with):
+  // predict each hour by the value 24h earlier, score the last 7 days
+  // as the hold-out with MAE and sMAPE (sMAPE's max-guard keeps the
+  // zero-actual hours defined — plain MAPE divides by zero). All on
+  // the zero-filled |hours| surface; error sums accumulate exactly
+  // (MAE numerator is integer; sMAPE terms sum in DECIMAL(38,12)).
+  private val q103 = Q(
+    "q103_forecast_eval",
+    (s, d) => {
+      val series = hourlySeries(s, d).localCheckpoint(eager = true)
+      val hi = series.agg(max(col("hm"))).head().getLong(0)
+      val holdoutStart = hi - 7L * 24L * 3600000L
+      val lagged = series.select(col("hm"), col("y"))
+        .join(series.select((col("hm") + lit(24L * 3600000L)).as("hm2"),
+          col("y").as("y_pred")), col("hm") === col("hm2"))
+        .filter(col("hm") > lit(holdoutStart))
+      val absErr = abs(col("y") - col("y_pred"))
+      val smapeTerm = when(col("y") + col("y_pred") === 0L, lit(0.0))
+        .otherwise(lit(2.0) * absErr.cast("double") /
+          (col("y") + col("y_pred")).cast("double"))
+      lagged.agg(
+          count(lit(1)).as("n_hours"),
+          sum(absErr).cast("double").as("abs_err_sum"),
+          sum(Exact.d12(smapeTerm)).cast("double").as("smape_sum"))
+        .select(col("n_hours"),
+          (col("abs_err_sum") / col("n_hours").cast("double")).as("mae"),
+          (col("smape_sum") / col("n_hours").cast("double")).as("smape"))
+    },
+    Some(s"""WITH $hourlySql,
+      |lagged AS (
+      |  SELECT a.hm, a.y, b.y AS y_pred
+      |  FROM series a JOIN series b ON a.hm = b.hm + 86400000
+      |  WHERE a.hm > (SELECT MAX(hm) FROM series) - 604800000),
+      |terms AS (
+      |  SELECT y, y_pred, ABS(y - y_pred) AS abs_err,
+      |    CASE WHEN y + y_pred = 0 THEN 0.0
+      |      ELSE 2.0 * CAST(ABS(y - y_pred) AS DOUBLE) / CAST(y + y_pred AS DOUBLE)
+      |    END AS smape_term
+      |  FROM lagged)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+      |  CAST(SUM(CAST(smape_term AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS smape
+      |FROM terms""".stripMargin)
+  )
+
+  // q104 — k-anonymity audit over quasi-identifiers (nation ×
+  // market segment × account-balance band — the privacy readout run
+  // BEFORE a dataset leaves the fence): equivalence-class sizes from
+  // one partial-aggregable rollup, then the class-size distribution,
+  // the smallest class, and the fraction of customers in classes below
+  // k = 5. The |classes| surface carries everything after one shuffle.
+  private val q104 = Q(
+    "q104_k_anon",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val band = floor(col("c_acctbal") / lit(1000.0)).cast("long")
+      val classes = c.groupBy(col("c_nationkey"), col("c_mktsegment"),
+          band.as("bal_band"))
+        .agg(count(lit(1)).as("cls"))
+      classes.agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("cls")).as("n_rows"),
+          min(col("cls")).as("min_class"),
+          sum(when(col("cls") < 5L, col("cls")).otherwise(0L)).as("rows_below_k"))
+        .select(col("n_classes"), col("n_rows"), col("min_class"),
+          (col("rows_below_k").cast("double") / col("n_rows").cast("double"))
+            .as("frac_below_k"),
+          (col("min_class") >= 5L).as("k5_anonymous"))
+    },
+    Some("""WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS cls
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(cls) AS BIGINT) AS n_rows,
+      |  CAST(MIN(cls) AS BIGINT) AS min_class,
+      |  CAST(SUM(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(cls) AS DOUBLE) AS frac_below_k,
+      |  MIN(cls) >= 5 AS k5_anonymous
+      |FROM classes""".stripMargin)
+  )
+
+  // q105 — referential-integrity audit across the star schema (the
+  // data-quality gate of any warehouse load): orphan counts and rates
+  // for every foreign-key edge, each computed as a left-anti join
+  // (dim side broadcast) + a 1-row count — one row per edge, unioned
+  // on the tiny result surface.
+  private val q105 = Q(
+    "q105_ref_integrity",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
+      def edge(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): (String, Long, Long) = {
+        val total = fact.count()
+        val orphans = fact.select(col(fk))
+          .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
+          .count()
+        (name, total, orphans)
+      }
+      val edges = Seq(
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", l, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", l, "l_suppkey", sup, "s_suppkey"),
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+      edges.toDF("edge", "n_rows", "n_orphans")
+        .select(col("edge"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_rows").cast("double"))
+            .as("orphan_rate"))
+        .orderBy("edge")
+    },
+    Some("""SELECT edge, n_rows, n_orphans,
+      |  CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_rate
+      |FROM (
+      |  SELECT 'orders->customer' AS edge,
+      |    CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+      |    CAST((SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans
+      |  UNION ALL SELECT 'lineitem->orders',
+      |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem->part',
+      |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+      |  UNION ALL SELECT 'lineitem->supplier',
+      |    CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT)
+      |  UNION ALL SELECT 'customer->nation',
+      |    CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT))
+      |ORDER BY edge""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
-    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, apKmv)
+    q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
+    apKmv)
 }

@@ -456,6 +456,25 @@ class RelationalDSpec extends SparkSpec {
     ordered.zip(ordered.tail).foreach { case (a, b) => assert(b <= a + 1e-12) }
   }
 
+  test("q103/q104/q105: backtest, privacy, and integrity readouts are coherent") {
+    val f = SparkEntry.queries("q103_forecast_eval")(spark, sf).head()
+    assert(f.getLong(0) === 7L * 24L, "hold-out must cover the last 7 days hourly")
+    assert(f.getDouble(1) >= 0.0)
+    assert(f.getDouble(2) >= 0.0 && f.getDouble(2) <= 2.0, "sMAPE is bounded by 2")
+    val k = SparkEntry.queries("q104_k_anon")(spark, sf).head()
+    assert(k.getLong(1) === Tables.customer(spark, sf).count())
+    assert(k.getDouble(3) >= 0.0 && k.getDouble(3) <= 1.0)
+    assert(k.getBoolean(4) === (k.getLong(2) >= 5L))
+    val edges = SparkEntry.queries("q105_ref_integrity")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(edges.size === 5)
+    assert(edges("lineitem->orders")._1 === Tables.lineitem(spark, sf).count())
+    // the synthetic star is referentially intact — every edge is clean
+    edges.values.foreach { case (_, orphans, rate) =>
+      assert(orphans === 0L && rate === 0.0)
+    }
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
