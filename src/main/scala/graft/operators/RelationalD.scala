@@ -1284,7 +1284,117 @@ object RelationalD extends Module {
       |ORDER BY edge""".stripMargin)
   )
 
+  // q106 — split-conformal prediction interval (Vovk/Lei–Wasserman;
+  // the distribution-free upgrade over a ±2σ band): deterministic
+  // Z-mod-p three-way split (train/calibration/test, the q18
+  // discipline), a bivariate OLS fit from exact train sums, the 90%
+  // residual quantile on the CALIBRATION split via the distributed
+  // selection, then hold-out coverage — which the conformal guarantee
+  // lower-bounds at 90% under exchangeability regardless of the
+  // model's quality. Rows-only (three-stage fit); the spec asserts the
+  // coverage floor and split disjointness.
+  private val q106 = Q(
+    "q106_conformal",
+    (s, d) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val gate = pmod((col("l_orderkey") * lit(8L) + col("l_linenumber")) % lit(1000000007L)
+        * lit(2654435761L % 1000000007L), lit(1000000007L)) % lit(10L)
+      val withSplit = l.select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+        gate.as("g"))
+      def z(c: Column, f: Double) = round(c * lit(f)).cast("long").cast(DecimalType(38, 0))
+      val tr = withSplit.filter(col("g") < 6)
+      val a = tr.agg(count(lit(1)).as("n"),
+        sum(z(col("x"), 1000.0)).cast("double").as("sx"),
+        sum(z(col("y"), 100.0)).cast("double").as("sy"),
+        sum(z(col("x"), 1000.0) * z(col("x"), 1000.0)).cast("double").as("sxx"),
+        sum(z(col("x"), 1000.0) * z(col("y"), 100.0)).cast("double").as("sxy")).head()
+      val (n, sx, sy, sxx, sxy) = (a.getLong(0).toDouble, a.getDouble(1),
+        a.getDouble(2), a.getDouble(3), a.getDouble(4))
+      val slope = 10.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = sy / n / 100.0 - slope * (sx / n / 1000.0)
+      val calib = withSplit.filter(col("g") >= 6 && col("g") < 8)
+        .select(abs(col("y") - (lit(icept) + lit(slope) * col("x"))).as("r"))
+      val nCal = calib.count()
+      val qhat = Quantiles.exactQuantiles(calib, Seq("r"), Seq(0.9)).head._3
+      val test = withSplit.filter(col("g") >= 8)
+      val cov = test.agg(count(lit(1)).as("nt"),
+          sum(when(abs(col("y") - (lit(icept) + lit(slope) * col("x"))) <= lit(qhat), 1L)
+            .otherwise(0L)).as("inside")).head()
+      Seq((a.getLong(0), nCal, cov.getLong(0), slope, icept, qhat,
+        cov.getLong(1).toDouble / cov.getLong(0).toDouble))
+        .toDF("n_train", "n_calib", "n_test", "slope", "intercept", "qhat", "coverage")
+    },
+    None
+  )
+
+  // q107 — two-proportion z-test on conversion rates (the canonical
+  // A/B readout — q64's Welch t is for means; rates need this):
+  // deterministic Z-mod-p variant assignment over users, conversion =
+  // the user purchased, pooled-variance z as one IEEE expression over
+  // exact counts. One distinct-user aggregate + one 2-row surface.
+  private val q107 = Q(
+    "q107_ab_proportions",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // conversion = "power purchaser" (≥ 10 purchase events): every
+      // user in this corpus purchases at least once, which would make
+      // the pooled variance zero — the rate must be non-degenerate for
+      // the test to exist
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 10L,
+          1L).otherwise(0L).as("converted"))
+        .select(
+          (pmod(col("user_id") % lit(1000000007L) * lit(2654435761L % 1000000007L),
+            lit(1000000007L)) % lit(2L)).as("variant"),
+          col("converted"))
+      val g = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+        .orderBy("variant")
+      val wa = Window.partitionBy()
+      val both = g
+        .withColumn("n_tot", sum(col("n")).over(wa))
+        .withColumn("c_tot", sum(col("conv")).over(wa))
+      // emit per-variant rates + the shared z statistic (same on both rows)
+      val p = col("conv").cast("double") / col("n").cast("double")
+      val pPool = col("c_tot").cast("double") / col("n_tot").cast("double")
+      val nOther = (col("n_tot") - col("n")).cast("double")
+      val cOther = (col("c_tot") - col("conv")).cast("double")
+      val pOther = cOther / nOther
+      val se = sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n").cast("double") + lit(1.0) / nOther))
+      both.select(col("variant"), col("n"), col("conv"), p.as("rate"),
+          ((p - pOther) / se).as("z_vs_other"))
+        .orderBy("variant")
+    },
+    Some("""WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
+      |      THEN 1 ELSE 0 END AS BIGINT) AS converted
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT ((user_id % 1000000007) * (2654435761 % 1000000007) % 1000000007
+      |      + 1000000007) % 1000000007 % 2 AS variant,
+      |    converted
+      |  FROM pu),
+      |g AS (
+      |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+      |  FROM v GROUP BY variant),
+      |b AS (
+      |  SELECT variant, n, conv,
+      |    SUM(n) OVER () AS n_tot, SUM(conv) OVER () AS c_tot
+      |  FROM g)
+      |SELECT variant, n, conv,
+      |  CAST(conv AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+      |  (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - CAST(c_tot - conv AS DOUBLE) / CAST(n_tot - n AS DOUBLE))
+      |  / SQRT((CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      |      * (1.0 - CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+      |      * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n_tot - n AS DOUBLE))) AS z_vs_other
+      |FROM b ORDER BY variant""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    apKmv)
+    q106, q107, apKmv)
 }

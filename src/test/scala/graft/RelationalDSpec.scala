@@ -475,6 +475,32 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("q106 conformal: splits partition the table, coverage near the 90% floor") {
+    val r = SparkEntry.queries("q106_conformal")(spark, sf).head()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) === total,
+      "train/calib/test must partition the table")
+    assert(r.getDouble(5) > 0.0, "residual quantile positive")
+    val cov = r.getDouble(6)
+    // split-conformal guarantees E[coverage] >= 0.9; finite-sample
+    // fluctuation on a ~600-row hold-out stays within a few points
+    assert(cov >= 0.82 && cov <= 1.0, s"coverage $cov")
+  }
+
+  test("q107 ab proportions: variants partition users, z is antisymmetric") {
+    val rows = SparkEntry.queries("q107_ab_proportions")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet === Set(0L, 1L))
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_._2).sum === nUsers, "variants partition the user base")
+    rows.foreach { case (_, n, conv, rate, _) =>
+      assert(conv <= n && math.abs(rate - conv.toDouble / n) < 1e-15)
+    }
+    val z0 = rows.find(_._1 == 0L).get._5
+    val z1 = rows.find(_._1 == 1L).get._5
+    assert(math.abs(z0 + z1) < 1e-9, "two-variant z statistics are antisymmetric")
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
