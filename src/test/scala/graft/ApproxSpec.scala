@@ -108,4 +108,30 @@ class ApproxSpec extends SparkSpec {
     assert(cPair._3 === 0.0, "disjoint groups must estimate zero overlap")
     assert(out(("A", "D"))._3 === 0.0 && out(("B", "D"))._3 === 0.0)
   }
+
+  test("kmv property: 8 seeded overlap fractions all estimate within 4 sigma") {
+    import spark.implicits._
+    import graft.operators.Kmv
+    val k = 256
+    val rng = new scala.util.Random(99)
+    (1 to 8).foreach { trial =>
+      val nA = 500 + rng.nextInt(1500)
+      val nB = 500 + rng.nextInt(1500)
+      val overlap = rng.nextInt(math.min(nA, nB))
+      // A = [0, nA); B = [nA - overlap, nA - overlap + nB)
+      val rows = (0 until nA).map(i => ("A", s"t${trial}_$i")) ++
+        (0 until nB).map(i => ("B", s"t${trial}_${nA - overlap + i}"))
+      val out = Kmv.overlaps(rows.toDF("g", "v"), "g", "v", k).collect()
+      val r = out.find(x => x.getString(0) == "A" && x.getString(1) == "B").get
+      val trueJ = overlap.toDouble / (nA + nB - overlap).toDouble
+      val sigmaJ = math.sqrt(math.max(trueJ * (1 - trueJ), 0.01) / k)
+      assert(math.abs(r.getDouble(4) - trueJ) <= 4 * sigmaJ + 0.02,
+        s"trial $trial: jaccard ${r.getDouble(4)} vs $trueJ (σ=$sigmaJ)")
+      val sigmaD = 1.0 / math.sqrt(k)
+      assert(math.abs(r.getDouble(2) - nA) / nA <= 4 * sigmaD,
+        s"trial $trial: |A| ${r.getDouble(2)} vs $nA")
+      assert(math.abs(r.getDouble(3) - nB) / nB <= 4 * sigmaD,
+        s"trial $trial: |B| ${r.getDouble(3)} vs $nB")
+    }
+  }
 }

@@ -93,6 +93,42 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("trimmed mean property: 10 seeded adversarial mixtures all match naive") {
+    import spark.implicits._
+    import graft.operators.RelationalD
+    val rng = new scala.util.Random(20260813)
+    (1 to 10).foreach { trial =>
+      // random mixture: point masses + uniform + heavy tail, random
+      // group sizes — fences land in arbitrary bucket shapes
+      val rows = (0 until 3).flatMap { gi =>
+        val g = s"g$gi"
+        val n = 20 + rng.nextInt(300)
+        (0 until n).map { i =>
+          val v = rng.nextInt(4) match {
+            case 0 => 10.0 + rng.nextInt(3)                  // point masses
+            case 1 => rng.nextDouble() * 100.0               // uniform
+            case 2 => math.pow(10.0, 1 + rng.nextDouble() * 4) // heavy tail
+            case _ => 55.55                                   // one hot value
+          }
+          (g, math.rint(v * 100.0) / 100.0, (gi * 100000 + i).toLong)
+        }
+      }
+      val got = RelationalD.trimmedMean(rows.toDF("g", "v", "id"), "g", "v", Seq("id"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val cut = sorted.length / 10
+        val kept = sorted.slice(cut, sorted.length - cut)
+        g -> (kept.length.toLong,
+          kept.map(r => math.round(r._2 * 100.0)).sum.toDouble / kept.length / 100.0)
+      }
+      want.foreach { case (g, (k, m)) =>
+        assert(got(g)._1 === k, s"trial $trial group $g kept")
+        assert(math.abs(got(g)._2 - m) < 1e-9, s"trial $trial group $g mean")
+      }
+    }
+  }
+
   test("q84 cramers v: reconciles with q67 chi2 and sits in [0,1]") {
     val v = SparkEntry.queries("q84_cramers_v")(spark, sf).head()
     val chi2q67 = SparkEntry.queries("q67_chi2")(spark, sf).head().getDouble(1)
