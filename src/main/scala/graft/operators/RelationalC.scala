@@ -727,35 +727,38 @@ object RelationalC extends Module {
   // accumulated so both engines agree bit-for-bit), and the residual is
   // one subtraction chain. All windows/aggregates run on the bounded
   // surface, never event rows.
-  private val q72 = Q(
-    "q72_seasonal",
-    (s, d) => {
-      val counts = Tables.events(s, d)
-        .groupBy(date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("y"))
-        .localCheckpoint(eager = true)
-      val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("h"))
-        .join(counts, Seq("h"), "left")
-        .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
-      val wTrend = Window.orderBy(unix_millis(col("h")))
-        .rangeBetween(-12L * 3600000L, 12L * 3600000L)
-      val trended = series
-        .withColumn("trend",
-          sum(col("y")).over(wTrend).cast("double") /
-            count(lit(1)).over(wTrend).cast("double"))
-        .withColumn("detr", col("y").cast("double") - col("trend"))
-      val wSeason = Window.partitionBy(hour(col("h")))
-      trended
-        .withColumn("seasonal",
-          sum(Exact.d12(col("detr"))).over(wSeason).cast("double") /
-            count(lit(1)).over(wSeason).cast("double"))
-        .select(col("h"), col("y"), col("trend"), col("seasonal"),
-          (col("y").cast("double") - col("trend") - col("seasonal")).as("residual"))
-        .orderBy("h")
-    },
-    Some("""WITH counts AS (
+  /** The decomposed (h, y, trend, seasonal, residual) surface — shared
+    * by q72_seasonal and RelationalD's q108 seasonal anomaly flags.
+    */
+  private[operators] def decomposed(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = true)
+    val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+    val wTrend = Window.orderBy(unix_millis(col("h")))
+      .rangeBetween(-12L * 3600000L, 12L * 3600000L)
+    val trended = series
+      .withColumn("trend",
+        sum(col("y")).over(wTrend).cast("double") /
+          count(lit(1)).over(wTrend).cast("double"))
+      .withColumn("detr", col("y").cast("double") - col("trend"))
+    val wSeason = Window.partitionBy(hour(col("h")))
+    trended
+      .withColumn("seasonal",
+        sum(Exact.d12(col("detr"))).over(wSeason).cast("double") /
+          count(lit(1)).over(wSeason).cast("double"))
+      .select(col("h"), col("y"), col("trend"), col("seasonal"),
+        (col("y").cast("double") - col("trend") - col("seasonal")).as("residual"))
+  }
+
+  /** DuckDB twin of [[decomposed]] as a WITH-body ending in `decomp`. */
+  private[operators] val decomposedSql: String =
+    """counts AS (
       |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
       |spine AS (
@@ -769,16 +772,22 @@ object RelationalC extends Module {
       |    CAST(SUM(y) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
       |  FROM series
       |  WINDOW w AS (ORDER BY hm RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)),
-      |d AS (SELECT h, y, trend, CAST(y AS DOUBLE) - trend AS detr FROM t)
-      |SELECT h, y, trend,
-      |  CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
-      |    / CAST(COUNT(*) OVER s AS DOUBLE) AS seasonal,
-      |  CAST(y AS DOUBLE) - trend
-      |    - CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
-      |      / CAST(COUNT(*) OVER s AS DOUBLE) AS residual
-      |FROM d
-      |WINDOW s AS (PARTITION BY hour(h))
-      |ORDER BY h""".stripMargin)
+      |d AS (SELECT h, y, trend, CAST(y AS DOUBLE) - trend AS detr FROM t),
+      |decomp AS (
+      |  SELECT h, y, trend,
+      |    CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
+      |      / CAST(COUNT(*) OVER s AS DOUBLE) AS seasonal,
+      |    CAST(y AS DOUBLE) - trend
+      |      - CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
+      |        / CAST(COUNT(*) OVER s AS DOUBLE) AS residual
+      |  FROM d
+      |  WINDOW s AS (PARTITION BY hour(h)))""".stripMargin
+
+  private val q72 = Q(
+    "q72_seasonal",
+    (s, d) => decomposed(s, d).orderBy("h"),
+    Some(s"""WITH $decomposedSql
+      |SELECT h, y, trend, seasonal, residual FROM decomp ORDER BY h""".stripMargin)
   )
 
   // q73 — Theil–Sen robust trend of the hourly event series: the slope

@@ -1394,7 +1394,56 @@ object RelationalD extends Module {
       |FROM b ORDER BY variant""".stripMargin)
   )
 
+  // q108 — seasonal-robust anomaly flags (the S-H-ESD shape behind
+  // production metric alerting: decompose, then judge RESIDUALS by
+  // median/MAD — st_anomaly's plain z-flags fire on every daily peak;
+  // this only fires on hours that deviate from their own seasonal
+  // expectation, and the robust scale ignores the anomalies being
+  // hunted): q72's decomposition surface + two bounded-metadata
+  // quantile selections over the residuals + a narrow literal flag
+  // map. The oracle replays the identical decomposition and
+  // interpolated median/MAD, so the flag threshold sees the same
+  // doubles.
+  private val q108 = Q(
+    "q108_anomaly_seasonal",
+    (s, d) => {
+      val dec = RelationalC.decomposed(s, d).localCheckpoint(eager = true)
+      val med = Quantiles.exactQuantiles(
+        dec.select(col("residual")), Seq("residual"), Seq(0.5)).head._3
+      val devs = dec.select(abs(col("residual") - lit(med)).as("dev"))
+      val mad = Quantiles.exactQuantiles(devs, Seq("dev"), Seq(0.5)).head._3
+      val mz = lit(0.6745) * (col("residual") - lit(med)) / lit(mad)
+      dec.select(col("h"), col("y"), col("residual"),
+          mz.as("robust_z"),
+          (abs(mz) > lit(3.5)).as("is_anomaly"))
+        .orderBy("h")
+    },
+    Some {
+      def medSql(src: String, x: String, out: String): String =
+        s"""$out AS (
+           |  SELECT x_lo + (x_hi - x_lo) * (hh - FLOOR(hh)) AS value FROM (
+           |    SELECT p.hh,
+           |      MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+           |      MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+           |    FROM (SELECT $x AS x, ROW_NUMBER() OVER (ORDER BY $x) AS rn FROM $src) r
+           |    JOIN (SELECT 0.5 * (cnt - 1.0) AS hh,
+           |            CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+           |            LEAST(CAST(FLOOR(0.5 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+           |          FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM $src)) p
+           |      ON (r.rn = p.rlo OR r.rn = p.rhi)
+           |    GROUP BY p.hh))""".stripMargin
+      s"""WITH ${RelationalC.decomposedSql},
+         |${medSql("decomp", "residual", "med")},
+         |dv AS (SELECT ABS(residual - (SELECT value FROM med)) AS dev FROM decomp),
+         |${medSql("dv", "dev", "madv")}
+         |SELECT h, y, residual,
+         |  0.6745 * (residual - (SELECT value FROM med)) / (SELECT value FROM madv) AS robust_z,
+         |  ABS(0.6745 * (residual - (SELECT value FROM med)) / (SELECT value FROM madv)) > 3.5 AS is_anomaly
+         |FROM decomp ORDER BY h""".stripMargin
+    }
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, apKmv)
+    q106, q107, q108, apKmv)
 }

@@ -537,6 +537,29 @@ class RelationalDSpec extends SparkSpec {
     assert(math.abs(z0 + z1) < 1e-9, "two-variant z statistics are antisymmetric")
   }
 
+  test("q108 seasonal anomalies: flags only hours deviating from expectation") {
+    val rows = SparkEntry.queries("q108_anomaly_seasonal")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // recompute median/MAD of residuals locally
+    def medInterp(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val h = 0.5 * (s.length - 1.0)
+      val lo = s(math.floor(h).toInt)
+      val hi = s(math.min(math.floor(h).toInt + 1, s.length - 1))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val res = rows.map(_._2).toSeq
+    val med = medInterp(res)
+    val mad = medInterp(res.map(r => math.abs(r - med)))
+    rows.foreach { case (_, r, z, flag) =>
+      assert(math.abs(z - 0.6745 * (r - med) / mad) < 1e-9)
+      assert(flag === (math.abs(z) > 3.5))
+    }
+    // the robust threshold keeps the flag rate far below a plain-z one
+    val rate = rows.count(_._4).toDouble / rows.length
+    assert(rate < 0.1, f"anomaly rate $rate%.3f — threshold not selective")
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
