@@ -1443,7 +1443,56 @@ object RelationalD extends Module {
     }
   )
 
+  // q109 — the cohort retention triangle (signup day × day offset →
+  // % of the cohort still active; the canonical growth-analytics
+  // artifact — q53's hour-over-hour rate and q74's LTV curves are its
+  // siblings): first-seen day per user is one aggregate on the
+  // high-cardinality key, the (cohort, offset) cells partial-aggregate
+  // the REDUCED (user, day) distinct surface, and retention divides
+  // exact counts on the |days|²/2 triangle. Offsets are integer day
+  // arithmetic on both engines.
+  private val q109 = Q(
+    "q109_cohort_triangle",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val userDays = ev.select(col("user_id"),
+          datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val cohorts = userDays.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))
+      userDays.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("active"))
+        .join(broadcast(sizes), "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("active"), col("cohort_n"),
+          (col("active").cast("double") / col("cohort_n").cast("double"))
+            .as("retention"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      |  FROM cohorts GROUP BY cohort_day),
+      |cells AS (
+      |  SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+      |    CAST(COUNT(*) AS BIGINT) AS active
+      |  FROM ud JOIN cohorts c ON ud.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT cells.cohort_day, day_offset, active, cohort_n,
+      |  CAST(active AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention
+      |FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
+      |ORDER BY cells.cohort_day, day_offset""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, apKmv)
+    q106, q107, q108, q109, apKmv)
 }

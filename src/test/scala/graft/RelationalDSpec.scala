@@ -560,6 +560,26 @@ class RelationalDSpec extends SparkSpec {
     assert(rate < 0.1, f"anomaly rate $rate%.3f — threshold not selective")
   }
 
+  test("q109 cohort triangle: day-0 is full, cells bounded by cohort size") {
+    val rows = SparkEntry.queries("q109_cohort_triangle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, active, n, ret) =>
+      assert(off >= 0L, "offsets start at the cohort day")
+      assert(active <= n, "a cell cannot exceed its cohort")
+      assert(math.abs(ret - active.toDouble / n) < 1e-15)
+    }
+    // offset 0 is the cohort itself: retention exactly 1 for every cohort
+    val day0 = rows.filter(_._2 == 0L)
+    assert(day0.nonEmpty)
+    day0.foreach { case (c, _, active, n, ret) =>
+      assert(active === n && ret === 1.0, s"cohort $c day-0 must be complete")
+    }
+    // cohort sizes partition the user base
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0.map(_._4).sum === users)
+  }
+
   test("q87 cusum: telescopes to zero at the end, flags the max |S|") {
     val rows = SparkEntry.queries("q87_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
