@@ -1492,7 +1492,58 @@ object RelationalD extends Module {
       |ORDER BY cells.cohort_day, day_offset""".stripMargin)
   )
 
+  // q110 — strength of trend / seasonality (the tsfeatures
+  // forecastability diagnostics: Fₜ = max(0, 1 − Var(R)/Var(T+R)),
+  // Fₛ = max(0, 1 − Var(R)/Var(S+R)) on the decomposition — the number
+  // that says whether q103's seasonal-naive baseline is even the right
+  // baseline): components quantized to a 1e-6 grid so every variance is
+  // an exact integer sum (the decomposition doubles are engine-
+  // identical, so the quantization is too — a raw float Σr² would be
+  // DuckDB-order-dependent); variances and strengths are fixed IEEE
+  // expressions over one aggregate of the |hours| surface.
+  private val q110 = Q(
+    "q110_seasonal_strength",
+    (s, d) => {
+      val dec = RelationalC.decomposed(s, d)
+      def z(c: Column): Column =
+        round(c * lit(1000000.0)).cast("long").cast(DecimalType(38, 0))
+      val r = z(col("residual"))
+      val tr = z(col("y").cast("double") - col("seasonal")) // trend + residual
+      val sr = z(col("y").cast("double") - col("trend")) // seasonal + residual
+      val a = dec.agg(count(lit(1)).as("n"),
+        sum(r).cast("double").as("s_r"), sum(r * r).cast("double").as("ss_r"),
+        sum(tr).cast("double").as("s_tr"), sum(tr * tr).cast("double").as("ss_tr"),
+        sum(sr).cast("double").as("s_sr"), sum(sr * sr).cast("double").as("ss_sr"))
+      val n = col("n").cast("double")
+      def v(sc: Column, ssc: Column): Column = ssc / n - (sc / n) * (sc / n)
+      a.select(col("n"),
+        greatest(lit(0.0), lit(1.0) - v(col("s_r"), col("ss_r")) / v(col("s_tr"), col("ss_tr")))
+          .as("strength_trend"),
+        greatest(lit(0.0), lit(1.0) - v(col("s_r"), col("ss_r")) / v(col("s_sr"), col("ss_sr")))
+          .as("strength_seasonal"))
+    },
+    Some(s"""WITH ${RelationalC.decomposedSql},
+      |q AS (
+      |  SELECT
+      |    CAST(CAST(ROUND(residual * 1000000.0) AS BIGINT) AS HUGEINT) AS r,
+      |    CAST(CAST(ROUND((CAST(y AS DOUBLE) - seasonal) * 1000000.0) AS BIGINT) AS HUGEINT) AS tr,
+      |    CAST(CAST(ROUND((CAST(y AS DOUBLE) - trend) * 1000000.0) AS BIGINT) AS HUGEINT) AS sr
+      |  FROM decomp),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(r) AS DOUBLE) AS s_r, CAST(SUM(r * r) AS DOUBLE) AS ss_r,
+      |    CAST(SUM(tr) AS DOUBLE) AS s_tr, CAST(SUM(tr * tr) AS DOUBLE) AS ss_tr,
+      |    CAST(SUM(sr) AS DOUBLE) AS s_sr, CAST(SUM(sr * sr) AS DOUBLE) AS ss_sr
+      |  FROM q)
+      |SELECT n,
+      |  GREATEST(0.0, 1.0 - (ss_r / CAST(n AS DOUBLE) - (s_r / CAST(n AS DOUBLE)) * (s_r / CAST(n AS DOUBLE)))
+      |    / (ss_tr / CAST(n AS DOUBLE) - (s_tr / CAST(n AS DOUBLE)) * (s_tr / CAST(n AS DOUBLE)))) AS strength_trend,
+      |  GREATEST(0.0, 1.0 - (ss_r / CAST(n AS DOUBLE) - (s_r / CAST(n AS DOUBLE)) * (s_r / CAST(n AS DOUBLE)))
+      |    / (ss_sr / CAST(n AS DOUBLE) - (s_sr / CAST(n AS DOUBLE)) * (s_sr / CAST(n AS DOUBLE)))) AS strength_seasonal
+      |FROM a""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, apKmv)
+    q106, q107, q108, q109, q110, apKmv)
 }

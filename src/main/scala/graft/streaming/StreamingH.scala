@@ -886,6 +886,43 @@ object Streaming {
       }
   }
 
+  case class DriftEvent(event_id: Long, event_type: String, value: Double)
+  case class DriftOut(event_type: String, n: Long, psi: Double)
+
+  /** Streaming PSI drift monitor (the ml_psi semantics run
+    * continuously): per-group state is the cumulative bin-count vector
+    * over FIXED reference cuts — |cuts|+1 longs per event type, bounded
+    * regardless of stream length — and each micro-batch emits the
+    * population stability index of the observed distribution against
+    * the supplied reference rates (same ε-guarded Σ(p−r)·ln(p/r) as
+    * ml_psi). Counts are order-insensitive integers, so the final PSI
+    * equals a batch computation over the same events exactly.
+    */
+  def psiStream(events: Dataset[DriftEvent], cuts: Seq[Double],
+      refRates: Seq[Double]): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    require(refRates.length == cuts.length + 1, "one reference rate per bin")
+    val eps = 1e-6
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Long], DriftOut](
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, evs: Iterator[DriftEvent], state: GroupState[Array[Long]]) =>
+          val counts = state.getOption.getOrElse(Array.fill(cuts.length + 1)(0L))
+          evs.foreach { e =>
+            val b = cuts.count(e.value > _)
+            counts(b) += 1
+          }
+          state.update(counts)
+          val n = counts.sum.toDouble
+          val psi = refRates.indices.map { i =>
+            val p = math.max(counts(i) / n, eps)
+            val r = math.max(refRates(i), eps)
+            (p - r) * math.log(p / r)
+          }.sum
+          DriftOut(t, counts.sum, psi)
+      }
+  }
+
   case class ExpEvent(user_id: Long, order_id: Long,
       ts: java.sql.Timestamp, cents: Long)
   case class ExpOut(user_id: Long, order_id: Long, n: Long,

@@ -449,6 +449,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming psi equals the batch formula; self-reference reads stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cuts = (1 to 9).map(_ * 40.0) // fixed bins over the value range
+    val evs = batchEvents.select("event_id", "event_type", "value")
+      .collect().map(r => Streaming.DriftEvent(r.getLong(0), r.getString(1), r.getDouble(2)))
+    // reference = the click type's own empirical distribution: the
+    // fully-drained monitor must read click as stable (PSI < 0.1),
+    // while types with genuinely different value distributions may
+    // legitimately flag against it
+    val clickVals = evs.filter(_.event_type == "click").map(_.value)
+    val refCounts = Array.fill(cuts.length + 1)(0L)
+    clickVals.foreach(v => refCounts(cuts.count(v > _)) += 1)
+    val refRates = refCounts.map(_.toDouble / clickVals.length).toSeq
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.DriftEvent]
+    val q = Streaming.psiStream(input.toDS(), cuts, refRates)
+      .writeStream.format("memory").queryName("psi")
+      .outputMode("update").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // final emission per type = the row with the full count
+      val totals = evs.groupBy(_.event_type).view.mapValues(_.length.toLong).toMap
+      val finals = spark.table("psi").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (t, n, _) => n == totals(t) }
+        .map { case (t, _, p) => t -> p }.toMap
+      assert(finals.keySet === totals.keySet, "every type must reach its full count")
+      // batch replica of the same formula
+      val eps = 1e-6
+      evs.groupBy(_.event_type).foreach { case (t, rs) =>
+        val c = Array.fill(cuts.length + 1)(0L)
+        rs.foreach(e => c(cuts.count(e.value > _)) += 1)
+        val n = c.sum.toDouble
+        val want = refRates.indices.map { i =>
+          val p = math.max(c(i) / n, eps)
+          val r = math.max(refRates(i), eps)
+          (p - r) * math.log(p / r)
+        }.sum
+        assert(finals(t) === want, s"$t: streaming ${finals(t)} vs batch $want")
+        assert(finals(t) >= 0.0)
+      }
+      assert(finals("click") < 0.1,
+        s"click drifted against its own distribution: ${finals("click")}")
+    } finally q.stop()
+  }
+
   test("streaming kmv sketch equals the batch sketch after any split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
