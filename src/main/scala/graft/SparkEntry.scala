@@ -10,6 +10,7 @@ object SparkEntry {
     graft.operators.RelationalA,
     graft.operators.RelationalC,
     graft.operators.RelationalD,
+    graft.operators.RelationalE,
     graft.operators.PreprocessB,
     graft.sources.SourcesI,
     graft.ml.MlC,

@@ -1,0 +1,344 @@
+package graft.operators
+
+import graft.{Q, Tables, Module}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 (late stint) additions: distribution comparison (Q–Q),
+  * weighted order statistics, item-item similarity, and distributed
+  * graph structure (triangles). Same disciplines as [[RelationalC]]/
+  * [[RelationalD]]: facts reduce to bounded surfaces before any window,
+  * exact integer accumulation everywhere the oracle hash-compares,
+  * derived statistics as fixed IEEE expressions mirrored in the DuckDB
+  * SQL, and driver-side metadata bounded BY CONSTRUCTION (never
+  * data-proportional).
+  */
+object RelationalE extends Module {
+
+  // q111 — two-sample empirical Q–Q table (the visual companion of
+  // q66's KS test: WHERE do two distributions diverge, not just how
+  // much): order totals of BUILDING vs MACHINERY customers compared at
+  // the 19 vigintiles. Both quantile ladders come from ONE pass of the
+  // (group, bucket) histogram selection (q33's machinery — parallelism
+  // groups·65536, never a per-group sort); the EDA reference is the
+  // side-by-side distribution plots of eda_processing.ipynb. The p grid
+  // is CAST(k AS DOUBLE) * 0.05 in both engines — identical IEEE
+  // products, so interpolation weights match bit-for-bit.
+  private val q111 = Q(
+    "q111_qq",
+    (s, d) => {
+      import s.implicits._
+      val segs = Seq("BUILDING", "MACHINERY")
+      val src = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment").isin(segs: _*))
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_totalprice").as("x"))
+      val ps = (1 to 19).map(k => k.toDouble * 0.05)
+      val qv = Quantiles.groupedExactQuantiles(src, "seg", "x", ps)
+        .groupBy(_._2).toSeq
+        .map { case (p, rows) =>
+          val m = rows.map(r => r._1 -> r._3).toMap
+          (p, m(segs.head), m(segs.last))
+        }
+      qv.toDF("p", "q_building", "q_machinery")
+        .withColumn("qq_diff", col("q_machinery") - col("q_building"))
+        .orderBy("p")
+    },
+    Some("""WITH src AS (
+      |  SELECT c_mktsegment AS g, CAST(o_totalprice AS DOUBLE) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |r AS (
+      |  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn
+      |  FROM src),
+      |n AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM src GROUP BY 1),
+      |ps AS (SELECT CAST(k + 1 AS DOUBLE) * CAST(0.05 AS DOUBLE) AS p
+      |       FROM range(19) t(k)),
+      |pp AS (
+      |  SELECT g, p, p * (cnt - 1.0) AS h,
+      |    CAST(FLOOR(p * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |    LEAST(CAST(FLOOR(p * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |  FROM n, ps),
+      |b AS (
+      |  SELECT pp.g, pp.p, pp.h,
+      |    MAX(CASE WHEN r.rn = pp.rlo THEN r.x END) AS x_lo,
+      |    MAX(CASE WHEN r.rn = pp.rhi THEN r.x END) AS x_hi
+      |  FROM r JOIN pp ON r.g = pp.g AND (r.rn = pp.rlo OR r.rn = pp.rhi)
+      |  GROUP BY 1, 2, 3),
+      |q AS (
+      |  SELECT g, p, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS v FROM b)
+      |SELECT p,
+      |  MAX(CASE WHEN g = 'BUILDING' THEN v END) AS q_building,
+      |  MAX(CASE WHEN g = 'MACHINERY' THEN v END) AS q_machinery,
+      |  MAX(CASE WHEN g = 'MACHINERY' THEN v END)
+      |    - MAX(CASE WHEN g = 'BUILDING' THEN v END) AS qq_diff
+      |FROM q GROUP BY p ORDER BY p""".stripMargin)
+  )
+
+  // q112 — weighted quartiles per group (np.percentile with weights /
+  // the "median price weighted by units sold" readout): the LOWER
+  // weighted quantile — smallest x whose cumulative weight reaches
+  // ceil(p·W) — on integer weights, so thresholds are exact in both
+  // engines. No group-keyed sort: a (group, bucket) WEIGHT histogram
+  // (the q33/q63 discipline with Σw in place of counts) locates the
+  // fence bucket from bounded driver metadata, point-mass buckets
+  // answer from the histogram alone, and ONLY fence-straddling buckets
+  // (~n/65536 rows) rank row-by-row. The oracle is the naive
+  // cumulative-weight window; MIN(x | cumw ≥ T) is tie-order-invariant
+  // by construction, so both plans agree exactly.
+  /** Lower weighted quantiles of `x` per `g` with integer weights `w`
+    * (columns g: string, x: double, w: long): smallest x whose
+    * cumulative weight reaches ceil(p·W), p given as the exact rational
+    * num/den. Distributed via the (group, bucket) WEIGHT histogram —
+    * bounded driver metadata, point-mass fast path, only straddling
+    * buckets ranked. Public so the spec can plant adversarial frames
+    * (all-ties groups, fence-straddling tie runs).
+    */
+  def weightedQuantiles(facts0: DataFrame,
+      ps: Seq[(Long, Long, Double)]): Seq[(String, Double, Double)] = {
+    val facts = facts0.localCheckpoint(eager = true)
+    val stats = facts.groupBy(col("g"))
+        .agg(sum(col("w")).as("tw"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      val nB = Quantiles.Buckets
+      def bucketOf(gv: String): Column = {
+        val (_, _, lo, hi) = stats.find(_._1 == gv).get
+        least(width_bucket(col("x"), lit(lo), lit(hi), lit(nB)), lit(nB.toLong))
+      }
+      val bExpr = coalesce(stats.map { case (gv, _, _, _) =>
+        when(col("g") === gv, bucketOf(gv))
+      }: _*)
+      // (group, bucket) weight histogram: ≤ groups·65537 driver rows by
+      // construction, a pure partial+final hash aggregate.
+      val hist = facts.groupBy(col("g"), bExpr.as("b"))
+        .agg(sum(col("w")).as("bw"), min(col("x")).as("bmin"), max(col("x")).as("bmax"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .groupBy(_._1)
+      // locate each threshold's bucket on the driver (bounded metadata)
+      case class Pick(g: String, p: Double, b: Long, offset: Long)
+      var resolved = Vector.empty[(String, Double, Double)]
+      var picks = Vector.empty[Pick]
+      for ((gv, tw, _, _) <- stats; (num, den, p) <- ps) {
+        val thr = (tw * num + den - 1) / den
+        var cum = 0L
+        var done = false
+        for ((_, b, bw, bmin, bmax) <- hist(gv).sortBy(_._2) if !done) {
+          if (cum + bw >= thr) {
+            if (bmin == bmax) resolved :+= ((gv, p, bmin))
+            else picks :+= Pick(gv, p, b, thr - cum)
+            done = true
+          }
+          cum += bw
+        }
+      }
+      val fromRank: Seq[(String, Double, Double)] =
+        if (picks.isEmpty) Seq.empty
+        else {
+          val cond = picks.map(pk => col("g") === pk.g && bExpr === pk.b).reduce(_ || _)
+          val cw = sum(col("w")).over(Window.partitionBy(col("g"), col("b"))
+            .orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          val sub = facts.filter(cond)
+            .withColumn("b", bExpr)
+            .withColumn("cw", cw)
+          val aggs = picks.zipWithIndex.map { case (pk, i) =>
+            min(when(col("g") === pk.g && col("b") === pk.b && col("cw") >= pk.offset,
+              col("x"))).as(s"v$i")
+          }
+          val row = sub.agg(aggs.head, aggs.tail: _*).head()
+          picks.zipWithIndex.map { case (pk, i) => (pk.g, pk.p, row.getDouble(i)) }
+        }
+    resolved ++ fromRank
+  }
+
+  private val q112 = Q(
+    "q112_weighted_median",
+    (s, d) => {
+      import s.implicits._
+      val facts = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("x"),
+        round(col("l_quantity")).cast("long").as("w"))
+      weightedQuantiles(facts, Seq((1L, 4L, 0.25), (1L, 2L, 0.5), (3L, 4L, 0.75)))
+        .toDF("l_returnflag", "p", "value")
+        .orderBy("l_returnflag", "p")
+    },
+    Some("""WITH f AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS w
+      |  FROM lineitem),
+      |t AS (SELECT g, CAST(SUM(w) AS BIGINT) AS tw FROM f GROUP BY 1),
+      |ps AS (
+      |  SELECT CAST(1 AS BIGINT) AS num, CAST(4 AS BIGINT) AS den, CAST(0.25 AS DOUBLE) AS p
+      |  UNION ALL SELECT 1, 2, CAST(0.5 AS DOUBLE)
+      |  UNION ALL SELECT 3, 4, CAST(0.75 AS DOUBLE)),
+      |c AS (
+      |  SELECT g, x, SUM(w) OVER (PARTITION BY g ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM f),
+      |th AS (
+      |  SELECT t.g, ps.p, (t.tw * ps.num + ps.den - 1) // ps.den AS thr
+      |  FROM t, ps)
+      |SELECT th.g AS l_returnflag, th.p AS p, MIN(c.x) AS value
+      |FROM th JOIN c ON c.g = th.g AND c.cw >= th.thr
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
+
+  // q113 — item-item similarity over order co-occurrence (the
+  // neighborhood model of collaborative filtering; q94's lift is the
+  // probabilistic cousin): cosine = n_ab/√(n_a·n_b) and Jaccard =
+  // n_ab/(n_a+n_b−n_ab) over exact co-purchase counts. Pair generation
+  // joins WITHIN order keys only (linear in orders for bounded
+  // baskets), the n_ab ≥ 2 floor is the support prune, and √ of the
+  // exact integer product is a single correctly-rounded IEEE op in both
+  // engines — scores hash-match bit-for-bit.
+  private val q113 = Q(
+    "q113_item_sim",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      val a = items.select(col("ok"), col("pk").as("pk_a"))
+      val b = items.select(col("ok").as("ok_b"), col("pk").as("pk_b"))
+      a.join(b, col("ok") === col("ok_b") && col("pk_a") < col("pk_b"))
+        .groupBy(col("pk_a"), col("pk_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2L)
+        .join(broadcast(itemCounts.select(col("pk").as("pk_a"), col("n_i").as("n_a"))), "pk_a")
+        .join(broadcast(itemCounts.select(col("pk").as("pk_b"), col("n_i").as("n_b"))), "pk_b")
+        .select(col("pk_a"), col("pk_b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") /
+            sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"),
+          (col("n_ab").cast("double") /
+            (col("n_a") + col("n_b") - col("n_ab")).cast("double")).as("jaccard"))
+        .orderBy("pk_a", "pk_b")
+    },
+    Some("""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY pk),
+      |p AS (
+      |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT pk_a, pk_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      |  CAST(n_ab AS DOUBLE) / SQRT(CAST(ia.n_i * ib.n_i AS DOUBLE)) AS cosine,
+      |  CAST(n_ab AS DOUBLE) / CAST(ia.n_i + ib.n_i - n_ab AS DOUBLE) AS jaccard
+      |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk
+      |ORDER BY pk_a, pk_b""".stripMargin)
+  )
+
+  // q114 — triangle census of the co-purchase graph (global clustering
+  // coefficient: does co-buying CLUSTER, or is q98's PageRank ranking a
+  // hub-and-spoke?): the degree-ordered orientation of Suri &
+  // Vassilvitskii's MR triangle counting — every edge points from its
+  // (deg, key)-smaller endpoint to the larger, so out-degrees are
+  // bounded by O(√E) on any graph (arboricity bound) and the wedge
+  // self-join never explodes on a hot node. Wedges = Σ C(deg,2) counts
+  // all paths-of-2; closed ones are found by probing the oriented edge
+  // set — at 100 TB both joins key on node ids, no broadcast of
+  // anything data-proportional. Output is the 1-row census; all counts
+  // exact integers, the clustering ratio one IEEE division.
+  private val q114 = Q(
+    "q114_triangles",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = items.select(col("ok"), col("pk").as("u"))
+      val b = items.select(col("ok").as("ok_b"), col("pk").as("v"))
+      val edges = a.join(b, col("ok") === col("ok_b") && col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2L)
+        .select(col("u"), col("v"))
+        .localCheckpoint(eager = true)
+      val deg = edges.select(col("u").as("pk"))
+        .union(edges.select(col("v").as("pk")))
+        .groupBy(col("pk")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true)
+      // orient: src = (deg, pk)-smaller endpoint (deg is dim-sized here;
+      // at scale the join keys on pk and AQE plans it — no collect)
+      val du = deg.select(col("pk").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("pk").as("v"), col("deg").as("dv"))
+      val or = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+            .otherwise(col("du")).as("ddeg"))
+        .localCheckpoint(eager = true)
+      val x = or.select(col("src"), col("dst").as("v1"), col("ddeg").as("deg1"))
+      val y = or.select(col("src").as("src2"), col("dst").as("v2"), col("ddeg").as("deg2"))
+      val wedges = x.join(y, col("src") === col("src2") &&
+        (col("deg1") < col("deg2") ||
+          (col("deg1") === col("deg2") && col("v1") < col("v2"))))
+        .select(col("v1"), col("v2"))
+      val probe = or.select(col("src").as("v1"), col("dst").as("v2"))
+      val tri = wedges.join(probe, Seq("v1", "v2"), "left_semi").count()
+      val nNodes = deg.count()
+      val nEdges = edges.count()
+      val wedgeTotal = deg.agg(sum((col("deg") * (col("deg") - 1)) / lit(2)).cast("long"))
+        .head().getLong(0)
+      val clustering =
+        if (wedgeTotal == 0L) 0.0 else 3.0 * tri.toDouble / wedgeTotal.toDouble
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("n_nodes", LongType), StructField("n_edges", LongType),
+        StructField("n_wedges", LongType), StructField("n_triangles", LongType),
+        StructField("clustering", DoubleType)))
+      s.createDataFrame(
+        java.util.Arrays.asList(Row(nNodes, nEdges, wedgeTotal, tri, clustering)),
+        schema)
+    },
+    Some("""WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |edges AS (
+      |  SELECT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (
+      |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT u AS pk FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY pk),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN e.u ELSE e.v END AS src,
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN e.v ELSE e.u END AS dst,
+      |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+      |      THEN dv.deg ELSE du.deg END AS ddeg
+      |  FROM edges e JOIN deg du ON e.u = du.pk JOIN deg dv ON e.v = dv.pk),
+      |wedges AS (
+      |  SELECT x.dst AS v1, y.dst AS v2
+      |  FROM oriented x JOIN oriented y ON x.src = y.src
+      |    AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM wedges w WHERE EXISTS (
+      |    SELECT 1 FROM oriented o WHERE o.src = w.v1 AND o.dst = w.v2))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |  (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |  tri.n_triangles,
+      |  CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) = 0 THEN 0.0
+      |    ELSE 3.0 * CAST(tri.n_triangles AS DOUBLE) /
+      |      CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg) AS DOUBLE) END AS clustering
+      |FROM tri""".stripMargin)
+  )
+
+  def qs: Seq[Q] = Seq(q111, q112, q113, q114)
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalE
+
+/** Ground truth + plan shape for the RelationalE batch (Q–Q, weighted
+  * quantiles, item similarity, triangles).
+  */
+class RelationalESpec extends SparkSpec {
+
+  test("q111 qq: vigintiles match a naive interpolated quantile per segment") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select("seg", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def naive(seg: String, p: Double): Double = {
+      val xs = rows.filter(_._1 == seg).map(_._2).sorted
+      val h = p * (xs.length - 1.0)
+      val lo = xs(math.floor(h).toInt)
+      val hi = xs(math.min(math.floor(h).toInt + 1, xs.length - 1))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val got = SparkEntry.queries("q111_qq")(spark, sf).orderBy("p").collect()
+    assert(got.length === 19)
+    got.foreach { r =>
+      val p = r.getDouble(0)
+      assert(math.abs(r.getDouble(1) - naive("BUILDING", p)) < 1e-9, s"building p=$p")
+      assert(math.abs(r.getDouble(2) - naive("MACHINERY", p)) < 1e-9, s"machinery p=$p")
+      assert(math.abs(r.getDouble(3) - (r.getDouble(2) - r.getDouble(1))) < 1e-12)
+    }
+    // each quantile ladder is monotone in p
+    val qb = got.map(_.getDouble(1)); val qm = got.map(_.getDouble(2))
+    assert(qb.sameElements(qb.sorted) && qm.sameElements(qm.sorted))
+  }
+
+  test("q112 weighted median: matches the naive cumulative-weight walk") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), math.round(r.getDouble(2))))
+    def naive(g: String, num: Long, den: Long): Double = {
+      val xs = rows.filter(_._1 == g).map(r => (r._2, r._3)).sortBy(_._1)
+      val tw = xs.map(_._2).sum
+      val thr = (tw * num + den - 1) / den
+      var cum = 0L
+      xs.find { case (_, w) => cum += w; cum >= thr }.get._1
+    }
+    val got = SparkEntry.queries("q112_weighted_median")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("A", "N", "R"); (num, den, p) <- Seq((1L, 4L, 0.25), (1L, 2L, 0.5), (3L, 4L, 0.75)))
+      assert(got((g, p)) === naive(g, num, den), s"group $g p=$p")
+  }
+
+  test("weighted quantiles survive all-ties groups and fence-straddling tie runs") {
+    import spark.implicits._
+    // group "t": every value identical (point-mass bucket fast path);
+    // group "s": a tie run of weight 6 straddling the 50% fence;
+    // group "w": weights dominate counts (one heavy row IS the median)
+    val planted = Seq.empty[(String, Double, Long)] ++
+      (1 to 50).map(_ => ("t", 7.5, 3L)) ++
+      (Seq(("s", 1.0, 2L)) ++ (1 to 3).map(_ => ("s", 2.0, 2L)) ++ Seq(("s", 9.0, 1L))) ++
+      (Seq(("w", 1.0, 1L), ("w", 2.0, 100L), ("w", 3.0, 1L)))
+    val df = planted.toDF("g", "x", "w")
+    val got = RelationalE.weightedQuantiles(df, Seq((1L, 2L, 0.5)))
+      .map(r => r._1 -> r._3).toMap
+    assert(got("t") === 7.5)
+    // s: W=9, thr=5 -> cum at 1.0 is 2, ties at 2.0 reach 8 -> median 2.0
+    assert(got("s") === 2.0)
+    // w: W=102, thr=51 -> inside the heavy row
+    assert(got("w") === 2.0)
+  }
+
+  test("q112 plan: rank windows key on (group, bucket), never the group alone") {
+    val p = SparkEntry.queries("q112_weighted_median")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val specs = """windowspecdefinition\([^)]*\)""".r.findAllIn(p).toSeq
+    specs.foreach(sp => assert(sp.contains("b#"),
+      "window partitioned on the low-cardinality group alone:\n" + sp))
+  }
+
+  test("q113 item sim: scores reconcile with independent counts") {
+    val got = SparkEntry.queries("q113_item_sim")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab >= 2 && nab <= math.min(na, nb))
+      assert(r.getDouble(5) === nab.toDouble / math.sqrt((na * nb).toDouble), "cosine")
+      assert(r.getDouble(6) === nab.toDouble / (na + nb - nab).toDouble, "jaccard")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
+  test("q114 triangles: census matches a local brute-force count") {
+    // independent edge derivation + cubic triangle scan (graph is tiny
+    // after the support floor)
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairOcc = items.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val pks = basket.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length) yield (pks(i), pks(j))
+    }
+    // (NB: Map.collect over tuple results would rebuild a Map and
+    // collapse edges by their first endpoint — filter + keySet instead)
+    val edges = pairOcc.groupBy(identity).filter(_._2.size >= 2).keySet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val deg = nodes.map(n => n -> edges.count(e => e._1 == n || e._2 == n)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val adj = edges
+    val nodeSeq = nodes.toSeq.sorted
+    var tris = 0L
+    for (i <- nodeSeq.indices; j <- i + 1 until nodeSeq.length
+         if adj(nodeSeq(i) -> nodeSeq(j));
+         k <- j + 1 until nodeSeq.length
+         if adj(nodeSeq(i) -> nodeSeq(k)) && adj(nodeSeq(j) -> nodeSeq(k)))
+      tris += 1
+    val r = SparkEntry.queries("q114_triangles")(spark, sf).head()
+    assert(r.getLong(0) === nodes.size.toLong, "nodes")
+    assert(r.getLong(1) === edges.size.toLong, "edges")
+    assert(r.getLong(2) === wedges, "wedges")
+    assert(r.getLong(3) === tris, "triangles")
+    val expClust = if (wedges == 0) 0.0 else 3.0 * tris / wedges
+    assert(math.abs(r.getDouble(4) - expClust) < 1e-12)
+  }
+}
