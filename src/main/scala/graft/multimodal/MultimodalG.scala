@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.{Q, Tables, Module}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.G — multimodal binary-column plumbing.
@@ -303,8 +304,57 @@ object MultimodalG extends Module {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // mm_scene_cuts — scene-change detection over the sampled-frame
+  // surface (the shot-boundary pass of a video pipeline: a cut is a
+  // frame whose feature jumps vs its predecessor): each payload splits
+  // into 16 fixed-stride frames, the per-frame feature is an exact
+  // integer (space count — the stand-in for a luma histogram a real
+  // decoder would emit behind the same schema), and the boundary test
+  // |Δfeature|·50 > frame_len is pure integer arithmetic. The only
+  // window is the lag on the HIGH-cardinality doc_id — parallelism
+  // scales with clips; empty payloads are filtered BEFORE the frame
+  // sequence is built (the r4 empty-payload lesson: Spark's
+  // sequence(0,-1) descends while DuckDB's generate_series is empty).
+  private val mmSceneCuts = Q(
+    "mm_scene_cuts",
+    (s, d) => {
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Tables.documents(s, d)
+        .withColumn("flen", (length(col("text")) / 16).cast("int"))
+        .filter(col("flen") > 0)
+        .select(col("doc_id"), col("flen"),
+          posexplode(expr(
+            "transform(sequence(0, 15), i -> substring(text, i * flen + 1, flen))")))
+        .toDF("doc_id", "flen", "frame_idx", "frame")
+        .withColumn("n_space",
+          (length(col("frame")) - length(expr("replace(frame, ' ', '')"))).cast("long"))
+        .withColumn("delta", abs(col("n_space") - lag(col("n_space"), 1).over(byDoc)))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_space"), col("delta"),
+          coalesce(col("delta") * lit(50L) > col("flen").cast("long"), lit(false))
+            .as("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH fr AS (
+      |  SELECT doc_id, length(text) // 16 AS flen,
+      |    unnest(generate_series(0, 15)) AS frame_idx, text
+      |  FROM documents WHERE length(text) // 16 > 0),
+      |feat AS (
+      |  SELECT doc_id, flen, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |    CAST(length(substr(text, frame_idx * flen + 1, flen))
+      |      - length(replace(substr(text, frame_idx * flen + 1, flen), ' ', '')) AS BIGINT) AS n_space
+      |  FROM fr),
+      |d AS (
+      |  SELECT doc_id, frame_idx, n_space, flen,
+      |    ABS(n_space - LAG(n_space) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+      |  FROM feat)
+      |SELECT doc_id, frame_idx, n_space, delta,
+      |  COALESCE(delta * 50 > flen, FALSE) AS is_cut
+      |FROM d ORDER BY doc_id, frame_idx""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,
-    mmSilence, mmPhash, mmSharedFrames)
+    mmSilence, mmPhash, mmSharedFrames, mmSceneCuts)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

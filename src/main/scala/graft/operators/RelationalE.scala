@@ -340,5 +340,94 @@ object RelationalE extends Module {
       |FROM tri""".stripMargin)
   )
 
-  def qs: Seq[Q] = Seq(q111, q112, q113, q114)
+  // q115 — declarative data-quality expectation audit (the Great
+  // Expectations / dbt-test readout run before a dataset ships):
+  // domain, range, integrality, shape and uniqueness checks, one row
+  // per check with exact fail counts. Each table is scanned ONCE — all
+  // of its checks are conditional sums in a single partial-aggregable
+  // aggregate, unpivoted from the 1-row fit (the q06 inline discipline)
+  // — so the audit costs one pass per audited table at any scale; the
+  // uniqueness check rides the same scan as a distinct count. The
+  // oracle recomputes every check independently.
+  private val q115 = Q(
+    "q115_dq_audit",
+    (s, d) => {
+      def fails(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val o = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        fails(col("o_totalprice") <= 0.0).as("f_price"),
+        fails(!col("o_orderstatus").isin("F", "O", "P")).as("f_status"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("f_unique"))
+      val c = Tables.customer(s, d).agg(
+        count(lit(1)).as("n"),
+        fails(col("c_acctbal") < 0.0 || col("c_acctbal") > 10000.0).as("f_bal"))
+      val l = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        fails(col("l_discount") < 0.0 || col("l_discount") > 0.05).as("f_disc"),
+        fails(col("l_quantity") =!= round(col("l_quantity"))).as("f_int"))
+      val e = Tables.events(s, d).agg(
+        count(lit(1)).as("n"),
+        fails(col("props").isNull || !(col("props").startsWith("{") &&
+          col("props").endsWith("}"))).as("f_props"),
+        fails(col("value").isNull).as("f_value"))
+      def checks(agg: DataFrame, table: String, cs: Seq[(String, String, String)]): DataFrame =
+        agg.select(explode(array(cs.map { case (colName, check, failCol) =>
+          struct(lit(table).as("table_name"), lit(colName).as("column_name"),
+            lit(check).as("check_name"), col("n").as("n_rows"),
+            col(failCol).as("n_fail"))
+        }: _*)).as("r")).select(col("r.*"))
+      checks(o, "orders", Seq(
+          ("o_totalprice", "positive", "f_price"),
+          ("o_orderstatus", "domain_F_O_P", "f_status"),
+          ("o_orderkey", "unique", "f_unique")))
+        .unionByName(checks(c, "customer", Seq(
+          ("c_acctbal", "range_0_10000", "f_bal"))))
+        .unionByName(checks(l, "lineitem", Seq(
+          ("l_discount", "range_0_0.05", "f_disc"),
+          ("l_quantity", "integral", "f_int"))))
+        .unionByName(checks(e, "events", Seq(
+          ("props", "json_shape", "f_props"),
+          ("value", "not_null", "f_value"))))
+        .select(col("table_name"), col("column_name"), col("check_name"),
+          col("n_rows"), col("n_fail"),
+          (col("n_fail").cast("double") / col("n_rows").cast("double")).as("fail_rate"),
+          (col("n_fail") === 0L).as("passed"))
+        .orderBy("table_name", "column_name", "check_name")
+    },
+    Some("""WITH o AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS f_price,
+      |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS f_status,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS f_unique
+      |  FROM orders),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN c_acctbal < 0.0 OR c_acctbal > 10000.0 THEN 1 ELSE 0 END) AS BIGINT) AS f_bal
+      |  FROM customer),
+      |l AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS f_disc,
+      |    CAST(SUM(CASE WHEN l_quantity <> ROUND(l_quantity) THEN 1 ELSE 0 END) AS BIGINT) AS f_int
+      |  FROM lineitem),
+      |e AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN props IS NULL OR NOT (props LIKE '{%' AND props LIKE '%}') THEN 1 ELSE 0 END) AS BIGINT) AS f_props,
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_value
+      |  FROM events),
+      |u AS (
+      |  SELECT 'orders' AS table_name, 'o_totalprice' AS column_name, 'positive' AS check_name, n AS n_rows, f_price AS n_fail FROM o
+      |  UNION ALL SELECT 'orders', 'o_orderstatus', 'domain_F_O_P', n, f_status FROM o
+      |  UNION ALL SELECT 'orders', 'o_orderkey', 'unique', n, f_unique FROM o
+      |  UNION ALL SELECT 'customer', 'c_acctbal', 'range_0_10000', n, f_bal FROM c
+      |  UNION ALL SELECT 'lineitem', 'l_discount', 'range_0_0.05', n, f_disc FROM l
+      |  UNION ALL SELECT 'lineitem', 'l_quantity', 'integral', n, f_int FROM l
+      |  UNION ALL SELECT 'events', 'props', 'json_shape', n, f_props FROM e
+      |  UNION ALL SELECT 'events', 'value', 'not_null', n, f_value FROM e)
+      |SELECT table_name, column_name, check_name, n_rows, n_fail,
+      |  CAST(n_fail AS DOUBLE) / CAST(n_rows AS DOUBLE) AS fail_rate,
+      |  n_fail = 0 AS passed
+      |FROM u ORDER BY table_name, column_name, check_name""".stripMargin)
+  )
+
+  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115)
 }

@@ -350,6 +350,67 @@ object SimE extends Module {
     None
   )
 
+  // emb_quantize — int8 symmetric-quantization QA per dimension (the
+  // go/no-go readout before shipping an int8 index: which dimensions
+  // lose how much precision at code width 8?): per-dim max-abs scale
+  // from the exact 1e-6-grid integers, codes via an INTEGER
+  // round-half-away formula (identical in both engines — a double
+  // round() would hang half-way ties on engine rounding modes),
+  // residuals 127·q − code·s stay exact integers, and MSE / max-error
+  // land in IEEE only at the final division. One explode + two
+  // partial-aggregable shuffles to the |dim|-row surface; the scale
+  // table is broadcast back, never collected.
+  private val embQuantize = Q(
+    "emb_quantize",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val qv = Similarity.withQuantized(Tables.embeddings(s, d), "embedding")
+        .select(posexplode(col("qvec")).as(Seq("pos0", "q")))
+        .select((col("pos0") + 1).cast("long").as("pos"), col("q"))
+      val scale = qv.groupBy(col("pos")).agg(max(abs(col("q"))).as("s"))
+      val code = when(col("s") === 0L, lit(0L))
+        .when(col("q") >= 0L, expr("(254 * q + s) div (2 * s)"))
+        .otherwise(-expr("(254 * -q + s) div (2 * s)"))
+      val resid = lit(127L) * col("q") - col("code") * col("s")
+      qv.join(broadcast(scale), "pos")
+        .withColumn("code", code)
+        .withColumn("resid", resid)
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), max(col("s")).as("sq"),
+          max(abs(col("resid"))).as("maxr"),
+          sum((col("resid") * col("resid")).cast(DecimalType(38, 0)))
+            .cast("double").as("sse"),
+          sum(when(col("code") === 0L, 1L).otherwise(0L)).as("n_zero"))
+        .select(col("pos"), col("n"),
+          (col("sq").cast("double") / lit(1000000.0)).as("scale"),
+          (col("maxr").cast("double") / lit(127000000.0)).as("max_abs_err"),
+          (col("sse") / (col("n").cast("double") * lit(16129.0) * lit(1.0e12))).as("mse"),
+          col("n_zero"))
+        .orderBy("pos")
+    },
+    Some("""WITH q AS (
+      |  SELECT
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS q,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings),
+      |s AS (SELECT pos, MAX(ABS(q)) AS s FROM q GROUP BY pos),
+      |c AS (
+      |  SELECT q.pos, q.q, s.s,
+      |    CASE WHEN s.s = 0 THEN 0
+      |         WHEN q.q >= 0 THEN (254 * q.q + s.s) // (2 * s.s)
+      |         ELSE -((254 * (-q.q) + s.s) // (2 * s.s)) END AS code
+      |  FROM q JOIN s ON q.pos = s.pos),
+      |r AS (SELECT pos, s, code, 127 * q - code * s AS resid FROM c)
+      |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(s) AS DOUBLE) / 1000000.0 AS scale,
+      |  CAST(MAX(ABS(resid)) AS DOUBLE) / 127000000.0 AS max_abs_err,
+      |  CAST(SUM(CAST(resid AS HUGEINT) * CAST(resid AS HUGEINT)) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 16129.0 * 1e12) AS mse,
+      |  CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |FROM r GROUP BY pos ORDER BY pos""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
-    embCentroid, simRange, embKnn, embPurity, embDimStats, simRecallEval)
+    embCentroid, simRange, embKnn, embPurity, embDimStats, simRecallEval,
+    embQuantize)
 }

@@ -375,9 +375,67 @@ object StreamingH extends Module {
       |GROUP BY 1, 2 ORDER BY h, segment""".stripMargin)
   )
 
+  // st_scd2 — Slowly-Changing-Dimension Type-2 build from the event
+  // stream (the warehouse-dimension sibling of st_cdc's latest-row
+  // compaction: KEEP the history, one row per attribute VERSION with
+  // its validity interval): consecutive same-type events collapse into
+  // one version (gap-and-island on the change flag), valid_to is the
+  // next version's start, the open version is current. Every window
+  // keys on the HIGH-cardinality user_id with the (ts, event_id) total
+  // order — the lag flag, the island cumsum and the valid_to lead all
+  // share that one exchange, and the island collapse partial-aggregates
+  // before the lead. At 100 TB parallelism scales with users; no
+  // group-cardinality funnel anywhere.
+  private val stScd2 = Q(
+    "st_scd2",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("chg",
+          when(col("prev").isNull || col("event_type") =!= col("prev"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      ev.groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("attr"),
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        // the classic warehouse high-date sentinel for the open version
+        // (also keeps the dump free of NULL timestamps, which the
+        // driver's pandas compare cannot equate — NaT != NaT)
+        .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(byVersion),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .withColumn("is_current",
+          col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH o AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_type,
+      |    SUM(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM o),
+      |i AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version,
+      |    MIN(event_type) AS attr, MIN(ts) AS valid_from,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM f GROUP BY 1, 2)
+      |SELECT user_id, version, attr, valid_from, n_events,
+      |  COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+      |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |  COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+      |    TIMESTAMP '9999-12-31 00:00:00') = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+      |FROM i ORDER BY user_id, version""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
     stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow,
-    stAnomaly, stEnrich)
+    stAnomaly, stEnrich, stScd2)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -569,6 +627,54 @@ object Streaming {
             .maxBy(r => (us(r.last_ts), r.last_event_id))
           state.update(best)
           best
+      }
+  }
+
+  case class Scd2Row(user_id: Long, version: Long, attr: String,
+      valid_from: java.sql.Timestamp, n_events: Long,
+      valid_to: java.sql.Timestamp, is_current: Boolean)
+
+  /** The UTC instant of the batch side's 9999-12-31 high-date sentinel
+    * (computed from epoch so the twin is JVM-default-timezone-proof).
+    */
+  val Scd2HighDate = new java.sql.Timestamp(253402214400000L)
+
+  /** Streaming twin of st_scd2: ONE open-version row of state per user.
+    * Same-type events extend the open version (n_events), a type change
+    * closes it (emit with valid_to = the new version's start) and opens
+    * the next. Each batch re-emits the refreshed open version, so an
+    * upsert-by-(user, version) sink converges to the batch SCD2 table
+    * under the in-order delivery contract (cross-batch reordering is
+    * the same watermark-bounded caveat as [[asofStream]]).
+    */
+  def scd2Stream(events: Dataset[CdcEvent]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Row, Scd2Row](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[CdcEvent], state: GroupState[Scd2Row]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ListBuffer[Scd2Row]()
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            open match {
+              case Some(o) if o.attr == e.event_type =>
+                open = Some(o.copy(n_events = o.n_events + 1))
+              case Some(o) =>
+                out += o.copy(valid_to = e.ts, is_current = false)
+                open = Some(Scd2Row(uid, o.version + 1, e.event_type, e.ts, 1L,
+                  Scd2HighDate, is_current = true))
+              case None =>
+                open = Some(Scd2Row(uid, 1L, e.event_type, e.ts, 1L,
+                  Scd2HighDate, is_current = true))
+            }
+          }
+          open.foreach(state.update)
+          out ++= open
+          out.iterator
       }
   }
 

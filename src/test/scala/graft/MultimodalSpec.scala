@@ -110,4 +110,27 @@ class MultimodalSpec extends SparkSpec {
     assert(covered.length === covered.distinct.length, "spans must not overlap")
     assert(covered.toSet === silent.toSeq.flatMap { case (d, ws) => ws.map(d -> _) }.toSet)
   }
+  test("mm_scene_cuts: frame features and cut flags match a local recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val flen = text.length / 16
+      if (flen == 0) Seq.empty
+      else {
+        val spaces = (0 until 16).map { i =>
+          val frame = text.slice(i * flen, math.min(i * flen + flen, text.length))
+          frame.count(_ == ' ').toLong
+        }
+        spaces.zipWithIndex.map { case (ns, i) =>
+          val delta = if (i == 0) None else Some(math.abs(ns - spaces(i - 1)))
+          (id, i.toLong, ns, delta, delta.exists(_ * 50 > flen))
+        }
+      }
+    }.toSet
+    val got = SparkEntry.queries("mm_scene_cuts")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    assert(got === want)
+    assert(got.exists(_._5), "corpus should contain at least one cut")
+  }
 }

@@ -93,6 +93,25 @@ class RelationalESpec extends SparkSpec {
     }
   }
 
+  test("q115 dq audit: fail counts reconcile and flags are consistent") {
+    val rows = SparkEntry.queries("q115_dq_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.length === 8)
+    rows.foreach { case (_, _, _, n, f, rate, passed) =>
+      assert(f >= 0 && f <= n)
+      assert(rate === f.toDouble / n.toDouble)
+      assert(passed === (f == 0L))
+    }
+    val byCheck = rows.map(r => (r._1, r._2, r._3) -> r._5).toMap
+    // independent recount of two checks, one failing and one passing
+    val negBal = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0.0 || col("c_acctbal") > 10000.0).count()
+    assert(byCheck(("customer", "c_acctbal", "range_0_10000")) === negBal)
+    assert(negBal > 0, "the audit should exercise a FAILING check")
+    assert(byCheck(("orders", "o_orderkey", "unique")) === 0L)
+  }
+
   test("q114 triangles: census matches a local brute-force count") {
     // independent edge derivation + cubic triangle scan (graph is tiny
     // after the support floor)

@@ -207,4 +207,18 @@ class SimilaritySpec extends SparkSpec {
       assert(nq > 0 && rec >= 0.0 && rec <= 1.0)
     }
   }
+  test("emb_quantize: int8 residuals respect the half-step bound per dimension") {
+    val rows = SparkEntry.queries("emb_quantize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.length === 64)
+    rows.foreach { case (pos, n, scale, maxErr, mse, nZero) =>
+      assert(n > 0 && scale > 0.0)
+      // symmetric round-half-away: |127q - c*s| <= s/2, so the error in
+      // value units is at most scale/254 (plus fp headroom)
+      assert(maxErr <= scale / 254.0 * (1.0 + 1e-12), s"pos $pos maxErr $maxErr vs ${scale / 254.0}")
+      assert(mse >= 0.0 && mse <= maxErr * maxErr * (1.0 + 1e-12), s"pos $pos mse")
+      assert(nZero >= 0 && nZero <= n)
+    }
+  }
 }

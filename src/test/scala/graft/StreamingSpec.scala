@@ -626,4 +626,41 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming SCD2 versions converge to the batch table across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => Streaming.CdcEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order delivery contract
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.CdcEvent]
+    val q = Streaming.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode("update").start()
+    try {
+      // two micro-batches: versions OPEN in batch 1 must extend/close
+      // against carried state, not restart
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // upsert sink: keep each (user, version)'s final emission — the
+      // closed row if one exists, else the fullest open re-emission
+      val emissions = spark.table("scd2").collect()
+        .map(r => Streaming.Scd2Row(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getLong(4), r.getTimestamp(5), r.getBoolean(6)))
+      val streamed = emissions.groupBy(r => (r.user_id, r.version)).map { case (_, rows) =>
+        rows.maxBy(r => (r.n_events, if (r.is_current) 0 else 1))
+      }.map(r => (r.user_id, r.version, r.attr, r.valid_from, r.n_events,
+        r.valid_to, r.is_current)).toSet
+      val batch = SparkEntry.queries("st_scd2")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3), r.getLong(4), r.getTimestamp(5), r.getBoolean(6)))
+        .toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
