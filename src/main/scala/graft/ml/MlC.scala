@@ -867,8 +867,46 @@ object MlC extends Module {
     None
   )
 
+  // ml_learning_curve — hold-out AUC vs training-set size (sklearn
+  // learning_curve: is the model data-starved — collect more labels —
+  // or capacity-bound?): five NESTED train subsets via the same
+  // overflow-free Z-mod-p bucket gate as the 80/20 split (bucket < 160,
+  // 320, … 800 — each prefix contains the previous, no RNG, identical
+  // membership on any cluster shape), each fit scored on the SAME fixed
+  // hold-out. The fits are MLlib's distributed L-BFGS; the gate is a
+  // pushed-down narrow filter. Rows-only (model training), determinism
+  // + nesting pinned in MlSpec.
+  private val mlLearningCurve = Q(
+    "ml_learning_curve",
+    (s, d) => {
+      import s.implicits._
+      val df = customerFeatures(s, d)
+      val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
+        lit(1000000007L) % 1000
+      val test = df.filter(bucket >= 800)
+      val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+      val rows = Seq(160, 320, 480, 640, 800).map { cut =>
+        val train = df.filter(bucket < cut)
+        val n = train.count()
+        // a class-starved prefix (tiny SF) fits a degenerate single-class
+        // model whose prediction vector AUC can't be defined over
+        val nClasses = train.select("label").distinct().count()
+        val auc =
+          if (nClasses < 2) Double.NaN
+          else {
+            val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+            val model = new Pipeline().setStages(Array(assembler, lr)).fit(train)
+            ev.evaluate(model.transform(test))
+          }
+        (cut.toDouble / 800.0, n, auc)
+      }
+      rows.toDF("train_frac", "n_train", "auc").orderBy("train_frac")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
-    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble)
+    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve)
 }

@@ -429,5 +429,71 @@ object RelationalE extends Module {
       |FROM u ORDER BY table_name, column_name, check_name""".stripMargin)
   )
 
-  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115)
+  // q116 — partial correlation (the confounder-adjusted readout the EDA
+  // corr heatmap can't give: does quantity relate to price ONCE
+  // discount is held fixed?): all three pairwise Pearson r's from ONE
+  // scan of exact grid moment sums (the q10 two-level discipline — LONG
+  // partials per partition, DECIMAL(38,0) merge), then
+  // r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) as one fixed IEEE
+  // expression. The oracle recomputes each r from the same exact sums,
+  // so every intermediate double is bit-identical.
+  private val q116 = Q(
+    "q116_partial_corr",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cols = Seq(("l_quantity", 1000.0), ("l_extendedprice", 1.0),
+        ("l_discount", 100000.0))
+      def qz(cg: (String, Double)): Column = graft.Exact.qzl(col(cg._1), cg._2)
+      val names = cols.map(_._1)
+      val pairs = for (i <- cols.indices; j <- cols.indices if i < j)
+        yield (cols(i), cols(j))
+      val l1aggs = cols.map(c => sum(qz(c)).as(s"p_s_${c._1}")) ++
+        cols.map(c => sum(qz(c) * qz(c)).as(s"p_ss_${c._1}")) ++
+        pairs.map { case (a, b) => sum(qz(a) * qz(b)).as(s"p_sp_${a._1}_${b._1}") } :+
+        count(lit(1)).as("p_n")
+      val l1 = Tables.lineitem(s, d)
+        .groupBy(spark_partition_id().as("_pid"))
+        .agg(l1aggs.head, l1aggs.tail: _*)
+      def m(a: String) = sum(col(a).cast(DecimalType(38, 0))).cast("double")
+      val l2aggs = cols.map(c => m(s"p_s_${c._1}").as(s"s_${c._1}")) ++
+        cols.map(c => m(s"p_ss_${c._1}").as(s"ss_${c._1}")) ++
+        pairs.map { case (a, b) => m(s"p_sp_${a._1}_${b._1}").as(s"sp_${a._1}_${b._1}") } :+
+        sum(col("p_n")).cast("double").as("n")
+      val a = l1.agg(l2aggs.head, l2aggs.tail: _*)
+      def r(x: String, y: String): Column =
+        (col("n") * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+          (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+            sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")))
+      val (x, y, z) = (names(0), names(1), names(2))
+      a.select(col("n").cast("long").as("n"),
+          r(x, y).as("r_xy"), r(x, z).as("r_xz"), r(y, z).as("r_yz"))
+        .withColumn("partial_r",
+          (col("r_xy") - col("r_xz") * col("r_yz")) /
+            (sqrt(lit(1.0) - col("r_xz") * col("r_xz")) *
+              sqrt(lit(1.0) - col("r_yz") * col("r_yz"))))
+    },
+    Some {
+      val g = Map("l_quantity" -> "1000.0", "l_extendedprice" -> "1.0",
+        "l_discount" -> "100000.0")
+      def qz(c: String) = s"CAST(ROUND($c*${g(c)}) AS BIGINT)"
+      def sd(c: String) = s"CAST(SUM(${qz(c)}) AS DOUBLE)"
+      def sp(a: String, b: String) = s"CAST(SUM(${qz(a)} * ${qz(b)}) AS DOUBLE)"
+      def r(x: String, y: String) =
+        s"""(CAST(COUNT(*) AS DOUBLE) * ${sp(x, y)} - ${sd(x)} * ${sd(y)}) /
+           |  (SQRT(CAST(COUNT(*) AS DOUBLE) * ${sp(x, x)} - ${sd(x)} * ${sd(x)}) *
+           |   SQRT(CAST(COUNT(*) AS DOUBLE) * ${sp(y, y)} - ${sd(y)} * ${sd(y)}))""".stripMargin
+      s"""WITH m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${r("l_quantity", "l_extendedprice")} AS r_xy,
+         |    ${r("l_quantity", "l_discount")} AS r_xz,
+         |    ${r("l_extendedprice", "l_discount")} AS r_yz
+         |  FROM lineitem)
+         |SELECT n, r_xy, r_xz, r_yz,
+         |  (r_xy - r_xz * r_yz) /
+         |    (SQRT(1.0 - r_xz * r_xz) * SQRT(1.0 - r_yz * r_yz)) AS partial_r
+         |FROM m""".stripMargin
+    }
+  )
+
+  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116)
 }

@@ -813,8 +813,70 @@ object TextF extends Module {
       |FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)
   )
 
+  // tx_bm25 — BM25 term salience per document (the retrieval-grade
+  // upgrade over tx_tfidf's raw tf·idf: tf saturates at k1 and long
+  // documents are length-normalized by b — Robertson & Spärck Jones'
+  // Okapi weighting). Same LOG-FREE discipline as tx_tfidf: the idf is
+  // the rational (N−df+0.5)/(df+0.5) — the argument of the standard
+  // BM25 log-idf, monotone in it, and IEEE-exact in both engines where
+  // libm ln() could drift a ulp. k1=1.2 / b=0.75 enter BOTH engines as
+  // decimal literals (same nearest-double), avgdl is one 1-row IEEE
+  // division broadcast everywhere. Plan: the tx_tfidf shape plus a
+  // per-doc length aggregate — tf/df/dl partial-aggregable, vocab hash
+  // join, top-3 via the doc_id-partitioned rank window.
+  private val txBm25 = Q(
+    "tx_bm25",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val avg = toks.agg(count(lit(1)).as("n_toks"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t"))
+      val tfd = col("tf").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val avgdl = col("n_toks").cast("double") / col("n_docs").cast("double")
+      val denom = tfd + lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * (col("dl").cast("double") / avgdl))
+      tf.join(dl, "doc_id").join(dfc, "t")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(avg))
+        .withColumn("score", idf * ((tfd * lit(2.2)) / denom))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
+          col("dl"), col("score"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+      |  WHERE length(t) > 0),
+      |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+      |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf, df.df, dl.dl,
+      |    ((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+      |    * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+      |       / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE)
+      |            / (CAST(a.n_toks AS DOUBLE) / CAST(n.n_docs AS DOUBLE)))))) AS score
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t), n, a),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rnk FROM sc)
+      |SELECT doc_id, t AS term, tf, df, dl, score, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
     txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
-    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures)
+    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures, txBm25)
 }

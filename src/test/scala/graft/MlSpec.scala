@@ -325,4 +325,22 @@ class MlSpec extends SparkSpec {
       assert(p1 <= p2, "PAV output must be non-decreasing")
     }
   }
+  test("ml_learning_curve: nested deterministic fractions, sane AUC readout") {
+    val a = SparkEntry.queries("ml_learning_curve")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    val b = SparkEntry.queries("ml_learning_curve")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    def key(t: (Double, Long, Double)) = (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))
+    assert(a.map(key).sameElements(b.map(key)), "learning curve must be deterministic")
+    assert(a.map(_._1).toSeq === Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+    // Z-mod-p prefix gates nest: strictly more rows at each fraction
+    assert(a.map(_._2).toSeq === a.map(_._2).sorted.toSeq)
+    assert(a.map(_._2).distinct.length === a.length, "fractions must add rows")
+    a.foreach { case (_, n, auc) =>
+      assert(n > 0)
+      assert(auc.isNaN || (auc >= 0.0 && auc <= 1.0))
+    }
+    // the full-train point must always be a real AUC
+    assert(!a.last._3.isNaN)
+  }
 }

@@ -93,6 +93,30 @@ class RelationalESpec extends SparkSpec {
     }
   }
 
+  test("q116 partial corr: matches a naive local fit on the same grid") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (math.round(r.getDouble(0) * 1000.0),
+        math.round(r.getDouble(1) * 1.0), math.round(r.getDouble(2) * 100000.0)))
+    def corr(xs: Array[Long], ys: Array[Long]): Double = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(BigInt(_)).sum.toDouble, ys.map(BigInt(_)).sum.toDouble)
+      val sxx = xs.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+      val syy = ys.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+      val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toDouble
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val want = (rxy - rxz * ryz) /
+      (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz))
+    val r = SparkEntry.queries("q116_partial_corr")(spark, sf).head()
+    assert(r.getLong(0) === rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - rxy) < 1e-12)
+    assert(math.abs(r.getDouble(4) - want) < 1e-12, s"partial ${r.getDouble(4)} vs $want")
+    assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0)
+  }
+
   test("q115 dq audit: fail counts reconcile and flags are consistent") {
     val rows = SparkEntry.queries("q115_dq_audit")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),

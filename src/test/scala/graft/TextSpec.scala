@@ -98,4 +98,38 @@ class TextSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet === feats.toSet)
   }
+  test("tx_bm25: scores match a naive local Okapi computation, top-3 ranked") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+    }.toMap
+    val nDocs = docs.length.toDouble
+    val nToks = toks.values.map(_.size.toLong).sum.toDouble
+    val avgdl = nToks / nDocs
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+    def score(tf: Double, df: Double, dl: Double): Double =
+      ((nDocs - df + 0.5) / (df + 0.5)) *
+        ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+    val got = SparkEntry.queries("tx_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, term, tf, df, dl, sc, rnk) =>
+      assert(toks(id).count(_ == term).toLong === tf, s"tf of $term in $id")
+      assert(dfm(term) === df.toDouble)
+      assert(toks(id).size.toLong === dl)
+      assert(math.abs(sc - score(tf.toDouble, df.toDouble, dl.toDouble)) < 1e-12)
+      assert(rnk >= 1 && rnk <= 3)
+    }
+    // per doc: exactly the 3 best-scoring terms, ranked descending
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val byRank = rows.sortBy(_._7).map(_._6)
+      assert(byRank.sameElements(byRank.sorted.reverse), s"doc $id ranks not descending")
+      val all = toks(id).distinct.map(t =>
+        score(toks(id).count(_ == t).toDouble, dfm(t), toks(id).size.toDouble))
+      val floor = byRank.last
+      assert(all.count(_ > floor) < 3, s"doc $id missed a better term")
+    }
+  }
 }
