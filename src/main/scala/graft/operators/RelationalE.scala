@@ -495,5 +495,251 @@ object RelationalE extends Module {
     }
   )
 
-  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116)
+  /** Zero-filled hourly event-count series (RelationalD's q68/q72
+    * surface, re-derived here): one scan partial-aggregates to |hours|
+    * rows, gap hours restored from a 1-row span fit. Checkpointed so
+    * downstream windows/joins never rescan events.
+    */
+  private def hourlySeries(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint(eager = true)
+    counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+      .join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint(eager = true)
+  }
+
+  private val hourlySql =
+    """counts AS (
+      |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+      |    (SELECT MAX(h) FROM counts), INTERVAL 1 HOUR)) AS h),
+      |series AS (
+      |  SELECT spine.h AS h, COALESCE(counts.y, 0) AS y
+      |  FROM spine LEFT JOIN counts ON spine.h = counts.h)""".stripMargin
+
+  // q117 — burstiness / overdispersion per event type (the Fano factor:
+  // is arrival Poisson-like, clumpy, or metronomic? — decides whether
+  // q103's seasonal-naive error bars or st_anomaly's z thresholds are
+  // even calibrated): per-type ZERO-FILLED hourly counts (a type's
+  // silent hours are signal — the per-type spine is the global hour
+  // spine crossed with the type list, built from a 1-row span fit, so
+  // every type sees every hour), then n/mean/variance from exact
+  // integer power sums in one partial-aggregable pass over the
+  // |types|×|hours| surface; Fano = s²/x̄ and Goh–Barabási burstiness
+  // (σ−μ)/(σ+μ) as fixed IEEE expressions.
+  private val q117 = Q(
+    "q117_burstiness",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(eager = true)
+      val spine = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .crossJoin(counts.select(col("event_type")).distinct())
+      val series = spine.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), coalesce(col("y"), lit(0L)).as("y"))
+      val z = col("y").cast(DecimalType(38, 0))
+      series.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(z).cast("double").as("s1"),
+          sum(z * z).cast("double").as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1") / col("n").cast("double")).as("mean_per_hour"),
+          ((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+            (col("n").cast("double") - lit(1.0))).as("var_per_hour"))
+        .withColumn("fano", col("var_per_hour") / col("mean_per_hour"))
+        .withColumn("burstiness",
+          (sqrt(col("var_per_hour")) - col("mean_per_hour")) /
+            (sqrt(col("var_per_hour")) + col("mean_per_hour")))
+        .orderBy("event_type")
+    },
+    Some("""WITH counts AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.event_type, h.h
+      |  FROM (SELECT DISTINCT event_type FROM counts) t,
+      |       (SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+      |          (SELECT MAX(h) FROM counts), INTERVAL 1 HOUR)) AS h) h),
+      |series AS (
+      |  SELECT spine.event_type, COALESCE(counts.y, 0) AS y
+      |  FROM spine LEFT JOIN counts
+      |    ON spine.event_type = counts.event_type AND spine.h = counts.h),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS s2
+      |  FROM series GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mean_per_hour,
+      |    (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_per_hour
+      |  FROM g)
+      |SELECT event_type, n, mean_per_hour, var_per_hour,
+      |  var_per_hour / mean_per_hour AS fano,
+      |  (SQRT(var_per_hour) - mean_per_hour) / (SQRT(var_per_hour) + mean_per_hour) AS burstiness
+      |FROM st ORDER BY event_type""".stripMargin)
+  )
+
+  // q118 — peak detection on the hourly series (the "when did traffic
+  // spike" report — q108 flags residual ANOMALIES, this finds local
+  // MAXIMA): a peak is strictly greater than both neighbors at
+  // distances 1 and 2 AND above the global hourly mean (the 1-row fit
+  // broadcast as a literal-free cross join). All comparisons are on
+  // exact integers except the mean threshold, which both engines
+  // compute as the same IEEE division. Lag/lead run over the |hours|
+  // surface only.
+  private val q118 = Q(
+    "q118_peaks",
+    (s, d) => {
+      val series = hourlySeries(s, d)
+      val w = Window.orderBy(col("h"))
+      val mean = series.agg(
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("mu"))
+      series
+        .withColumn("y_m1", lag(col("y"), 1).over(w))
+        .withColumn("y_m2", lag(col("y"), 2).over(w))
+        .withColumn("y_p1", lead(col("y"), 1).over(w))
+        .withColumn("y_p2", lead(col("y"), 2).over(w))
+        .crossJoin(broadcast(mean))
+        .filter(col("y_m1").isNotNull && col("y_m2").isNotNull &&
+          col("y_p1").isNotNull && col("y_p2").isNotNull &&
+          col("y") > col("y_m1") && col("y") > col("y_m2") &&
+          col("y") > col("y_p1") && col("y") > col("y_p2") &&
+          col("y").cast("double") > col("mu"))
+        .select(col("h"), col("y"),
+          (col("y").cast("double") / col("mu")).as("rel_height"))
+        .orderBy("h")
+    },
+    Some(s"""WITH $hourlySql,
+      |m AS (SELECT CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu FROM series),
+      |n AS (
+      |  SELECT h, y,
+      |    LAG(y, 1) OVER (ORDER BY h) AS y_m1, LAG(y, 2) OVER (ORDER BY h) AS y_m2,
+      |    LEAD(y, 1) OVER (ORDER BY h) AS y_p1, LEAD(y, 2) OVER (ORDER BY h) AS y_p2
+      |  FROM series)
+      |SELECT h, y, CAST(y AS DOUBLE) / m.mu AS rel_height
+      |FROM n, m
+      |WHERE y_m1 IS NOT NULL AND y_m2 IS NOT NULL
+      |  AND y_p1 IS NOT NULL AND y_p2 IS NOT NULL
+      |  AND y > y_m1 AND y > y_m2 AND y > y_p1 AND y > y_p2
+      |  AND CAST(y AS DOUBLE) > m.mu
+      |ORDER BY h""".stripMargin)
+  )
+
+  // q119 — Mann–Kendall trend test on the hourly series (the
+  // NONPARAMETRIC companion of q82's OLS slope and q73's Theil–Sen
+  // estimate: is there a monotone trend at all, without assuming
+  // linearity or normality?): S = Σ sign(y_j − y_i) over all hour pairs
+  // — quadratic in |hours|, NEVER in events (8760 hours of a year is
+  // 38M pairs, a surface-sized self-join; the fact table reduced once)
+  // — tie-corrected variance from the value-ties table, z via the
+  // standard continuity correction. Everything integer until the final
+  // division; the trend CASE compares identical IEEE doubles.
+  private val q119 = Q(
+    "q119_mann_kendall",
+    (s, d) => {
+      val series = hourlySeries(s, d).select(unix_millis(col("h")).as("hm"), col("y"))
+      val a = series.select(col("hm").as("h1"), col("y").as("y1"))
+      val b = series.select(col("hm").as("h2"), col("y").as("y2"))
+      val sAgg = a.join(b, col("h1") < col("h2"))
+        .agg(sum(signum((col("y2") - col("y1")).cast("double")).cast("long")).as("s_stat"))
+      val nRow = series.agg(count(lit(1)).as("n"))
+      val ties = series.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)), lit(0L))
+          .as("tie_term"))
+      val nD = col("n").cast("double")
+      val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+        col("tie_term").cast("double")) / lit(18.0)
+      val sD = col("s_stat").cast("double")
+      sAgg.crossJoin(broadcast(nRow)).crossJoin(broadcast(ties))
+        .withColumn("var_s", varS)
+        .select(col("n"), col("s_stat"), col("var_s"),
+          when(col("s_stat") > 0L, (sD - lit(1.0)) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0L, (sD + lit(1.0)) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)).as("z"))
+        .withColumn("trend",
+          when(col("z") > lit(1.96), lit("increasing"))
+            .when(col("z") < lit(-1.96), lit("decreasing"))
+            .otherwise(lit("none")))
+    },
+    Some(s"""WITH $hourlySql,
+      |idx AS (SELECT epoch_ms(h) AS hm, y FROM series),
+      |sp AS (
+      |  SELECT CAST(SUM(CAST(SIGN(CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+      |  FROM idx a JOIN idx b ON a.hm < b.hm),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM series),
+      |tt AS (
+      |  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+      |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM series GROUP BY y)),
+      |v AS (
+      |  SELECT nn.n, sp.s_stat, tt.tie_term,
+      |    (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0) * (2.0 * CAST(nn.n AS DOUBLE) + 5.0)
+      |      - CAST(tt.tie_term AS DOUBLE)) / 18.0 AS var_s
+      |  FROM sp, nn, tt)
+      |SELECT n, s_stat, var_s,
+      |  CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_s)
+      |       WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_s)
+      |       ELSE 0.0 END AS z,
+      |  CASE WHEN (CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_s)
+      |                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_s)
+      |                  ELSE 0.0 END) > 1.96 THEN 'increasing'
+      |       WHEN (CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var_s)
+      |                  WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var_s)
+      |                  ELSE 0.0 END) < -1.96 THEN 'decreasing'
+      |       ELSE 'none' END AS trend
+      |FROM v""".stripMargin)
+  )
+
+  // q120 — daily-activity streaks per user (the "7-day streak" growth
+  // metric beside q109's cohort triangle): events reduce ONCE to the
+  // distinct (user, day) surface, the classic day-index-minus-row_number
+  // island key turns consecutive days into one group, and the only
+  // windows key on the HIGH-cardinality user_id — parallelism scales
+  // with users, islands partial-aggregate before the per-user max.
+  private val q120 = Q(
+    "q120_streaks",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("island", col("di") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    CAST(day - DATE '1970-01-01' AS BIGINT)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+
+  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

@@ -136,6 +136,94 @@ class RelationalESpec extends SparkSpec {
     assert(byCheck(("orders", "o_orderkey", "unique")) === 0L)
   }
 
+  private def localHourly(): Seq[Long] = {
+    val ev = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("h").collect()
+    val byHour = ev.map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    (ev.head.getTimestamp(0).getTime to ev.last.getTimestamp(0).getTime by 3600000L)
+      .map(h => byHour.getOrElse(h, 0L))
+  }
+
+  test("q117 burstiness: matches naive per-type hourly statistics") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val hours = (lo to hi by 3600000L)
+    val got = SparkEntry.queries("q117_burstiness")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    ev.groupBy(_._1).foreach { case (t, rows) =>
+      val byHour = rows.groupBy(_._2).map { case (h, o) => h -> o.size.toLong }
+      val ys = hours.map(h => byHour.getOrElse(h, 0L).toDouble)
+      val n = ys.size.toDouble
+      val mean = ys.sum / n
+      val v = ys.map(y => (y - mean) * (y - mean)).sum / (n - 1.0)
+      val (gn, gmean, gfano, gburst) = got(t)
+      assert(gn === ys.size.toLong)
+      assert(math.abs(gmean - mean) < 1e-9)
+      assert(math.abs(gfano - v / mean) < 1e-6, s"type $t fano")
+      assert(math.abs(gburst - (math.sqrt(v) - mean) / (math.sqrt(v) + mean)) < 1e-9)
+      assert(gburst > -1.0 && gburst < 1.0)
+    }
+  }
+
+  test("q118 peaks: exactly the strict local maxima above the mean") {
+    val ys = localHourly()
+    val mu = ys.map(_.toDouble).sum / ys.size
+    val want = (2 until ys.size - 2).filter { i =>
+      ys(i) > ys(i - 1) && ys(i) > ys(i - 2) &&
+        ys(i) > ys(i + 1) && ys(i) > ys(i + 2) && ys(i).toDouble > mu
+    }.map(i => ys(i)).toSeq
+    val got = SparkEntry.queries("q118_peaks")(spark, sf).orderBy("h").collect()
+      .map(_.getLong(1)).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "series should contain peaks")
+  }
+
+  test("q119 mann-kendall: S, variance and z match a naive pair walk") {
+    val ys = localHourly()
+    var s = 0L
+    for (i <- ys.indices; j <- i + 1 until ys.size)
+      s += java.lang.Long.signum(ys(j) - ys(i))
+    val n = ys.size.toDouble
+    val tie = ys.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum.toDouble
+    val v = (n * (n - 1.0) * (2.0 * n + 5.0) - tie) / 18.0
+    val z = if (s > 0) (s - 1.0) / math.sqrt(v)
+      else if (s < 0) (s + 1.0) / math.sqrt(v) else 0.0
+    val r = SparkEntry.queries("q119_mann_kendall")(spark, sf).head()
+    assert(r.getLong(0) === ys.size.toLong)
+    assert(r.getLong(1) === s, "S statistic")
+    assert(math.abs(r.getDouble(2) - v) < 1e-6)
+    assert(math.abs(r.getDouble(3) - z) < 1e-12)
+    val lbl = if (z > 1.96) "increasing" else if (z < -1.96) "decreasing" else "none"
+    assert(r.getString(4) === lbl)
+  }
+
+  test("q120 streaks: island lengths match a naive per-user walk") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val wantMap = days.groupBy(_._1).map { case (u, rows) =>
+      val ds = rows.map(_._2).sorted
+      var runs = List(1L)
+      for (i <- 1 until ds.length)
+        runs = if (ds(i) == ds(i - 1) + 1) (runs.head + 1) :: runs.tail
+               else 1L :: runs
+      u -> (ds.length.toLong, runs.length.toLong, runs.max)
+    }
+    val got = SparkEntry.queries("q120_streaks")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === wantMap)
+    got.values.foreach { case (nd, ns, longest) =>
+      assert(longest <= nd && ns >= 1 && longest >= 1)
+    }
+  }
+
   test("q114 triangles: census matches a local brute-force count") {
     // independent edge derivation + cubic triangle scan (graph is tiny
     // after the support floor)
