@@ -905,8 +905,41 @@ object MlC extends Module {
     None
   )
 
+  // ml_cost_threshold — cost-optimal operating point (the business end
+  // of ml_threshold_sweep: with asymmetric error costs, WHERE do we cut
+  // the score?): expected cost c_fp·FP + c_fn·FN per threshold over the
+  // SAME one-scan confusion surface the sweep builds (c_fp=1, c_fn=5 —
+  // a missed defaulter costs five false alarms), the argmin flagged
+  // with a smallest-threshold tiebreak. Costs are exact integers; only
+  // the per-row normalization is IEEE. Rows-only (model-dependent);
+  // MlSpec pins the argmin against a local recompute.
+  private val mlCostThreshold = Q(
+    "ml_cost_threshold",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+      val thr = preds.sparkSession.range(0, 21)
+        .select((col("id").cast("double") / 20.0).as("thr"))
+      val costs = preds.crossJoin(broadcast(thr))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("prob_1") >= col("thr") && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("prob_1") < col("thr") && col("label") === 1.0, 1L).otherwise(0L)).as("fn"),
+          count(lit(1)).as("n"))
+        .withColumn("cost", col("fp") * lit(1L) + col("fn") * lit(5L))
+      val w = Window.orderBy(col("cost"), col("thr")) // 21-row surface
+      costs
+        .withColumn("is_optimal", row_number().over(w) === 1)
+        .select(col("thr"), col("fp"), col("fn"), col("cost"),
+          (col("cost").cast("double") / col("n").cast("double")).as("cost_per_row"),
+          col("is_optimal"))
+        .orderBy("thr")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
-    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve)
+    mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,
+    mlCostThreshold)
 }

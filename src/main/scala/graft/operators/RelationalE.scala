@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables, Module}
+import graft.{Exact, Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -741,5 +741,78 @@ object RelationalE extends Module {
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
-  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+  // q121 — top-20 revenue rank churn between the first and second half
+  // of the shipping span (the "movers and shakers" BI report: who
+  // entered the top list, who left, who moved): the fact table reduces
+  // ONCE to the (half, part) cents surface, ranking windows run over
+  // that bounded |parts|-sized surface only (the q99 precedent — never
+  // a fact-table sort), and the half boundary is the integer midpoint
+  // of the span's epoch days so both engines split identically. Absent
+  // ranks stay NULL (a part outside one half's list), the status label
+  // is a CASE over exact integers.
+  private val q121 = Q(
+    "q121_rank_churn",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"),
+          datediff(col("l_shipdate"), lit("1970-01-01").cast("date")).cast("long").as("days"),
+          Exact.qzl(col("l_extendedprice"), 100.0).as("cents"))
+      val span = li.agg(min(col("days")).as("lo"), max(col("days")).as("hi")).head()
+      val mid = (span.getLong(0) + span.getLong(1)) / 2
+      val rev = li
+        .withColumn("half", when(col("days") <= mid, "prev").otherwise("cur"))
+        .groupBy(col("half"), col("pk"))
+        .agg(sum(col("cents")).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .cast("long").as("cents"))
+      // rank window over the |parts|-per-half surface (bounded); the
+      // 2-value partition key is fine BECAUSE the input is the reduced
+      // surface, never fact rows
+      val w = Window.partitionBy(col("half")).orderBy(col("cents").desc, col("pk"))
+      val ranked = rev.withColumn("rnk", row_number().over(w).cast("long"))
+      val prev = ranked.filter(col("half") === "prev")
+        .select(col("pk"), col("rnk").as("rank_prev"), col("cents").as("cents_prev"))
+      val cur = ranked.filter(col("half") === "cur")
+        .select(col("pk"), col("rnk").as("rank_cur"), col("cents").as("cents_cur"))
+      prev.join(cur, Seq("pk"), "full_outer")
+        .filter(col("rank_prev") <= 20 || col("rank_cur") <= 20)
+        .select(col("pk"), col("rank_prev"), col("rank_cur"),
+          col("cents_prev"), col("cents_cur"),
+          when(col("rank_prev").isNull || col("rank_prev") > 20, lit("entered"))
+            .when(col("rank_cur").isNull || col("rank_cur") > 20, lit("left"))
+            .when(col("rank_cur") < col("rank_prev"), lit("up"))
+            .when(col("rank_cur") > col("rank_prev"), lit("down"))
+            .otherwise(lit("flat")).as("status"))
+        .orderBy("pk")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS days,
+      |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |mid AS (SELECT (MIN(days) + MAX(days)) // 2 AS m FROM li),
+      |rev AS (
+      |  SELECT CASE WHEN days <= mid.m THEN 'prev' ELSE 'cur' END AS half, pk,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM li, mid GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT half, pk, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY half ORDER BY cents DESC, pk) AS BIGINT) AS rnk
+      |  FROM rev),
+      |p AS (SELECT pk, rnk AS rank_prev, cents AS cents_prev FROM ranked WHERE half = 'prev'),
+      |c AS (SELECT pk, rnk AS rank_cur, cents AS cents_cur FROM ranked WHERE half = 'cur'),
+      |j AS (
+      |  SELECT COALESCE(p.pk, c.pk) AS pk, rank_prev, rank_cur, cents_prev, cents_cur
+      |  FROM p FULL OUTER JOIN c ON p.pk = c.pk)
+      |SELECT pk, rank_prev, rank_cur, cents_prev, cents_cur,
+      |  CASE WHEN rank_prev IS NULL OR rank_prev > 20 THEN 'entered'
+      |       WHEN rank_cur IS NULL OR rank_cur > 20 THEN 'left'
+      |       WHEN rank_cur < rank_prev THEN 'up'
+      |       WHEN rank_cur > rank_prev THEN 'down'
+      |       ELSE 'flat' END AS status
+      |FROM j WHERE rank_prev <= 20 OR rank_cur <= 20
+      |ORDER BY pk""".stripMargin)
+  )
+
+  def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
+    q120, q121)
 }

@@ -410,7 +410,42 @@ object SimE extends Module {
       |FROM r GROUP BY pos ORDER BY pos""".stripMargin)
   )
 
+  // sim_truncate_eval — Matryoshka-style prefix-dimension evaluation
+  // (Kusupati et al. 2022: can the index serve from the first m
+  // coordinates and re-rank with the rest later?): recall@5 of
+  // exact cosine over the 16- and 32-dim PREFIXES against the full
+  // 64-dim truth, one row per dimension budget. Each budget is the same
+  // broadcast-query brute scan over SLICED vectors — the slice is a
+  // narrow map, the truth is computed once. Rows-only (a readout over
+  // our own index family); the 64-dim row anchors at exactly 1.0 in
+  // the spec.
+  private val simTruncate = Q(
+    "sim_truncate_eval",
+    (s, d) => {
+      import s.implicits._
+      val (q, c) = split(s, d)
+      val truth = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      val rows = Seq(16, 32, 64).map { m =>
+        val qm = q.withColumn("emb_m", slice(col("embedding"), 1, m))
+        val cm = c.withColumn("emb_m", slice(col("embedding"), 1, m))
+        val got = Similarity.bruteTopK(qm, cm, "vec_id", "emb_m", k = 5)
+          .select(col("query_id"), col("corpus_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+        val recalls = truth.map { case (qid, t) =>
+          got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+        }
+        (m.toLong, truth.size.toLong, recalls.sum / recalls.size)
+      }
+      rows.toDF("dims", "n_queries", "mean_recall")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
     embCentroid, simRange, embKnn, embPurity, embDimStats, simRecallEval,
-    embQuantize)
+    embQuantize, simTruncate)
 }

@@ -343,4 +343,21 @@ class MlSpec extends SparkSpec {
     // the full-train point must always be a real AUC
     assert(!a.last._3.isNaN)
   }
+  test("ml_cost_threshold: reconciles with the sweep, flags the exact argmin") {
+    val sweep = SparkEntry.queries("ml_threshold_sweep")(spark, sf).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val rows = SparkEntry.queries("ml_cost_threshold")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(rows.length === 21)
+    rows.foreach { case (thr, fp, fn, cost, _) =>
+      assert((fp, fn) === sweep(thr), s"confusion at thr=$thr")
+      assert(cost === fp + 5 * fn)
+    }
+    val optimal = rows.filter(_._5)
+    assert(optimal.length === 1, "exactly one operating point")
+    val minCost = rows.map(_._4).min
+    assert(optimal.head._4 === minCost)
+    assert(optimal.head._1 === rows.filter(_._4 == minCost).map(_._1).min,
+      "smallest-threshold tiebreak")
+  }
 }

@@ -214,4 +214,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q90_anova").contains("Window"))
     assert(!plan("q82_ols").contains("Window"))
   }
+  test("round-5 late-stint operators keep their scale shapes") {
+    // st_scd2: every window keys on the high-cardinality user_id
+    val pScd = plan("st_scd2")
+    assert(!pScd.contains("Exchange SinglePartition"), pScd)
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(pScd).isDefined, pScd)
+    // q120 streaks: island window keyed on user_id
+    val p120 = plan("q120_streaks")
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p120).isDefined, p120)
+    // q117 burstiness: pure aggregate pipeline — no Window at all
+    assert(!plan("q117_burstiness").contains("Window"))
+    // q113 item sim: count enrichments broadcast, never sort-merge
+    val p113 = plan("q113_item_sim")
+    assert("BroadcastHashJoin".r.findAllIn(p113).length >= 2, p113)
+    // q116 partial corr: single scan, no window
+    assert(scans(plan("q116_partial_corr")) === 1)
+    assert(!plan("q116_partial_corr").contains("Window"))
+  }
 }

@@ -72,6 +72,77 @@ class RelationalESpec extends SparkSpec {
     assert(got("w") === 2.0)
   }
 
+  test("weighted quantile property: 10 seeded adversarial mixtures match naive") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813)
+    val ps = Seq((1L, 4L, 0.25), (1L, 2L, 0.5), (3L, 4L, 0.75))
+    (1 to 10).foreach { trial =>
+      // point masses, uniform spans, heavy tails, heavy weights — fence
+      // thresholds land inside tie runs and inside single hot buckets
+      val rows = (0 until 3).flatMap { gi =>
+        val g = s"g$gi"
+        val n = 20 + rng.nextInt(200)
+        (0 until n).map { _ =>
+          val v = rng.nextInt(4) match {
+            case 0 => 10.0 + rng.nextInt(3)
+            case 1 => rng.nextDouble() * 100.0
+            case 2 => math.pow(10.0, 1 + rng.nextDouble() * 4)
+            case _ => 55.55
+          }
+          val w = if (rng.nextInt(10) == 0) 1L + rng.nextInt(500) else 1L + rng.nextInt(5)
+          (g, math.rint(v * 100.0) / 100.0, w)
+        }
+      }
+      val got = RelationalE.weightedQuantiles(rows.toDF("g", "x", "w"), ps)
+        .map(r => (r._1, r._2) -> r._3).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val xs = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val tw = xs.map(_._2).sum
+        ps.foreach { case (num, den, p) =>
+          val thr = (tw * num + den - 1) / den
+          var cum = 0L
+          val want = xs.find { case (_, w) => cum += w; cum >= thr }.get._1
+          assert(got((g, p)) === want, s"trial $trial group $g p=$p")
+        }
+      }
+    }
+  }
+
+  test("q121 rank churn: statuses match a naive half-split recompute") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date")).cast("long"),
+        col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100.0)))
+    val mid = (rows.map(_._2).min + rows.map(_._2).max) / 2
+    def ranks(half: Array[(Long, Long, Long)]): Map[Long, (Long, Long)] = {
+      val cents = half.groupBy(_._1).map { case (pk, rs) => pk -> rs.map(_._3).sum }
+      cents.toSeq.sortBy { case (pk, c) => (-c, pk) }.zipWithIndex
+        .map { case ((pk, c), i) => pk -> ((i + 1).toLong, c) }.toMap
+    }
+    val prev = ranks(rows.filter(_._2 <= mid))
+    val cur = ranks(rows.filter(_._2 > mid))
+    val want = (prev.keySet ++ cur.keySet)
+      .filter(pk => prev.get(pk).exists(_._1 <= 20) || cur.get(pk).exists(_._1 <= 20))
+      .map { pk =>
+        val rp = prev.get(pk).map(_._1); val rc = cur.get(pk).map(_._1)
+        val status =
+          if (rp.forall(_ > 20)) "entered"
+          else if (rc.forall(_ > 20)) "left"
+          else if (rc.get < rp.get) "up"
+          else if (rc.get > rp.get) "down" else "flat"
+        (pk, rp, rc, status)
+      }
+    val got = SparkEntry.queries("q121_rank_churn")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(5))).toSet
+    assert(got === want)
+    assert(got.exists(_._4 == "entered") || got.exists(_._4 == "left") ||
+      got.exists(t => t._4 == "up" || t._4 == "down"), "churn should be non-trivial")
+  }
+
   test("q112 plan: rank windows key on (group, bucket), never the group alone") {
     val p = SparkEntry.queries("q112_weighted_median")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -221,4 +221,17 @@ class SimilaritySpec extends SparkSpec {
       assert(nZero >= 0 && nZero <= n)
     }
   }
+  test("sim_truncate_eval: full-width anchors at 1.0, budgets bounded") {
+    val rows = SparkEntry.queries("sim_truncate_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === Set(16L, 32L, 64L))
+    val byDim = rows.map(r => r._1 -> r._3).toMap
+    assert(byDim(64L) === 1.0, "the 64-dim prefix IS the full vector")
+    rows.foreach { case (_, nq, rec) =>
+      assert(nq > 0 && rec >= 0.0 && rec <= 1.0)
+    }
+    val again = SparkEntry.queries("sim_truncate_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sameElements(again), "deterministic")
+  }
 }
