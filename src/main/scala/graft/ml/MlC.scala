@@ -937,9 +937,46 @@ object MlC extends Module {
     None
   )
 
+  // ml_brier — Brier score with the Murphy decomposition (reliability −
+  // resolution + uncertainty over 10 fixed probability bins — does the
+  // score come from bad calibration or weak discrimination?): one scan
+  // of the scored hold-out accumulates per-bin (n, Σp, Σy) plus the
+  // global Σ(p−y)²; the decomposition assembles on the 10-row surface.
+  // Rows-only (model scores); MlSpec pins the binned identity
+  // BS* = REL − RES + UNC exactly and reconciles UNC = ȳ(1−ȳ).
+  private val mlBrier = Q(
+    "ml_brier",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+        .withColumn("bin", least(floor(col("prob_1") * 10.0).cast("long"), lit(9L)))
+        .localCheckpoint(eager = true)
+      val bins = preds.groupBy(col("bin"))
+        .agg(count(lit(1)).as("nb"), sum(col("prob_1")).as("sp"),
+          sum(col("label")).as("sy"))
+        .localCheckpoint(eager = true)
+      val tot = preds.agg(count(lit(1)).as("n"),
+        sum((col("prob_1") - col("label")) * (col("prob_1") - col("label"))).as("sse"),
+        sum(col("label")).as("pos"))
+      val g = tot.head()
+      val (n, sse, pos) = (g.getLong(0), g.getDouble(1), g.getDouble(2))
+      val yBar = pos / n
+      val parts = bins.collect().map { r =>
+        val (nb, sp, sy) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+        val (pb, yb) = (sp / nb, sy / nb)
+        (nb * (pb - yb) * (pb - yb), nb * (yb - yBar) * (yb - yBar))
+      }
+      val rel = parts.map(_._1).sum / n
+      val res = parts.map(_._2).sum / n
+      import s.implicits._
+      Seq((n, sse / n, rel, res, yBar * (1.0 - yBar)))
+        .toDF("n", "brier", "reliability", "resolution", "uncertainty")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,
-    mlCostThreshold)
+    mlCostThreshold, mlBrier)
 }

@@ -35,6 +35,23 @@ object Kmv {
     if (mins.length < k) mins.length.toDouble
     else (k - 1).toDouble / (BigDecimal(mins.max) / Max).toDouble
 
+  /** Sketch-cube re-aggregation: fine-grained sketches (one per
+    * (coarse, fine) cell) merge into coarse sketches WITHOUT rescanning
+    * the fact table — the merge explodes sketch entries (≤ cells·k
+    * rows, metadata-sized) back through the same bounded KMV aggregate,
+    * and KMV union is EXACT (the k smallest of the combined sets), so
+    * the rolled-up sketch equals the sketch built directly at the
+    * coarse grain. This is the pre-aggregated-distinct cube pattern:
+    * sketch per hour once, answer day/week/month distinct questions
+    * from sketches forever after.
+    */
+  def rollup(fine: DataFrame, coarse: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(fine.sparkSession)
+    fine.select(col(coarse), explode(col("mins")).as("h"))
+      .groupBy(col(coarse))
+      .agg(call_function("graft_kmv_agg", col("h"), lit(k)).as("mins"))
+  }
+
   /** Pairwise overlap table from the bounded sketch collection:
     * (g_a, g_b, est_distinct_a, est_distinct_b, est_jaccard,
     * est_union, est_intersection). Union sketches merge exactly

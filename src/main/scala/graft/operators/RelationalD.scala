@@ -825,6 +825,36 @@ object RelationalD extends Module {
     None
   )
 
+  // ap_sketch_rollup — the distinct-count CUBE via mergeable sketches:
+  // per-(day, hour) KMV sketches of active users built in ONE pass of
+  // events, then rolled up to per-day estimates by re-aggregating
+  // SKETCH ENTRIES (≤ cells·k metadata rows — the fact table is never
+  // rescanned). KMV union is exact, so the rolled-up sketch EQUALS the
+  // directly-built day sketch (ApproxSpec pins this and the
+  // exact-below-k estimate) — the pattern that answers day/week/month
+  // distinct-user questions at 100 TB from hourly sketch storage.
+  // Rows-only (sketch estimates aren't SQL).
+  private val apSketchRollup = Q(
+    "ap_sketch_rollup",
+    (s, d) => {
+      import s.implicits._
+      val k = 256
+      val ev = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"),
+          date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+        .withColumn("cell", concat_ws("|", col("day"), col("hour")))
+      val hourly = Kmv.sketches(ev, "cell", "user_id", k)
+        .withColumn("day", split(col("cell"), "\\|").getItem(0))
+      val daily = Kmv.rollup(hourly, "day", k)
+      val rows = daily.collect()
+        .map(r => (r.getString(0), r.getSeq[Long](1).toVector))
+        .sortBy(_._1)
+        .map { case (day, mins) => (day, mins.length.toLong, Kmv.estimate(mins, k)) }
+      rows.toSeq.toDF("day", "sketch_size", "est_distinct_users").orderBy("day")
+    },
+    None
+  )
+
   // q96 — share-of-parent contribution table (the BI "percent of total"
   // readout): revenue per (region, nation) with each nation's share of
   // its region and each region's share of the world, in ONE pass — the
@@ -1545,5 +1575,5 @@ object RelationalD extends Module {
 
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, apKmv)
+    q106, q107, q108, q109, q110, apKmv, apSketchRollup)
 }

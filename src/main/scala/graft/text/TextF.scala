@@ -875,8 +875,53 @@ object TextF extends Module {
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
   )
 
+  // tx_kappa — Cohen's kappa of the cheap language detector against
+  // the labels (chance-corrected agreement: tx_lang_confusion shows
+  // WHERE it errs, kappa says whether it beats guessing the marginal
+  // mix at all): observed agreement and the marginal-product expected
+  // agreement both come from exact integer counts on the |langs|-row
+  // marginal surfaces; kappa is one fixed IEEE expression. One pass
+  // over the shared scored surface.
+  private val txKappa = Q(
+    "tx_kappa",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val scored = langScored(s, d).select(col("lang"), col("pred_lang"))
+        .localCheckpoint(eager = true)
+      val tot = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("agree"))
+      val rows = scored.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nr"))
+      val cols = scored.groupBy(col("pred_lang").as("l")).agg(count(lit(1)).as("nc"))
+      val peNum = rows.join(cols, "l")
+        .agg(sum((col("nr") * col("nc")).cast(DecimalType(38, 0)))
+          .cast("double").as("pe_num"))
+      val nD = col("n").cast("double")
+      tot.crossJoin(broadcast(peNum))
+        .select(col("n"), col("agree"),
+          (col("agree").cast("double") / nD).as("po"),
+          (col("pe_num") / (nD * nD)).as("pe"))
+        .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+    },
+    Some(s"""WITH $langScoredSql,
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      |  FROM pred),
+      |r AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS nr FROM pred GROUP BY 1),
+      |c AS (SELECT pred_lang AS l, CAST(COUNT(*) AS BIGINT) AS nc FROM pred GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(SUM(CAST(nr AS HUGEINT) * CAST(nc AS HUGEINT)) AS DOUBLE) AS pe_num
+      |  FROM r JOIN c USING (l)),
+      |m AS (
+      |  SELECT n, agree,
+      |    CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |    pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+      |  FROM t, p)
+      |SELECT n, agree, po, pe, (po - pe) / (1.0 - pe) AS kappa FROM m""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
     txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
-    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures, txBm25)
+    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures, txBm25, txKappa)
 }

@@ -134,4 +134,35 @@ class ApproxSpec extends SparkSpec {
         s"trial $trial: |B| ${r.getDouble(3)} vs $nB")
     }
   }
+  test("kmv sketch rollup: merged hourly sketches equal the direct day sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Kmv
+    val k = 64
+    val ev = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .withColumn("cell", concat_ws("|", col("day"), col("hour")))
+    val hourly = Kmv.sketches(ev, "cell", "user_id", k)
+      .withColumn("day", split(col("cell"), "\\|").getItem(0))
+    val rolled = Kmv.rollup(hourly, "day", k).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toVector.sorted).toMap
+    val direct = Kmv.sketches(
+        ev.withColumn("dayKey", col("day").cast("string")), "dayKey", "user_id", k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toVector.sorted).toMap
+    assert(rolled.keySet === direct.keySet)
+    rolled.foreach { case (day, mins) =>
+      assert(mins === direct(day), s"day $day: rollup must equal the direct sketch")
+    }
+    // below k the sketch is exhaustive: estimates are EXACT distincts
+    val exact = ev.groupBy(col("day").cast("string").as("d"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rolled.foreach { case (day, mins) =>
+      if (mins.length < k)
+        assert(Kmv.estimate(mins, k) === exact(day).toDouble, s"day $day exact path")
+    }
+    // the operator's output agrees with the rolled sketches it dumps
+    val op = SparkEntry.queries("ap_sketch_rollup")(spark, sf).collect()
+    assert(op.length === rolled.size)
+  }
 }

@@ -360,4 +360,27 @@ class MlSpec extends SparkSpec {
     assert(optimal.head._1 === rows.filter(_._4 == minCost).map(_._1).min,
       "smallest-threshold tiebreak")
   }
+  test("ml_brier: Murphy decomposition reconciles with a local recompute") {
+    val r = SparkEntry.queries("ml_brier")(spark, sf).head()
+    val (n, brier, rel, res, unc) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val preds = graft.ml.MlC.logregPredictions(spark, sf)
+      .select("prob_1", "label").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(n === preds.length.toLong)
+    val want = preds.map { case (p, y) => (p - y) * (p - y) }.sum / preds.length
+    assert(math.abs(brier - want) < 1e-12)
+    val yBar = preds.map(_._2).sum / preds.length
+    assert(math.abs(unc - yBar * (1.0 - yBar)) < 1e-12)
+    assert(rel >= 0.0 && res >= 0.0 && brier >= 0.0 && brier <= 1.0)
+    // the BINNED identity: scoring with bin-mean predictions gives
+    // exactly REL - RES + UNC
+    val bins = preds.groupBy { case (p, _) => math.min((p * 10.0).toInt, 9) }
+    val bsStar = bins.values.map { v =>
+      val pb = v.map(_._1).sum / v.size
+      v.map { case (_, y) => (pb - y) * (pb - y) }.sum
+    }.sum / preds.length
+    assert(math.abs(bsStar - (rel - res + unc)) < 1e-9,
+      s"binned identity: $bsStar vs ${rel - res + unc}")
+  }
 }

@@ -132,4 +132,27 @@ class TextSpec extends SparkSpec {
       assert(all.count(_ > floor) < 3, s"doc $id missed a better term")
     }
   }
+  test("tx_kappa: chance-corrected agreement reconciles with the confusion matrix") {
+    val r = SparkEntry.queries("tx_kappa")(spark, sf).head()
+    val (n, agree, po, pe, kappa) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    // recompute from the raw scored surface
+    val scored = SparkEntry.queries("tx_lang_id")(spark, sf)
+      .select("doc_id", "pred_lang").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val labels = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val pairs = labels.toSeq.map { case (id, l) => (l, scored(id)) }
+    assert(n === pairs.size.toLong)
+    assert(agree === pairs.count(p => p._1 == p._2).toLong)
+    val nn = pairs.size.toDouble
+    val rowM = pairs.groupBy(_._1).map { case (l, v) => l -> v.size.toDouble }
+    val colM = pairs.groupBy(_._2).map { case (l, v) => l -> v.size.toDouble }
+    val peWant = rowM.keySet.intersect(colM.keySet)
+      .map(l => rowM(l) * colM(l)).sum / (nn * nn)
+    assert(math.abs(po - agree / nn) < 1e-15)
+    assert(math.abs(pe - peWant) < 1e-12)
+    assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-12)
+    assert(kappa <= po + 1e-12 && kappa >= -1.0 && kappa <= 1.0)
+  }
 }
