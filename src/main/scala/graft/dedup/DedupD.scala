@@ -566,7 +566,63 @@ object DedupD extends Module {
       |ORDER BY doc_id""".stripMargin)
   )
 
+  // dd_weighted_jaccard — term-frequency-weighted Jaccard per candidate
+  // pair (Σ min(tf_A,tf_B) / Σ max(tf_A,tf_B) — the multiset overlap
+  // that catches repetition-heavy near-dups the SET Jaccard of
+  // dd_ngram_jaccard flattens away): Σmax never materializes — it is
+  // totA + totB − Σmin, so one equi-join on the token key within the
+  // candidate surface plus two broadcast doc-total lookups computes the
+  // score from exact integers; pairs sharing no tokens keep Σmin = 0
+  // via the left join from the totals cross. Same bounded doc_id < 40
+  // candidate stand-in as the other pairwise dedup oracles.
+  private val ddWeightedJaccard = Q(
+    "dd_weighted_jaccard",
+    (s, d) => {
+      val toks = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = true)
+      val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
+      val a = tf.select(col("doc_id").as("id_a"), col("t"), col("tf").as("tf_a"))
+      val b = tf.select(col("doc_id").as("id_b"), col("t").as("t_b"), col("tf").as("tf_b"))
+      val smin = a.join(b, col("t") === col("t_b") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(least(col("tf_a"), col("tf_b"))).as("sum_min"))
+      val ta = tot.select(col("doc_id").as("id_a"), col("tot").as("tot_a"))
+      val tb = tot.select(col("doc_id").as("id_b"), col("tot").as("tot_b"))
+      ta.join(tb, col("id_a") < col("id_b"))
+        .join(smin, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("sum_min"), lit(0L)).as("sum_min"),
+          (col("tot_a") + col("tot_b") - coalesce(col("sum_min"), lit(0L))).as("sum_max"))
+        .withColumn("weighted_jaccard",
+          col("sum_min").cast("double") / col("sum_max").cast("double"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents WHERE doc_id < 40)
+      |  WHERE length(t) > 0),
+      |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+      |smin AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS sum_min
+      |  FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT ta.doc_id AS id_a, tb.doc_id AS id_b,
+      |  COALESCE(sum_min, 0) AS sum_min,
+      |  ta.tot + tb.tot - COALESCE(sum_min, 0) AS sum_max,
+      |  CAST(COALESCE(sum_min, 0) AS DOUBLE)
+      |    / CAST(ta.tot + tb.tot - COALESCE(sum_min, 0) AS DOUBLE) AS weighted_jaccard
+      |FROM tot ta JOIN tot tb ON ta.doc_id < tb.doc_id
+      |LEFT JOIN smin ON smin.id_a = ta.doc_id AND smin.id_b = tb.doc_id
+      |ORDER BY id_a, id_b""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddLshCalibrate, ddSimhash,
     ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
-    ddEmbedCosine, ddWinnowPairs, ddClusterSizes, ddDupWeights)
+    ddEmbedCosine, ddWinnowPairs, ddClusterSizes, ddDupWeights, ddWeightedJaccard)
 }

@@ -974,9 +974,41 @@ object MlC extends Module {
     None
   )
 
+  // ml_ks_separation — the credit-scoring KS statistic (max separation
+  // between the positive and negative score CDFs, read on the same
+  // 21-threshold operating grid as ml_threshold_sweep — the banker's
+  // one-number discrimination summary next to ml_auc's rank view):
+  // KS = max(TPR − FPR) over the grid, with the achieving threshold;
+  // one conditional-aggregate scan of the scored hold-out, argmax on
+  // the 21-row surface with a smallest-threshold tiebreak. Rows-only;
+  // MlSpec reconciles against the sweep's TPR/FPR columns.
+  private val mlKs = Q(
+    "ml_ks_separation",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+      val thr = preds.sparkSession.range(0, 21)
+        .select((col("id").cast("double") / 20.0).as("thr"))
+      val counts = preds.crossJoin(broadcast(thr))
+        .groupBy(col("thr"))
+        .agg(
+          sum(when(col("prob_1") >= col("thr") && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("prob_1") >= col("thr") && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("pos"),
+          sum(when(col("label") === 0.0, 1L).otherwise(0L)).as("neg"))
+        .withColumn("sep", col("tp").cast("double") / col("pos").cast("double") -
+          col("fp").cast("double") / col("neg").cast("double"))
+      val w = Window.orderBy(col("sep").desc, col("thr")) // 21-row surface
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("thr").as("ks_threshold"), col("sep").as("ks"),
+          col("pos"), col("neg"))
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,
-    mlCostThreshold, mlBrier)
+    mlCostThreshold, mlBrier, mlKs)
 }

@@ -813,6 +813,61 @@ object RelationalE extends Module {
       |ORDER BY pk""".stripMargin)
   )
 
+  // q122 — Bowley (quartile) skewness + quartile coefficient of
+  // dispersion per order priority (the ROBUST shape readout where
+  // q57's moment skewness is outlier-hostage — pure quartile
+  // arithmetic, no powers of extreme values): quartiles come from the
+  // SAME grouped bucket-histogram selection as q33/q111 (one scan, no
+  // per-group sort), the two shape ratios are fixed IEEE expressions
+  // over the interpolated fences, identical in both engines.
+  private val q122 = Q(
+    "q122_bowley",
+    (s, d) => {
+      import s.implicits._
+      val src = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("x"))
+      val qv = Quantiles.groupedExactQuantiles(src, "g", "x", Seq(0.25, 0.5, 0.75))
+        .groupBy(_._1).toSeq
+        .map { case (g, rows) =>
+          val m = rows.map(r => r._2 -> r._3).toMap
+          val (q1, q2, q3) = (m(0.25), m(0.5), m(0.75))
+          (g, q1, q2, q3,
+            (q1 + q3 - 2.0 * q2) / (q3 - q1),
+            (q3 - q1) / (q3 + q1))
+        }
+      qv.toDF("o_orderpriority", "q1", "median", "q3", "bowley_skew", "quartile_disp")
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH src AS (
+      |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x FROM orders),
+      |r AS (
+      |  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn FROM src),
+      |n AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS cnt FROM src GROUP BY 1),
+      |p AS (
+      |  SELECT g, cnt, q, q * (cnt - 1.0) AS h,
+      |    CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |    LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |  FROM n, (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL SELECT CAST(0.5 AS DOUBLE)
+      |           UNION ALL SELECT CAST(0.75 AS DOUBLE)) qs),
+      |b AS (
+      |  SELECT p.g, p.q, p.h,
+      |    MAX(CASE WHEN r.rn = p.rlo THEN r.x END) AS x_lo,
+      |    MAX(CASE WHEN r.rn = p.rhi THEN r.x END) AS x_hi
+      |  FROM r JOIN p ON r.g = p.g AND (r.rn = p.rlo OR r.rn = p.rhi)
+      |  GROUP BY 1, 2, 3),
+      |q AS (SELECT g, q AS p, x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS v FROM b),
+      |w AS (
+      |  SELECT g,
+      |    MAX(CASE WHEN p = 0.25 THEN v END) AS q1,
+      |    MAX(CASE WHEN p = 0.5 THEN v END) AS median,
+      |    MAX(CASE WHEN p = 0.75 THEN v END) AS q3
+      |  FROM q GROUP BY g)
+      |SELECT g AS o_orderpriority, q1, median, q3,
+      |  (q1 + q3 - 2.0 * median) / (q3 - q1) AS bowley_skew,
+      |  (q3 - q1) / (q3 + q1) AS quartile_disp
+      |FROM w ORDER BY o_orderpriority""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121)
+    q120, q121, q122)
 }

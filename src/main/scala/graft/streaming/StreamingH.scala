@@ -678,6 +678,62 @@ object Streaming {
       }
   }
 
+  case class GapRow(event_type: String, h: java.sql.Timestamp,
+      n_events: Long, ffill_value: Double)
+
+  case class GapState(curHour: Long, n: Long, sumMillis: Long)
+
+  /** Streaming twin of st_gap_fill's per-type hourly resample+ffill:
+    * ONE (current hour, count, exact milli-sum) state row per type.
+    * When an event opens a later hour, the closed hour emits with its
+    * own sum and every HOLE hour in between emits (0, carried sum) —
+    * the forward fill happens at emission time, from state, with no
+    * spine join. The open hour re-emits refreshed each batch, so an
+    * upsert-by-(type, hour) sink converges to the batch surface over
+    * each type's own observed span (the batch's global-span lead-in
+    * rows before a type's first event need a global watermark a
+    * per-key twin cannot see — the spec compares within-span). State is
+    * O(types); a production deployment would pre-reduce events to
+    * (type, hour) partials upstream of the stateful op.
+    */
+  def gapFillStream(events: Dataset[CdcEvent]): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def hourOf(t: java.sql.Timestamp): Long = t.getTime / 3600000L
+    def tsOf(h: Long): java.sql.Timestamp = new java.sql.Timestamp(h * 3600000L)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[GapState, GapRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (typ: String, evs: Iterator[CdcEvent], state: GroupState[GapState]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ListBuffer[GapRow]()
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val h = hourOf(e.ts)
+            val v = math.round(e.value * 1000.0)
+            st match {
+              case Some(g) if h == g.curHour =>
+                st = Some(g.copy(n = g.n + 1, sumMillis = g.sumMillis + v))
+              case Some(g) if h > g.curHour =>
+                out += GapRow(typ, tsOf(g.curHour), g.n, g.sumMillis.toDouble / 1000.0)
+                ((g.curHour + 1) until h).foreach { hole =>
+                  out += GapRow(typ, tsOf(hole), 0L, g.sumMillis.toDouble / 1000.0)
+                }
+                st = Some(GapState(h, 1L, v))
+              case Some(_) => // late event before the open hour: in-order contract
+              case None => st = Some(GapState(h, 1L, v))
+            }
+          }
+          st.foreach { g =>
+            state.update(g)
+            out += GapRow(typ, tsOf(g.curHour), g.n, g.sumMillis.toDouble / 1000.0)
+          }
+          out.iterator
+      }
+  }
+
   case class FunnelRow(user_id: Long, t_view: Option[java.sql.Timestamp],
       t_click: Option[java.sql.Timestamp],
       t_purchase: Option[java.sql.Timestamp], stage: Int)

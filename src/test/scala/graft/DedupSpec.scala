@@ -237,4 +237,25 @@ class DedupSpec extends SparkSpec {
     val tps = rows.map(_._2)
     assert(tps.zip(tps.tail).forall { case (a, b) => b <= a })
   }
+  test("dd_weighted_jaccard: multiset overlap matches a local tf walk, bounds set jaccard") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq)
+      .toMap
+    def tf(id: Long): Map[String, Long] =
+      docs(id).groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val got = SparkEntry.queries("dd_weighted_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === docs.size * (docs.size - 1) / 2, "every candidate pair present")
+    got.foreach { case (a, b, smin, smax, wj) =>
+      val (ta, tb) = (tf(a), tf(b))
+      val keys = ta.keySet ++ tb.keySet
+      val wantMin = keys.toSeq.map(k => math.min(ta.getOrElse(k, 0L), tb.getOrElse(k, 0L))).sum
+      val wantMax = keys.toSeq.map(k => math.max(ta.getOrElse(k, 0L), tb.getOrElse(k, 0L))).sum
+      assert(smin === wantMin, s"pair ($a,$b) min")
+      assert(smax === wantMax, s"pair ($a,$b) max")
+      assert(wj === wantMin.toDouble / wantMax.toDouble)
+      assert(wj >= 0.0 && wj <= 1.0)
+    }
+  }
 }

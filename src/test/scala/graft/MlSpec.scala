@@ -383,4 +383,15 @@ class MlSpec extends SparkSpec {
     assert(math.abs(bsStar - (rel - res + unc)) < 1e-9,
       s"binned identity: $bsStar vs ${rel - res + unc}")
   }
+  test("ml_ks_separation: equals the sweep's max TPR-FPR with its threshold") {
+    val sweep = SparkEntry.queries("ml_threshold_sweep")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(6), r.getDouble(7))) // thr, recall=TPR, fpr
+    val best = sweep.map { case (t, tpr, fpr) => (t, tpr - fpr) }
+      .sortBy { case (t, sep) => (-sep, t) }.head
+    val r = SparkEntry.queries("ml_ks_separation")(spark, sf).head()
+    assert(r.getDouble(0) === best._1, "argmax threshold")
+    assert(math.abs(r.getDouble(1) - best._2) < 1e-12, "KS value")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0)
+  }
 }

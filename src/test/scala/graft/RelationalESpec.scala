@@ -327,4 +327,28 @@ class RelationalESpec extends SparkSpec {
     val expClust = if (wedges == 0) 0.0 else 3.0 * tris / wedges
     assert(math.abs(r.getDouble(4) - expClust) < 1e-12)
   }
+  test("q122 bowley: shape ratios match naive quartiles and bound correctly") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def quart(g: String, p: Double): Double = {
+      val xs = rows.filter(_._1 == g).map(_._2).sorted
+      val h = p * (xs.length - 1.0)
+      val lo = xs(math.floor(h).toInt)
+      val hi = xs(math.min(math.floor(h).toInt + 1, xs.length - 1))
+      lo + (hi - lo) * (h - math.floor(h))
+    }
+    val got = SparkEntry.queries("q122_bowley")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val g = r.getString(0)
+      val (q1, q2, q3) = (quart(g, 0.25), quart(g, 0.5), quart(g, 0.75))
+      assert(math.abs(r.getDouble(1) - q1) < 1e-9)
+      assert(math.abs(r.getDouble(2) - q2) < 1e-9)
+      assert(math.abs(r.getDouble(3) - q3) < 1e-9)
+      assert(math.abs(r.getDouble(4) - (q1 + q3 - 2.0 * q2) / (q3 - q1)) < 1e-12)
+      assert(r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0, "bowley bounded")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0, "dispersion ratio")
+    }
+  }
 }

@@ -627,6 +627,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap-fill converges to the batch surface over each type's span") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => Streaming.CdcEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order delivery contract
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.CdcEvent]
+    val q = Streaming.gapFillStream(input.toDS())
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode("update").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // upsert: last emission per (type, hour) — re-emitted open hours
+      // grow monotonically, so max n_events is the final state
+      val emissions = spark.table("gapfill").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      val streamed = emissions.groupBy(e => (e._1, e._2)).map { case (_, rows) =>
+        rows.maxBy(_._3)
+      }.map(e => (e._1, e._2, e._3, e._4)).toSet
+      // each type's observed span (the twin cannot know the global spine)
+      val spans = evs.groupBy(_.event_type).map { case (t, es) =>
+        t -> (es.map(e => e.ts.getTime / 3600000L).min, es.map(e => e.ts.getTime / 3600000L).max)
+      }
+      val batch = SparkEntry.queries("st_gap_fill")(spark, sf).collect()
+        .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+        .filter { case (t, hm, _, _) =>
+          val (lo, hi) = spans(t); val h = hm / 3600000L
+          h >= lo && h <= hi
+        }.toSet
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming SCD2 versions converge to the batch table across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
