@@ -868,6 +868,121 @@ object RelationalE extends Module {
       |FROM w ORDER BY o_orderpriority""".stripMargin)
   )
 
+  // q123 — Cohen's d effect-size matrix between all segment pairs (the
+  // "how big is the difference" companion to q64's Welch t and q90's
+  // ANOVA — significance without magnitude misleads at 100 TB, where
+  // everything is significant): per-segment exact grid moments in ONE
+  // scan to the 5-row surface, the 10 pair rows a self-join ON THAT
+  // SURFACE, d and the pooled sd fixed IEEE expressions. d is
+  // scale-invariant so the whole computation stays in grid units; only
+  // the reported mean difference divides the grid out.
+  private val q123 = Q(
+    "q123_cohens_d",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val z = Exact.qzl(col("c_acctbal"), 1000.0).cast(DecimalType(38, 0))
+      val m = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(z).cast("double").as("s1"),
+          sum(z * z).cast("double").as("s2"))
+        .localCheckpoint(eager = true)
+      val a = m.select(col("seg").as("seg_a"), col("n").as("n_a"),
+        col("s1").as("s1_a"), col("s2").as("s2_a"))
+      val b = m.select(col("seg").as("seg_b"), col("n").as("n_b"),
+        col("s1").as("s1_b"), col("s2").as("s2_b"))
+      def nD(c: Column) = c.cast("double")
+      val mA = col("s1_a") / nD(col("n_a")); val mB = col("s1_b") / nD(col("n_b"))
+      val ssA = col("s2_a") - col("s1_a") * col("s1_a") / nD(col("n_a"))
+      val ssB = col("s2_b") - col("s1_b") * col("s1_b") / nD(col("n_b"))
+      val pooled = sqrt((ssA + ssB) / (nD(col("n_a")) + nD(col("n_b")) - lit(2.0)))
+      a.join(b, col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          ((mA - mB) / lit(1000.0)).as("mean_diff"),
+          ((mA - mB) / pooled).as("cohens_d"))
+        .orderBy("seg_a", "seg_b")
+    },
+    Some("""WITH m AS (
+      |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT) * CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) AS DOUBLE) AS s2
+      |  FROM customer GROUP BY 1)
+      |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+      |  (a.s1 / CAST(a.n AS DOUBLE) - b.s1 / CAST(b.n AS DOUBLE)) / 1000.0 AS mean_diff,
+      |  (a.s1 / CAST(a.n AS DOUBLE) - b.s1 / CAST(b.n AS DOUBLE))
+      |    / SQRT(((a.s2 - a.s1 * a.s1 / CAST(a.n AS DOUBLE))
+      |           + (b.s2 - b.s1 * b.s1 / CAST(b.n AS DOUBLE)))
+      |           / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)) AS cohens_d
+      |FROM m a JOIN m b ON a.seg < b.seg
+      |ORDER BY seg_a, seg_b""".stripMargin)
+  )
+
+  // q124 — trailing-24h rolling correlation between two metrics (do
+  // clicks and purchases move together, and WHEN do they decouple? —
+  // the dashboard companion of q68's fixed-lag ACF): both series come
+  // from one scan to the shared zero-filled hourly surface, the five
+  // window sums are exact BIGINTs over ROWS 23 PRECEDING on that
+  // surface only, r is one fixed IEEE expression, zero-variance
+  // windows are NULL, and only full windows emit.
+  private val q124 = Q(
+    "q124_rolling_corr",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .localCheckpoint(eager = true)
+      val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .join(counts, Seq("h"), "left")
+        .select(col("h"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val w = Window.orderBy(col("h")).rowsBetween(-23, Window.currentRow)
+      val n = lit(24.0)
+      def sD(c: Column) = sum(c).over(w).cast("double")
+      val (sx, sy) = (sD(col("x")), sD(col("y")))
+      val (sxx, syy, sxy) =
+        (sD(col("x") * col("x")), sD(col("y") * col("y")), sD(col("x") * col("y")))
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      series
+        .withColumn("rn", count(lit(1)).over(w))
+        .withColumn("r24",
+          when(vx > 0.0 && vy > 0.0, (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))))
+        .filter(col("rn") === 24)
+        .select(col("h"), col("x"), col("y"), col("r24"))
+        .orderBy("h")
+    },
+    Some("""WITH counts AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+      |    (SELECT MAX(h) FROM counts), INTERVAL 1 HOUR)) AS h),
+      |series AS (
+      |  SELECT spine.h AS h, COALESCE(counts.x, 0) AS x, COALESCE(counts.y, 0) AS y
+      |  FROM spine LEFT JOIN counts ON spine.h = counts.h),
+      |win AS (
+      |  SELECT h, x, y,
+      |    COUNT(*) OVER w AS rn,
+      |    CAST(SUM(x) OVER w AS DOUBLE) AS sx, CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+      |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+      |    CAST(SUM(y * y) OVER w AS DOUBLE) AS syy,
+      |    CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy
+      |  FROM series
+      |  WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT h, x, y,
+      |  CASE WHEN (24.0 * sxx - sx * sx) > 0.0 AND (24.0 * syy - sy * sy) > 0.0
+      |    THEN (24.0 * sxy - sx * sy)
+      |      / (SQRT(24.0 * sxx - sx * sx) * SQRT(24.0 * syy - sy * sy))
+      |  END AS r24
+      |FROM win WHERE rn = 24 ORDER BY h""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122)
+    q120, q121, q122, q123, q124)
 }

@@ -167,6 +167,49 @@ object Sources {
     Files.walk(backup).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => Files.deleteIfExists(p))
   }
+
+  /** Morton (Z-order) interleave of two 16-bit bucket ids as a pure
+    * Column expression — bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1, so rows close in BOTH dimensions stay close in the
+    * one-dimensional sort key.
+    */
+  private def morton16(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      (shiftleft(shiftright(a, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(1L), 2 * i + 1)).cast("long")
+    }.reduce(_ + _)
+
+  /** Z-order-clustered parquet write on two numeric columns (the
+    * OPTIMIZE ZORDER of table formats, minus the log): each column
+    * range-buckets to 16 bits against its own [min, max] (one tiny fit
+    * scan), the Morton interleave becomes the range-partition + in-file
+    * sort key, and the result is that a predicate box on EITHER OR BOTH
+    * dimensions overlaps few files' (min, max) footers — multi-column
+    * locality a single-column sort cannot give. The `_z` key column is
+    * dropped before landing; at cluster scale `nFiles` is the target
+    * file budget and footer pruning does the rest.
+    */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, least, lit, width_bucket}
+    val fit = df.agg(
+      org.apache.spark.sql.functions.min(col(colA)).cast("double"),
+      org.apache.spark.sql.functions.max(col(colA)).cast("double"),
+      org.apache.spark.sql.functions.min(col(colB)).cast("double"),
+      org.apache.spark.sql.functions.max(col(colB)).cast("double")).head()
+    val (loA, hiA, loB, hiB) =
+      (fit.getDouble(0), fit.getDouble(1), fit.getDouble(2), fit.getDouble(3))
+    def bucket(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(65536)) - 1L,
+        lit(65535L))
+    val z = morton16(bucket(col(colA), loA, hiA), bucket(col(colB), loB, hiB))
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
 
 /** q19 — semi-structured extraction: events.props JSON → typed column,

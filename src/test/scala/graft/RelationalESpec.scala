@@ -351,4 +351,57 @@ class RelationalESpec extends SparkSpec {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0, "dispersion ratio")
     }
   }
+  test("q123 cohens d: matches a naive two-sample effect size per pair") {
+    val rows = Tables.customer(spark, sf).select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1000.0)))
+    def stats(g: String): (Long, Double, Double) = {
+      val xs = rows.filter(_._1 == g).map(_._2.toDouble)
+      val m = xs.sum / xs.length
+      (xs.length.toLong, m, xs.map(x => (x - m) * (x - m)).sum)
+    }
+    val got = SparkEntry.queries("q123_cohens_d")(spark, sf).collect()
+    assert(got.length === 10, "5 choose 2 segment pairs")
+    got.foreach { r =>
+      val (na, ma, ssa) = stats(r.getString(0))
+      val (nb, mb, ssb) = stats(r.getString(1))
+      assert(r.getLong(2) === na && r.getLong(3) === nb)
+      val d = (ma - mb) / math.sqrt((ssa + ssb) / (na + nb - 2.0))
+      assert(math.abs(r.getDouble(5) - d) < 1e-9, s"pair ${r.getString(0)}/${r.getString(1)}")
+      assert(math.abs(r.getDouble(4) - (ma - mb) / 1000.0) < 1e-6)
+    }
+  }
+
+  test("q124 rolling corr: matches a naive 24h window walk, bounded in [-1,1]") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val hours = (lo to hi by 3600000L).toArray
+    val cx = ev.filter(_._1 == "click").groupBy(_._2).map { case (h, o) => h -> o.size.toLong }
+    val cy = ev.filter(_._1 == "purchase").groupBy(_._2).map { case (h, o) => h -> o.size.toLong }
+    val xs = hours.map(h => cx.getOrElse(h, 0L).toDouble)
+    val ys = hours.map(h => cy.getOrElse(h, 0L).toDouble)
+    def corr24(i: Int): Option[Double] = {
+      val (wx, wy) = (xs.slice(i - 23, i + 1), ys.slice(i - 23, i + 1))
+      val (sx, sy) = (wx.sum, wy.sum)
+      val vx = 24.0 * wx.map(v => v * v).sum - sx * sx
+      val vy = 24.0 * wy.map(v => v * v).sum - sy * sy
+      if (vx > 0 && vy > 0)
+        Some((24.0 * wx.zip(wy).map { case (a, b) => a * b }.sum - sx * sy) /
+          (math.sqrt(vx) * math.sqrt(vy)))
+      else None
+    }
+    val got = SparkEntry.queries("q124_rolling_corr")(spark, sf).orderBy("h").collect()
+    assert(got.length === hours.length - 23)
+    got.zipWithIndex.foreach { case (r, j) =>
+      val i = j + 23
+      corr24(i) match {
+        case Some(w) =>
+          assert(math.abs(r.getDouble(3) - w) < 1e-9, s"hour index $i")
+          assert(r.getDouble(3) >= -1.0 - 1e-12 && r.getDouble(3) <= 1.0 + 1e-12)
+        case None => assert(r.isNullAt(3), s"hour index $i should be NULL")
+      }
+    }
+  }
 }

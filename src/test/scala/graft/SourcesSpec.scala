@@ -199,4 +199,36 @@ class SourcesSpec extends SparkSpec {
     Sources.mergeByKey(spark, dir, updates, Seq("k"))
     assert(snap() === want)
   }
+  test("zorderWrite clusters both dimensions: a predicate box touches few files") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val hDir = java.nio.file.Files.createTempDirectory("graft_hash").toString + "/t"
+    graft.sources.Sources.zorderWrite(o, zDir, "o_custkey", "o_totalprice", nFiles = 16)
+    o.repartition(16).write.mode("overwrite").parquet(hDir)
+    def fileBoxes(path: String) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("o_custkey").as("loK"), max("o_custkey").as("hiK"),
+          min("o_totalprice").as("loP"), max("o_totalprice").as("hiP"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val stats = o.agg(min("o_custkey"), max("o_custkey"),
+      min("o_totalprice"), max("o_totalprice")).head()
+    val (loK, hiK) = (stats.getLong(0), stats.getLong(1))
+    val (loP, hiP) = (stats.getDouble(2), stats.getDouble(3))
+    // the middle-quarter box in both dimensions
+    val (bkLo, bkHi) = (loK + (hiK - loK) * 3 / 8, loK + (hiK - loK) * 5 / 8)
+    val (bpLo, bpHi) = (loP + (hiP - loP) * 3.0 / 8.0, loP + (hiP - loP) * 5.0 / 8.0)
+    def touching(path: String): Int = fileBoxes(path).count { case (lk, hk, lp, hp) =>
+      hk >= bkLo && lk <= bkHi && hp >= bpLo && lp <= bpHi
+    }
+    val (zTouch, hTouch) = (touching(zDir), touching(hDir))
+    // hash partitioning scatters: essentially every file overlaps the box;
+    // the z-order layout must prune strictly better
+    assert(zTouch < hTouch, s"zorder $zTouch vs hash $hTouch files touching")
+    assert(zTouch <= 8, s"zorder should confine the box to few files, got $zTouch")
+    // the clustered copy is the same multiset
+    assert(spark.read.parquet(zDir).count() === o.count())
+  }
 }
