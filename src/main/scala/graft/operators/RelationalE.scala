@@ -983,6 +983,53 @@ object RelationalE extends Module {
       |FROM win WHERE rn = 24 ORDER BY h""".stripMargin)
   )
 
+  // q125 — recency-decayed customer value (the marketing "decayed LTV"
+  // that discounts old revenue; q93's RFM is its coarse cousin): the
+  // decay is a MONTHLY HALVING — weight 2^(−⌊age/30d⌋) — so every
+  // weighted cent is the exact integer cents · 2^(40−k) on a shared
+  // 2^40 grid (a continuous e^−λt would put libm pow in the hash — the
+  // dyadic step decay keeps both engines on integers until one final
+  // division). Ages ≥ 40 halvings decay to zero by construction.
+  // One scan, one partial-aggregable customer aggregate.
+  private val q125 = Q(
+    "q125_decayed_value",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("day"),
+          Exact.qzl(col("o_totalprice"), 100.0).as("cents"))
+        .localCheckpoint(eager = true)
+      val refDay = li.agg(max(col("day"))).head().getLong(0)
+      li.withColumn("k",
+          least((lit(refDay) - col("day")) / lit(30L), lit(20L)).cast("int"))
+        .withColumn("contrib", col("cents").cast(DecimalType(38, 0)) *
+          expr("shiftleft(1L, 20 - k)").cast(DecimalType(38, 0)))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("total_cents"),
+          (sum(col("contrib")).cast("double") / lit(1048576.0) / lit(100.0))
+            .as("decayed_value"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH li AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (SELECT MAX(day) AS ref FROM li),
+      |w AS (
+      |  SELECT o_custkey, cents,
+      |    CAST(cents AS HUGEINT)
+      |      * (CAST(1 AS BIGINT) << (20 - CAST(LEAST((r.ref - day) // 30, 20) AS INT)))
+      |      AS contrib
+      |  FROM li, r)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |  CAST(SUM(contrib) AS DOUBLE) / 1048576.0 / 100.0 AS decayed_value
+      |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124)
+    q120, q121, q122, q123, q124, q125)
 }

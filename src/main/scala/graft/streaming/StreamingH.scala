@@ -223,6 +223,36 @@ object StreamingH extends Module {
       |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
   )
 
+  // st_sliding_distinct — EXACT distinct users per sliding 1h/15min
+  // window (the overlap sibling of q51's tumbling distinct — "unique
+  // visitors, trailing hour, every quarter hour"): the Expand fans each
+  // event to its 4 windows BEFORE the two-phase distinct, so the
+  // shuffle dedupes (window, user) partials and no task ever holds a
+  // window's user set; the count then partial-aggregates the deduped
+  // surface. The oracle unnests the same 4 epoch-aligned slide offsets.
+  // At 100 TB the streaming path swaps the exact distinct for the
+  // bounded KMV sketch per window (the kmvStream twin — spec pins
+  // below-k exactness against this batch surface).
+  private val stSlidingDistinct = Q(
+    "st_sliding_distinct",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(window(col("ts"), "1 hour", "15 minutes").as("w"), col("user_id"))
+        .distinct()
+        .groupBy(col("w.start").as("window_start"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("window_start")
+    },
+    Some("""WITH x AS (
+      |  SELECT DISTINCT make_timestamp(
+      |           (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000)
+      |           AS window_start,
+      |         user_id
+      |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
+      |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM x GROUP BY 1 ORDER BY window_start""".stripMargin)
+  )
+
   // st_gap_fill — resample the stream to a regular hourly grid per type:
   // missing hours appear with n_events = 0 and carry the last observed
   // hourly value-sum forward (the time-series gap-fill / ffill pass
@@ -435,7 +465,7 @@ object StreamingH extends Module {
 
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
     stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow,
-    stAnomaly, stEnrich, stScd2)
+    stAnomaly, stEnrich, stScd2, stSlidingDistinct)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)

@@ -404,4 +404,27 @@ class RelationalESpec extends SparkSpec {
       }
     }
   }
+  test("q125 decayed value: matches a naive halving walk, bounded by the total") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100.0)))
+    val ref = rows.map(_._2).max
+    val want = rows.groupBy(_._1).map { case (cust, rs) =>
+      val v = rs.map { case (_, day, cents) =>
+        val k = math.min((ref - day) / 30, 20L).toInt
+        cents.toDouble / (1L << k)
+      }.sum / 100.0
+      cust -> (rs.length.toLong, rs.map(_._3).sum, v)
+    }
+    val got = SparkEntry.queries("q125_decayed_value")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (c, (n, tot, v)) =>
+      assert(got(c)._1 === n && got(c)._2 === tot)
+      assert(math.abs(got(c)._3 - v) < 1e-6, s"customer $c")
+      assert(got(c)._3 <= tot / 100.0 + 1e-9, "decay can only discount")
+    }
+  }
 }

@@ -703,4 +703,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+  test("sliding distinct: KMV window sketches reproduce the exact batch counts below k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fan each event to its 4 sliding windows, keyed by window start —
+    // the bounded-state scale path for st_sliding_distinct
+    val slideMs = 900000L
+    val evs = batchEvents.select("event_id", "ts", "user_id").collect()
+      .flatMap { r =>
+        val (id, tms, uid) = (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))
+        (0 to 3).map { k =>
+          val w = (tms / slideMs) * slideMs - k * slideMs
+          Streaming.KmvEvent(id, uid, w.toString)
+        }
+      }
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.KmvEvent]
+    val k = 512
+    val q = Streaming.kmvStream(input.toDS(), k)
+      .writeStream.format("memory").queryName("slidekmv")
+      .outputMode("update").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("slidekmv").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (w, rows) => w -> rows.maxBy(_._2) }
+      val batch = SparkEntry.queries("st_sliding_distinct")(spark, sf).collect()
+        .map(r => r.getTimestamp(0).getTime.toString -> r.getLong(1)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (w, (_, nMin, est)) =>
+        if (nMin < k)
+          assert(est === batch(w).toDouble, s"window $w: below-k sketch must be exact")
+      }
+      // the small-SF corpus should exercise the exact path everywhere
+      assert(streamed.values.forall(_._2 < k))
+    } finally q.stop()
+  }
 }
