@@ -41,4 +41,40 @@ object Graph {
     }
     ranks
   }
+
+  /** The k-core of an undirected graph (distinct src < dst edges): the
+    * maximal subgraph where every node keeps degree ≥ k — the
+    * density filter that separates a co-purchase CLIQUE neighborhood
+    * from q98's hub-and-spoke rank view. Iterative peeling: drop
+    * nodes below k, recompute degrees, repeat to fixpoint — each
+    * round one semi join + one partial-aggregable degree count, the
+    * same checkpointed-fixpoint discipline as connected components.
+    * Rounds are bounded by the peel depth (≤ max degree), in practice
+    * a handful. Returns (id, deg) of surviving nodes with their
+    * IN-CORE degrees.
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    var done = false
+    var rounds = 0
+    var degrees: DataFrame = null
+    while (!done && rounds < maxRounds) {
+      rounds += 1
+      val both = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id")))
+      degrees = both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(eager = true)
+      val keep = degrees.filter(col("deg") >= k).select(col("id"))
+      val e2 = e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = true)
+      if (e2.count() == e.count()) done = true
+      e = e2
+    }
+    val both = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+    both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
 }

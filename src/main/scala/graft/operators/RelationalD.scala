@@ -976,6 +976,31 @@ object RelationalD extends Module {
     None
   )
 
+  // graph_kcore — the 3-core of the co-purchase graph (the dense
+  // backbone q114's clustering coefficient summarizes and q98's rank
+  // orders: which parts sit in mutually-reinforcing neighborhoods?):
+  // iterative peeling to the fixpoint where every surviving node keeps
+  // ≥ 3 in-core neighbors — per round one degree aggregate + two semi
+  // joins, checkpointed like connectedComponents. Support floor n_ab ≥
+  // 2 bounds the edge set first. Rows-only (iterative fixpoint isn't
+  // SQL); the spec reconciles against a local peel.
+  private val graphKcore = Q(
+    "graph_kcore",
+    (s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = items.select(col("ok"), col("pk").as("src"))
+      val b = items.select(col("ok").as("ok_b"), col("pk").as("dst"))
+      val edges = a.join(b, col("ok") === col("ok_b") && col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2L)
+        .select(col("src"), col("dst"))
+      Graph.kcore(edges, k = 3).orderBy("id")
+    },
+    None
+  )
+
   // q99 — ABC / Pareto inventory classification: parts ranked by
   // revenue, class A = the prefix covering 80% of revenue, B = to 95%,
   // C = the tail. The fact table reduces once to the |parts| surface;
@@ -1575,5 +1600,5 @@ object RelationalD extends Module {
 
   override val qs: Seq[Q] = Seq(q82, q83, q84, q85, q86, q87, q88, q89, q90, q91,
     q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
-    q106, q107, q108, q109, q110, apKmv, apSketchRollup)
+    q106, q107, q108, q109, q110, apKmv, apSketchRollup, graphKcore)
 }

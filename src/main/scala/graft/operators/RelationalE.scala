@@ -1030,6 +1030,124 @@ object RelationalE extends Module {
       |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
   )
 
+  // q126 — linear multi-touch attribution (every click in the 24h
+  // before a purchase shares the credit equally — the marketing
+  // question q44's funnel doesn't answer: WHICH touches earned the
+  // conversion): the pair surface comes from the st_interval_join
+  // shape — an equi join on the HIGH-cardinality user_id with the time
+  // bound as a pushed residual, never a range-only join — and the
+  // touch count rides a window on the purchase id (high-cardinality).
+  // Credit 1/n is computed PER ROW (no cross-row float accumulation,
+  // so the dump is order-independent); epoch-micro comparisons make
+  // both engines agree on the window edge exactly.
+  private val q126 = Q(
+    "q126_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val pairs = p.join(c, col("user_id") === col("c_uid") &&
+        col("c_us") < col("p_us") &&
+        col("c_us") >= col("p_us") - lit(86400000000L))
+      val w = Window.partitionBy(col("purchase_id"))
+      pairs
+        .withColumn("n_touches", count(lit(1)).over(w))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          col("n_touches"),
+          (lit(1.0) / col("n_touches").cast("double")).as("credit"))
+        .orderBy("purchase_id", "click_id")
+    },
+    Some("""WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS c_uid, event_id AS click_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT purchase_id, click_id, user_id
+      |  FROM p JOIN c ON user_id = c_uid
+      |    AND c_us < p_us AND c_us >= p_us - 86400000000)
+      |SELECT purchase_id, click_id, user_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+      |  1.0 / CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS DOUBLE) AS credit
+      |FROM pairs ORDER BY purchase_id, click_id""".stripMargin)
+  )
+
+  // q127 — maximum drawdown of the run-rate-adjusted revenue curve
+  // (the finance risk readout: worst peak-to-trough losing streak
+  // RELATIVE TO the period's own run rate — raw cumulative revenue
+  // never falls, so the meaningful curve is cumulative revenue minus
+  // t·mean; q87's CUSUM flags WHERE the mean shifted, drawdown
+  // measures the DAMAGE of the worst streak): multiplying through by
+  // n keeps the deviation n·cum − t·S an exact integer (the q87
+  // trick), so the cumulative window, the running max and the
+  // drawdown subtraction all run on exact cents over the |days|
+  // surface; only the reported dollar depth divides once.
+  private val q127 = Q(
+    "q127_drawdown",
+    (s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
+        .localCheckpoint(eager = true)
+      val series = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+        .localCheckpoint(eager = true)
+      val tot = series.agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
+      val (n, sTot) = (tot.getLong(0), tot.getLong(1))
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      series
+        .withColumn("t", count(lit(1)).over(w))
+        .withColumn("cum", sum(col("cents").cast(DecimalType(38, 0))).over(w))
+        .withColumn("dev", col("cum") * lit(n) - col("t").cast(DecimalType(38, 0)) * lit(sTot))
+        .withColumn("peak", max(col("dev")).over(w))
+        .withColumn("drawdown", col("peak") - col("dev"))
+        .select(col("day"), col("cents"),
+          col("dev").cast("double").as("dev_scaled"),
+          col("drawdown").cast("double").as("dd_scaled"),
+          (col("drawdown").cast("double") / (lit(n.toDouble) * lit(100.0)))
+            .as("drawdown_dollars"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+      |    (SELECT MAX(day) FROM daily), INTERVAL 1 DAY)) AS day),
+      |series AS (
+      |  SELECT spine.day AS day, COALESCE(daily.cents, 0) AS cents
+      |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+      |tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s FROM series),
+      |c1 AS (
+      |  SELECT day, cents,
+      |    CAST(COUNT(*) OVER wnd AS HUGEINT) AS t,
+      |    CAST(SUM(CAST(cents AS HUGEINT)) OVER wnd AS HUGEINT) AS cum
+      |  FROM series
+      |  WINDOW wnd AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c2 AS (
+      |  SELECT day, cents, cum * tot.n - t * tot.s AS dev FROM c1, tot),
+      |c3 AS (
+      |  SELECT day, cents, dev,
+      |    MAX(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM c2)
+      |SELECT day, cents,
+      |  CAST(dev AS DOUBLE) AS dev_scaled,
+      |  CAST(peak - dev AS DOUBLE) AS dd_scaled,
+      |  CAST(peak - dev AS DOUBLE) / ((SELECT CAST(n AS DOUBLE) FROM tot) * 100.0) AS drawdown_dollars
+      |FROM c3 ORDER BY day""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125)
+    q120, q121, q122, q123, q124, q125, q126, q127)
 }

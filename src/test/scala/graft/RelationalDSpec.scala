@@ -593,4 +593,46 @@ class RelationalDSpec extends SparkSpec {
     rows.filterNot(_.getBoolean(3))
       .foreach(r => assert(math.abs(r.getDouble(2)) < maxAbs))
   }
+  test("graph_kcore: matches a local peel and keeps only deg >= 3 nodes") {
+    val items = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    items.groupBy(_._1).values.foreach { basket =>
+      val pks = basket.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- i + 1 until pks.length)
+        pairCnt((pks(i), pks(j))) = pairCnt.getOrElse((pks(i), pks(j)), 0) + 1
+    }
+    var edges = pairCnt.filter(_._2 >= 2).keys.toSet
+    // local peel to the 3-core
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, o) => n -> o.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val e2 = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = e2.size != edges.size
+      edges = e2
+    }
+    val wantDeg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+    val got = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === wantDeg)
+    got.values.foreach(dv => assert(dv >= 3L))
+  }
+  test("kcore peels a planted chain away and keeps the clique") {
+    import spark.implicits._
+    // K5 clique on 1..5 plus a pendant chain 5-6-7-8: the chain (deg <= 2)
+    // must peel entirely, the clique survives with in-core degree 4
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val got = graft.operators.Graph.kcore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    got.values.foreach(deg => assert(deg === 4L))
+    // and k above the clique degree empties the graph
+    assert(graft.operators.Graph.kcore(edges, k = 5).count() === 0L)
+  }
 }

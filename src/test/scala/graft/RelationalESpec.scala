@@ -427,4 +427,44 @@ class RelationalESpec extends SparkSpec {
       assert(got(c)._3 <= tot / 100.0 + 1e-9, "decay can only discount")
     }
   }
+  test("q126 attribution: pair credits match a naive 24h-lookback walk") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clicks = ev.filter(_._1 == "click")
+    val want = ev.filter(_._1 == "purchase").flatMap { case (_, pid, uid, pus) =>
+      val touches = clicks.filter(c => c._3 == uid && c._4 < pus &&
+        c._4 >= pus - 86400000000L)
+      touches.map(c => (pid, c._2, touches.length.toLong))
+    }.toSet
+    val got = SparkEntry.queries("q126_attribution")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // credit is exactly 1/n per row
+    SparkEntry.queries("q126_attribution")(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(4) === 1.0 / r.getLong(3).toDouble)
+    }
+  }
+
+  test("q127 drawdown: run-rate-adjusted walk matches exact recompute") {
+    val got = SparkEntry.queries("q127_drawdown")(spark, sf).orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val n = got.length.toLong
+    val sTot = got.map(_._1).sum
+    var cum = BigInt(0); var peak: BigInt = null; var t = 0L
+    got.foreach { case (cents, dev, dd, ddDollars) =>
+      t += 1; cum += cents
+      val want = cum * n - BigInt(t) * sTot
+      peak = if (peak == null || want > peak) want else peak
+      assert(dev === want.toDouble, s"dev at t=$t")
+      assert(dd === (peak - want).toDouble, s"drawdown at t=$t")
+      assert(dd >= 0.0)
+      assert(math.abs(ddDollars - dd / (n.toDouble * 100.0)) < 1e-9)
+    }
+    assert(got.map(_._3).max > 0.0, "a run-rate-adjusted curve must fall somewhere")
+  }
 }
