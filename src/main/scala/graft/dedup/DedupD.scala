@@ -622,7 +622,72 @@ object DedupD extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
+  // dd_modality_agreement — do the TEXT near-dup signal and the
+  // EMBEDDING near-dup signal agree? (the cross-modal QA a pipeline
+  // runs before trusting either detector alone — disagreement pockets
+  // are where semantic dup ≠ surface dup): per candidate pair the
+  // exact token-set Jaccard and the exact grid cosine side by side,
+  // thresholded at the corpus' own p90 operating points, with the 2×2
+  // agreement flags. Both scores are exact/IEEE-identical, so the
+  // boolean flags hash-match too. Same bounded doc_id < 40 candidate
+  // surface; embeddings join by id.
+  private val ddModalityAgreement = Q(
+    "dd_modality_agreement",
+    (s, d) => {
+      import graft.similarity.Similarity
+      val tk = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val ta = tk.select(col("doc_id").as("id_a"), col("toks").as("tk_a"))
+      val tb = tk.select(col("doc_id").as("id_b"), col("toks").as("tk_b"))
+      val textPairs = ta.join(tb, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
+            size(array_union(col("tk_a"), col("tk_b"))).cast("double")).as("token_jaccard"))
+      val qv = Similarity.withQuantized(
+          Tables.embeddings(s, d).filter(col("vec_id") < 40), "embedding")
+        .select(col("vec_id"), col("qvec"), col("qnorm"))
+      val ea = qv.select(col("vec_id").as("id_a"), col("qvec").as("qa"), col("qnorm").as("na"))
+      val eb = qv.select(col("vec_id").as("id_b"), col("qvec").as("qb"), col("qnorm").as("nb"))
+      val embPairs = ea.join(broadcast(eb), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.cosineQ(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
+      textPairs.join(embPairs, Seq("id_a", "id_b"))
+        .withColumn("text_dup", col("token_jaccard") >= lit(0.8))
+        .withColumn("emb_dup", col("cosine") >= lit(0.15))
+        .withColumn("modality_agree", col("text_dup") === col("emb_dup"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH tk AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id < 40),
+      |tp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS token_jaccard
+      |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id),
+      |q AS (
+      |  SELECT vec_id,
+      |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings WHERE vec_id < 40),
+      |n AS (SELECT vec_id, SUM(qv * qv) AS nq FROM q GROUP BY vec_id),
+      |ep AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CAST(SUM(a.qv * b.qv) AS DOUBLE)
+      |      / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
+      |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+      |  GROUP BY 1, 2, na.nq, nb.nq)
+      |SELECT tp.id_a AS id_a, tp.id_b AS id_b, token_jaccard, cosine,
+      |  token_jaccard >= CAST(0.8 AS DOUBLE) AS text_dup,
+      |  cosine >= CAST(0.15 AS DOUBLE) AS emb_dup,
+      |  (token_jaccard >= CAST(0.8 AS DOUBLE)) = (cosine >= CAST(0.15 AS DOUBLE)) AS modality_agree
+      |FROM tp JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
+      |ORDER BY tp.id_a, tp.id_b""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddLshCalibrate, ddSimhash,
     ddNgramJaccard, ddContainment, ddClusters, ddKeepBest, semDedup,
-    ddEmbedCosine, ddWinnowPairs, ddClusterSizes, ddDupWeights, ddWeightedJaccard)
+    ddEmbedCosine, ddWinnowPairs, ddClusterSizes, ddDupWeights, ddWeightedJaccard,
+    ddModalityAgreement)
 }

@@ -1148,6 +1148,43 @@ object RelationalE extends Module {
       |FROM c3 ORDER BY day""".stripMargin)
   )
 
+  // q128 — inter-arrival time distribution on DYADIC buckets (the
+  // traffic-model readout behind q117's burstiness: are gaps
+  // exponential-ish or heavy-tailed?): per-user consecutive gaps from
+  // ONE lag window on the high-cardinality user key, bucketed by
+  // ⌊log2(gap_minutes)⌋ computed from the BINARY STRING length
+  // (length(bin(n))−1 — identical in both engines where a libm log2
+  // could ulp-flip at exact powers of two), then one partial-aggregable
+  // histogram with per-bucket exact min/max/count.
+  private val q128 = Q(
+    "q128_interarrival",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_min", ((unix_micros(col("ts")) - col("prev_us")) / lit(60000000L)).cast("long"))
+        .withColumn("bucket", (length(expr("bin(gap_min)")) - lit(1)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_min")).as("min_gap_min"),
+          max(col("gap_min")).as("max_gap_min"))
+        .orderBy("bucket")
+    },
+    Some("""WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      // 60000000 AS gap_min
+      |  FROM events),
+      |b AS (
+      |  SELECT CAST(length(bin(gap_min)) - 1 AS BIGINT) AS bucket, gap_min
+      |  FROM g WHERE gap_min IS NOT NULL)
+      |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap_min) AS BIGINT) AS min_gap_min,
+      |  CAST(MAX(gap_min) AS BIGINT) AS max_gap_min
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128)
 }

@@ -258,4 +258,18 @@ class DedupSpec extends SparkSpec {
       assert(wj >= 0.0 && wj <= 1.0)
     }
   }
+  test("dd_modality_agreement: flags follow the scores, both detectors fire") {
+    val rows = SparkEntry.queries("dd_modality_agreement")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.length === 40 * 39 / 2)
+    rows.foreach { case (_, _, j, c, td, ed, agree) =>
+      assert(j >= 0.0 && j <= 1.0 && c >= -1.0 && c <= 1.0)
+      assert(td === (j >= 0.8) && ed === (c >= 0.15))
+      assert(agree === (td == ed))
+    }
+    assert(rows.exists(_._5) && rows.exists(_._6),
+      "both modalities should flag some pairs at their p90 operating points")
+    assert(rows.exists(!_._7), "disagreement pockets are the point of the audit")
+  }
 }

@@ -467,4 +467,22 @@ class RelationalESpec extends SparkSpec {
     }
     assert(got.map(_._3).max > 0.0, "a run-rate-adjusted curve must fall somewhere")
   }
+  test("q128 interarrival: dyadic buckets match a naive per-user gap walk") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      sorted.sliding(2).collect { case Array(a, b) => (b._3 - a._3) / 60000000L }
+    }.toSeq
+    // recompute exactly as the operator defines: length(bin(gap)) - 1
+    def bucketOf(g: Long): Long = java.lang.Long.toBinaryString(g).length.toLong - 1
+    val wantMap = gaps.groupBy(bucketOf).map { case (k, gs) =>
+      k -> (gs.size.toLong, gs.min, gs.max)
+    }
+    val got = SparkEntry.queries("q128_interarrival")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === wantMap)
+    assert(got.values.map(_._1).sum === gaps.size.toLong)
+  }
 }
