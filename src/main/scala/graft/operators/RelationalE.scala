@@ -1185,6 +1185,135 @@ object RelationalE extends Module {
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
   )
 
+  // q129 — growth accounting (the new / retained / resurrected /
+  // churned decomposition of daily actives, with the quick ratio —
+  // the canonical growth-stage readout beside q109's cohort triangle):
+  // events reduce ONCE to the distinct (user, day) surface; each
+  // active day classifies from ONE lag on the high-cardinality user
+  // key (new: no prior, retained: active yesterday, resurrected:
+  // returned after a gap); churn needs no lead pass — it is the exact
+  // identity churned_t = DAU_{t−1} − retained_t on the zero-filled
+  // |days| surface. Quick ratio divides exact counts, NULL on
+  // zero-churn days.
+  private val q129 = Q(
+    "q129_growth_accounting",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val classed = days
+        .withColumn("prev", lag(col("day"), 1).over(byUser))
+        .select(col("day"),
+          when(col("prev").isNull, "new")
+            .when(datediff(col("day"), col("prev")) === 1, "retained")
+            .otherwise("resurrected").as("cls"))
+      val counts = classed.groupBy(col("day"))
+        .agg(sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+          count(lit(1)).as("dau"))
+        .localCheckpoint(eager = true)
+      val spine = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.orderBy(col("day"))
+      spine.join(counts, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("dau"), lit(0L)).as("dau"))
+        .withColumn("n_churned",
+          coalesce(lag(col("dau"), 1).over(w), lit(0L)) - col("n_retained"))
+        .withColumn("quick_ratio",
+          when(col("n_churned") > 0L,
+            (col("n_new") + col("n_resurrected")).cast("double") /
+              col("n_churned").cast("double")))
+        .orderBy("day")
+    },
+    Some("""WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |cl AS (
+      |  SELECT day,
+      |    CASE WHEN prev IS NULL THEN 'new'
+      |         WHEN day - prev = 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM (SELECT user_id, day,
+      |          LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |        FROM days)),
+      |counts AS (
+      |  SELECT day,
+      |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+      |    CAST(COUNT(*) AS BIGINT) AS dau
+      |  FROM cl GROUP BY day),
+      |spine AS (
+      |  SELECT unnest(generate_series((SELECT MIN(day) FROM counts),
+      |    (SELECT MAX(day) FROM counts), INTERVAL 1 DAY)) AS dts),
+      |f AS (
+      |  SELECT CAST(spine.dts AS DATE) AS day,
+      |    COALESCE(n_new, 0) AS n_new, COALESCE(n_retained, 0) AS n_retained,
+      |    COALESCE(n_resurrected, 0) AS n_resurrected, COALESCE(dau, 0) AS dau
+      |  FROM spine LEFT JOIN counts ON CAST(spine.dts AS DATE) = counts.day),
+      |g AS (
+      |  SELECT day, n_new, n_retained, n_resurrected, dau,
+      |    COALESCE(LAG(dau) OVER (ORDER BY day), 0) - n_retained AS n_churned
+      |  FROM f)
+      |SELECT day, n_new, n_retained, n_resurrected, dau, n_churned,
+      |  CASE WHEN n_churned > 0
+      |    THEN CAST(n_new + n_resurrected AS DOUBLE) / CAST(n_churned AS DOUBLE)
+      |  END AS quick_ratio
+      |FROM g ORDER BY day""".stripMargin)
+  )
+
+  // q130 — DAU/MAU stickiness per day (how much of the monthly
+  // audience shows up daily — the engagement-quality number beside
+  // q129's growth decomposition): MAU_t = distinct users active in
+  // [t−29, t], computed by fanning the REDUCED (user, day) surface to
+  // its 30 trailing window-ends BEFORE a two-phase distinct (the
+  // st_sliding_distinct discipline — the 30× expansion multiplies the
+  // user-day surface, never raw events, and no task holds a window's
+  // user set). Stickiness divides exact counts.
+  private val q130 = Q(
+    "q130_stickiness",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val span = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+      val (lo, hi) = (span.getDate(0), span.getDate(1))
+      val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = days
+        .select(col("user_id"),
+          explode(sequence(col("day"), least(date_add(col("day"), 29), lit(hi)))).as("t"))
+        .distinct()
+        .groupBy(col("t").as("day")).agg(count(lit(1)).as("mau"))
+      mau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
+          (coalesce(col("dau"), lit(0L)).cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |hi AS (SELECT MAX(day) AS hi FROM days),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY day),
+      |fan AS (
+      |  SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |    CAST(LEAST(day + 29, hi.hi) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS t
+      |  FROM days, hi),
+      |mau AS (SELECT t AS day, CAST(COUNT(*) AS BIGINT) AS mau FROM fan GROUP BY t)
+      |SELECT mau.day AS day, COALESCE(dau.dau, 0) AS dau, mau.mau,
+      |  CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+      |FROM mau LEFT JOIN dau ON mau.day = dau.day
+      |ORDER BY day""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
 }

@@ -485,4 +485,46 @@ class RelationalESpec extends SparkSpec {
     assert(got === wantMap)
     assert(got.values.map(_._1).sum === gaps.size.toLong)
   }
+  test("q129 growth accounting: classes partition DAU, churn identity holds") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val byUser = days.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).sorted }
+    val allDays = (days.map(_._2).min to days.map(_._2).max)
+    val want = allDays.map { t =>
+      var (nw, rt, rs2) = (0L, 0L, 0L)
+      byUser.values.foreach { ds =>
+        val i = ds.indexOf(t)
+        if (i == 0) nw += 1
+        else if (i > 0 && ds(i - 1) == t - 1) rt += 1
+        else if (i > 0) rs2 += 1
+      }
+      val dauPrev = byUser.values.count(_.contains(t - 1)).toLong
+      (t, nw, rt, rs2, nw + rt + rs2, dauPrev - rt)
+    }
+    val got = SparkEntry.queries("q129_growth_accounting")(spark, sf).orderBy("day")
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w, s"day ${w._1}") }
+    // DAU partitions into the three classes by construction
+    got.foreach { g => assert(g._5 === g._2 + g._3 + g._4) }
+  }
+
+  test("q130 stickiness: MAU matches a naive 30-day trailing distinct") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+    val got = SparkEntry.queries("q130_stickiness")(spark, sf).orderBy("day")
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    got.foreach { case (t, dau, mau, st) =>
+      val wantMau = days.filter(d => d._2 <= t && d._2 >= t - 29).map(_._1).distinct.length
+      val wantDau = days.filter(_._2 == t).map(_._1).distinct.length
+      assert(mau === wantMau.toLong, s"mau at $t")
+      assert(dau === wantDau.toLong, s"dau at $t")
+      assert(st === wantDau.toDouble / wantMau.toDouble)
+      assert(st >= 0.0 && st <= 1.0)
+    }
+  }
 }
