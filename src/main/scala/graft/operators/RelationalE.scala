@@ -1314,6 +1314,98 @@ object RelationalE extends Module {
       |ORDER BY day""".stripMargin)
   )
 
+  // q131 — customer value-segment migration matrix between the two
+  // halves of the order span (the lifecycle view q121's part-rank
+  // churn gives products: who moved BETWEEN spend quartiles, who
+  // appeared, who lapsed): orders reduce ONCE to the (half, customer)
+  // cents surface; per-half quartile fences come from the grouped
+  // bucket-histogram selection over that surface (2 groups — safe
+  // because the INPUT is the reduced surface, the q33 discipline) and
+  // code as broadcast literals; the 5×5 matrix (0 = absent) is one
+  // full-outer join + aggregate. Fences interpolate identically in
+  // both engines, so segment codes — and the matrix — hash-match.
+  private val q131 = Q(
+    "q131_value_migration",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("day"),
+          Exact.qzl(col("o_totalprice"), 100.0).as("cents"))
+      val span = li.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
+      val mid = (span.getLong(0) + span.getLong(1)) / 2
+      val perCust = li
+        .withColumn("half", when(col("day") <= mid, "prev").otherwise("cur"))
+        .groupBy(col("half"), col("o_custkey"))
+        .agg(sum(col("cents")).cast("double").as("spend"))
+        .localCheckpoint(eager = true)
+      val fences = Quantiles.groupedExactQuantiles(
+          perCust, "half", "spend", Seq(0.25, 0.5, 0.75))
+        .groupBy(_._1).map { case (h, rows) =>
+          h -> rows.sortBy(_._2).map(_._3)
+        }
+      def segOf(h: String): Column = {
+        val f = fences(h)
+        when(col("spend") <= f(0), 1L).when(col("spend") <= f(1), 2L)
+          .when(col("spend") <= f(2), 3L).otherwise(4L)
+      }
+      val prev = perCust.filter(col("half") === "prev")
+        .select(col("o_custkey"), segOf("prev").as("seg_prev"))
+      val cur = perCust.filter(col("half") === "cur")
+        .select(col("o_custkey"), segOf("cur").as("seg_cur"))
+      prev.join(cur, Seq("o_custkey"), "full_outer")
+        .select(coalesce(col("seg_prev"), lit(0L)).as("seg_prev"),
+          coalesce(col("seg_cur"), lit(0L)).as("seg_cur"))
+        .groupBy(col("seg_prev"), col("seg_cur"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("seg_prev", "seg_cur")
+    },
+    Some("""WITH li AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+      |  FROM orders),
+      |mid AS (SELECT (MIN(day) + MAX(day)) // 2 AS m FROM li),
+      |pc AS (
+      |  SELECT CASE WHEN day <= mid.m THEN 'prev' ELSE 'cur' END AS half,
+      |    o_custkey, CAST(SUM(cents) AS DOUBLE) AS spend
+      |  FROM li, mid GROUP BY 1, 2),
+      |r AS (
+      |  SELECT half, o_custkey, spend,
+      |    ROW_NUMBER() OVER (PARTITION BY half ORDER BY spend) AS rn FROM pc),
+      |n AS (SELECT half, CAST(COUNT(*) AS DOUBLE) AS cnt FROM pc GROUP BY 1),
+      |p AS (
+      |  SELECT half, cnt, q, q * (cnt - 1.0) AS h,
+      |    CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |    LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |  FROM n, (SELECT CAST(0.25 AS DOUBLE) AS q UNION ALL SELECT CAST(0.5 AS DOUBLE)
+      |           UNION ALL SELECT CAST(0.75 AS DOUBLE)) qs),
+      |b AS (
+      |  SELECT p.half, p.q, p.h,
+      |    MAX(CASE WHEN r.rn = p.rlo THEN r.spend END) AS x_lo,
+      |    MAX(CASE WHEN r.rn = p.rhi THEN r.spend END) AS x_hi
+      |  FROM r JOIN p ON r.half = p.half AND (r.rn = p.rlo OR r.rn = p.rhi)
+      |  GROUP BY 1, 2, 3),
+      |f AS (
+      |  SELECT half,
+      |    MAX(CASE WHEN q = 0.25 THEN x_lo + (x_hi - x_lo) * (h - FLOOR(h)) END) AS f1,
+      |    MAX(CASE WHEN q = 0.5 THEN x_lo + (x_hi - x_lo) * (h - FLOOR(h)) END) AS f2,
+      |    MAX(CASE WHEN q = 0.75 THEN x_lo + (x_hi - x_lo) * (h - FLOOR(h)) END) AS f3
+      |  FROM b GROUP BY half),
+      |coded AS (
+      |  SELECT pc.half, pc.o_custkey,
+      |    CASE WHEN spend <= f1 THEN 1 WHEN spend <= f2 THEN 2
+      |         WHEN spend <= f3 THEN 3 ELSE 4 END AS seg
+      |  FROM pc JOIN f ON pc.half = f.half),
+      |pv AS (SELECT o_custkey, seg FROM coded WHERE half = 'prev'),
+      |cr AS (SELECT o_custkey, seg FROM coded WHERE half = 'cur')
+      |SELECT CAST(COALESCE(pv.seg, 0) AS BIGINT) AS seg_prev,
+      |  CAST(COALESCE(cr.seg, 0) AS BIGINT) AS seg_cur,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM pv FULL OUTER JOIN cr ON pv.o_custkey = cr.o_custkey
+      |GROUP BY 1, 2 ORDER BY seg_prev, seg_cur""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 }

@@ -231,4 +231,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans(plan("q116_partial_corr")) === 1)
     assert(!plan("q116_partial_corr").contains("Window"))
   }
+  test("growth-analytics operators keep their scale shapes") {
+    // q129: the classification stage is checkpointed away; the FINAL
+    // plan's only window is the lag over the bounded |days| spine
+    val p129 = plan("q129_growth_accounting")
+    assert("windowspecdefinition\\(day".r.findFirstIn(p129).isDefined, p129)
+    assert(!"windowspecdefinition\\(user_id".r.findFirstIn(p129).isDefined,
+      "no fact-scale window may survive into the surface stage")
+    // q130: the 30-day fan-out expands the REDUCED surface before the
+    // two-phase distinct (Expand feeds an aggregate, not raw events)
+    val p130 = plan("q130_stickiness")
+    assert(p130.contains("Generate explode"), p130)
+    // q126: the attribution pair join is an equi join on user_id with
+    // the time bound as a residual — never a pure range join
+    val p126 = plan("q126_attribution")
+    assert(!p126.contains("CartesianProduct") && !p126.contains("BroadcastNestedLoop"), p126)
+    // q128: the gap lag keys on user_id
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(plan("q128_interarrival")).isDefined)
+  }
 }

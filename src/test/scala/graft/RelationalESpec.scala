@@ -527,4 +527,29 @@ class RelationalESpec extends SparkSpec {
       assert(st >= 0.0 && st <= 1.0)
     }
   }
+  test("q131 value migration: matrix totals reconcile, segments balance per half") {
+    val rows = SparkEntry.queries("q131_value_migration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // marginals: per-half customer counts from an independent query
+    val li = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mid = (li.map(_._2).min + li.map(_._2).max) / 2
+    val prevCust = li.filter(_._2 <= mid).map(_._1).distinct.toSet
+    val curCust = li.filter(_._2 > mid).map(_._1).distinct.toSet
+    assert(rows.map(_._3).sum === (prevCust ++ curCust).size.toLong,
+      "matrix covers every customer exactly once")
+    assert(rows.filter(_._1 > 0).map(_._3).sum === prevCust.size.toLong)
+    assert(rows.filter(_._2 > 0).map(_._3).sum === curCust.size.toLong)
+    // quartile coding balances within each half (interpolated fences
+    // put ~25% in each segment; exact counts differ only through ties)
+    for (seg <- 1L to 4L) {
+      val nPrev = rows.filter(_._1 == seg).map(_._3).sum
+      assert(math.abs(nPrev - prevCust.size / 4.0) <= prevCust.size * 0.05 + 2,
+        s"prev segment $seg count $nPrev")
+    }
+    // (0,0) cannot exist: a customer absent from both halves has no row
+    assert(!rows.exists(r => r._1 == 0 && r._2 == 0))
+  }
 }
