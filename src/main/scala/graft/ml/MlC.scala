@@ -1006,9 +1006,45 @@ object MlC extends Module {
     None
   )
 
+  // ml_error_by_decile — error analysis along a FEATURE axis (where in
+  // the spend distribution does the model fail? — ml_slice_metrics
+  // slices by a categorical; this bins the continuous total_spend into
+  // hold-out deciles via the distributed quantile selection, the q45
+  // no-global-sort discipline): per-decile count, positive rate,
+  // error rate and mean |p − y|, all from one scan of the scored
+  // hold-out with fences inlined as broadcast literals. Rows-only;
+  // MlSpec reconciles totals and pins the fence coverage.
+  private val mlErrorDecile = Q(
+    "ml_error_by_decile",
+    (s, d) => {
+      val preds = logregPredictions(s, d)
+        .join(customerFeatures(s, d).select(col("c_custkey"), col("total_spend")),
+          "c_custkey")
+        .localCheckpoint(eager = true)
+      val fences = graft.operators.Quantiles.exactQuantiles(
+          preds, Seq("total_spend"), (1 to 9).map(_ * 0.1).toSeq)
+        .sortBy(_._2).map(_._3)
+      val decile = fences.zipWithIndex.foldRight(lit(10L)) {
+        case ((f, i), acc) => when(col("total_spend") <= f, lit((i + 1).toLong)).otherwise(acc)
+      }
+      preds
+        .withColumn("decile", decile)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label")).cast("long").as("n_pos"),
+          sum(when(col("prediction") =!= col("label"), 1L).otherwise(0L)).as("n_err"),
+          sum(abs(col("prob_1") - col("label"))).as("abs_err_sum"))
+        .select(col("decile"), col("n"), col("n_pos"), col("n_err"),
+          (col("n_err").cast("double") / col("n").cast("double")).as("error_rate"),
+          (col("abs_err_sum") / col("n").cast("double")).as("mean_abs_err"))
+        .orderBy("decile")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,
-    mlCostThreshold, mlBrier, mlKs)
+    mlCostThreshold, mlBrier, mlKs, mlErrorDecile)
 }

@@ -708,6 +708,46 @@ object Streaming {
       }
   }
 
+  case class GrowthRow(user_id: Long, day: java.sql.Date, cls: String)
+
+  /** Streaming twin of q129's per-user-day classification: ONE
+    * last-active-day per user of state. Each first-event-of-a-day
+    * emits that (user, day)'s class — new / retained / resurrected —
+    * exactly as the batch lag does; the batch identity
+    * churned_t = DAU_{t−1} − retained_t then derives churn downstream
+    * with no extra state. In-order delivery contract as elsewhere.
+    */
+  def growthStream(events: Dataset[CdcEvent]): Dataset[GrowthRow] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def dayOf(t: java.sql.Timestamp): Long = t.getTime / 86400000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, GrowthRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[CdcEvent], state: GroupState[Long]) =>
+          var last = state.getOption // epoch day of last activity
+          val out = scala.collection.mutable.ListBuffer[GrowthRow]()
+          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val d = dayOf(e.ts)
+            val isNewDay = last.forall(_ < d)
+            if (isNewDay) {
+              val cls = last match {
+                case None => "new"
+                case Some(p) if p == d - 1 => "retained"
+                case Some(_) => "resurrected"
+              }
+              out += GrowthRow(uid, new java.sql.Date(d * 86400000L), cls)
+              last = Some(d)
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class GapRow(event_type: String, h: java.sql.Timestamp,
       n_events: Long, ffill_value: Double)
 

@@ -394,4 +394,19 @@ class MlSpec extends SparkSpec {
     assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
     assert(r.getLong(2) > 0 && r.getLong(3) > 0)
   }
+  test("ml_error_by_decile: deciles cover the hold-out, rates reconcile") {
+    val rows = SparkEntry.queries("ml_error_by_decile")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+    // total rows across deciles = the scored hold-out
+    val totalN = rows.map(_._2).sum
+    val preds = graft.ml.MlC.logregPredictions(spark, sf).count()
+    assert(totalN === preds)
+    rows.foreach { case (_, n, nPos, nErr, er, mae) =>
+      assert(n > 0 && nPos >= 0 && nPos <= n && nErr >= 0 && nErr <= n)
+      assert(er === nErr.toDouble / n.toDouble)
+      assert(mae >= 0.0 && mae <= 1.0)
+    }
+  }
 }

@@ -743,4 +743,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.values.forall(_._2 < k))
     } finally q.stop()
   }
+  test("streaming growth classification matches the batch decomposition across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = batchEvents.select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map(r => Streaming.CdcEvent(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id)) // in-order delivery contract
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val input = MemoryStream[Streaming.CdcEvent]
+    val q = Streaming.growthStream(input.toDS())
+      .writeStream.format("memory").queryName("growth")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      // aggregate the emitted classifications per day
+      val streamed = spark.table("growth").collect()
+        .map(r => (r.getDate(1).toLocalDate.toEpochDay, r.getString(2)))
+        .groupBy(_._1).map { case (d, rows) =>
+          d -> (rows.count(_._2 == "new").toLong,
+            rows.count(_._2 == "retained").toLong,
+            rows.count(_._2 == "resurrected").toLong)
+        }
+      val batch = SparkEntry.queries("q129_growth_accounting")(spark, sf).collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+          (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .filter { case (_, (a, b, c)) => a + b + c > 0 } // spine zero-days don't emit
+        .toMap
+      assert(batch.nonEmpty)
+      assert(streamed === batch)
+      // each (user, day) classifies exactly once even across the split
+      val perUserDay = spark.table("growth").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      assert(perUserDay.length === perUserDay.distinct.length)
+    } finally q.stop()
+  }
 }
