@@ -1406,6 +1406,99 @@ object RelationalE extends Module {
       |GROUP BY 1, 2 ORDER BY seg_prev, seg_cur""".stripMargin)
   )
 
+  // q132 — substitute / complement detection among the top-20 parts
+  // (q113's co-occurrence finds parts bought TOGETHER; negatively
+  // correlated WEEKLY sales reveal parts bought INSTEAD): sales reduce
+  // once to the zero-filled (part, week) unit surface restricted to
+  // the top sellers (a 20-id broadcast literal filter — deterministic
+  // volume-then-key order), pairwise r comes from exact integer power
+  // sums per pair over the |weeks|-row vectors, and the relation label
+  // is a CASE over identical IEEE doubles. The pair join is 20×20 on
+  // the surface — never fact rows.
+  private val q132 = Q(
+    "q132_cannibalization",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"),
+          date_trunc("week", col("l_shipdate")).as("wk"),
+          round(col("l_quantity")).cast("long").as("units"))
+        .localCheckpoint(eager = true)
+      val top = li.groupBy(col("pk")).agg(sum(col("units")).as("tot"))
+        .orderBy(col("tot").desc, col("pk")).limit(20)
+        .collect().map(_.getLong(0)).sorted
+      val weekly = li.filter(col("pk").isin(top: _*))
+        .groupBy(col("pk"), col("wk")).agg(sum(col("units")).as("units"))
+        .localCheckpoint(eager = true)
+      val spine = weekly.agg(min(col("wk")).as("lo"), max(col("wk")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 WEEK"))).as("wk"))
+        .crossJoin(weekly.select(col("pk")).distinct())
+      val series = spine.join(weekly, Seq("pk", "wk"), "left")
+        .select(col("pk"), col("wk"), coalesce(col("units"), lit(0L)).as("u"))
+      val a = series.select(col("pk").as("pk_a"), col("wk"), col("u").as("x"))
+      val b = series.select(col("pk").as("pk_b"), col("wk").as("wk_b"), col("u").as("y"))
+      def dz(c: Column) = c.cast(DecimalType(38, 0))
+      val g = a.join(b, col("wk") === col("wk_b") && col("pk_a") < col("pk_b"))
+        .groupBy(col("pk_a"), col("pk_b"))
+        .agg(count(lit(1)).as("n_weeks"),
+          sum(dz(col("x"))).cast("double").as("sx"),
+          sum(dz(col("y"))).cast("double").as("sy"),
+          sum(dz(col("x")) * dz(col("x"))).cast("double").as("sxx"),
+          sum(dz(col("y")) * dz(col("y"))).cast("double").as("syy"),
+          sum(dz(col("x")) * dz(col("y"))).cast("double").as("sxy"))
+      val nD = col("n_weeks").cast("double")
+      val r = (nD * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+          sqrt(nD * col("syy") - col("sy") * col("sy")))
+      g.select(col("pk_a"), col("pk_b"), col("n_weeks"), r.as("r"))
+        .withColumn("relation",
+          when(col("r") <= lit(-0.2), lit("substitute"))
+            .when(col("r") >= lit(0.2), lit("complement"))
+            .otherwise(lit("independent")))
+        .orderBy("pk_a", "pk_b")
+    },
+    Some("""WITH li AS (
+      |  SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS units
+      |  FROM lineitem),
+      |top AS (
+      |  SELECT pk FROM (
+      |    SELECT pk, SUM(units) AS tot, ROW_NUMBER() OVER (ORDER BY SUM(units) DESC, pk) AS rn
+      |    FROM li GROUP BY pk) WHERE rn <= 20),
+      |weekly AS (
+      |  SELECT pk, wk, CAST(SUM(units) AS BIGINT) AS u
+      |  FROM li WHERE pk IN (SELECT pk FROM top) GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT t.pk, s.wk
+      |  FROM top t, (SELECT unnest(generate_series((SELECT MIN(wk) FROM weekly),
+      |    (SELECT MAX(wk) FROM weekly), INTERVAL 1 WEEK)) AS wk) s),
+      |series AS (
+      |  SELECT spine.pk, spine.wk, COALESCE(weekly.u, 0) AS u
+      |  FROM spine LEFT JOIN weekly ON spine.pk = weekly.pk AND spine.wk = weekly.wk),
+      |g AS (
+      |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+      |    CAST(SUM(CAST(a.u AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(b.u AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(a.u AS HUGEINT) * CAST(a.u AS HUGEINT)) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(b.u AS HUGEINT) * CAST(b.u AS HUGEINT)) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(a.u AS HUGEINT) * CAST(b.u AS HUGEINT)) AS DOUBLE) AS sxy
+      |  FROM series a JOIN series b ON a.wk = b.wk AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT pk_a, pk_b, n_weeks,
+      |    (CAST(n_weeks AS DOUBLE) * sxy - sx * sy) /
+      |    (SQRT(CAST(n_weeks AS DOUBLE) * sxx - sx * sx) *
+      |     SQRT(CAST(n_weeks AS DOUBLE) * syy - sy * sy)) AS r
+      |  FROM g)
+      |SELECT pk_a, pk_b, n_weeks, r,
+      |  CASE WHEN r <= CAST(-0.2 AS DOUBLE) THEN 'substitute'
+      |       WHEN r >= CAST(0.2 AS DOUBLE) THEN 'complement'
+      |       ELSE 'independent' END AS relation
+      |FROM c ORDER BY pk_a, pk_b""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
-    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
+    q132)
 }

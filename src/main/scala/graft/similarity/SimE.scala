@@ -445,7 +445,43 @@ object SimE extends Module {
     None
   )
 
+  // sim_ivf_sweep — the IVF operating curve: recall@5 at nprobe 1, 2,
+  // 4, 8, 16 against the brute-force truth, ONE index build probed
+  // five times (the tuning table that picks a deployment's
+  // recall/latency point; sim_recall_eval compares index FAMILIES at
+  // fixed settings). Two guarantees pinned in the spec: recall is
+  // NONDECREASING in nprobe (probe sets are nested), and
+  // nprobe = nClusters is exhaustive — recall exactly 1.0.
+  private val simIvfSweep = Q(
+    "sim_ivf_sweep",
+    (s, d) => {
+      import s.implicits._
+      val (q, c) = split(s, d)
+      val truth = Similarity.bruteTopK(q, c, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      val base = java.nio.file.Paths.get("target")
+      val dir = (if (java.nio.file.Files.isDirectory(base))
+          java.nio.file.Files.createTempDirectory(base, "ivf_sweep_")
+        else java.nio.file.Files.createTempDirectory("ivf_sweep_")).toString
+      val index = Ivf.buildIndex(c, "vec_id", "embedding", nClusters = 16, dir)
+      val rows = Seq(1, 2, 4, 8, 16).map { np =>
+        val got = Ivf.probeIndex(index, q, "vec_id", "embedding", k = 5, nProbe = np)
+          .select(col("query_id"), col("corpus_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .map { case (k2, v) => k2 -> v.map(_._2).toSet }
+        val recalls = truth.map { case (qid, t) =>
+          got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+        }
+        (np.toLong, truth.size.toLong, recalls.sum / recalls.size)
+      }
+      rows.toDF("nprobe", "n_queries", "mean_recall")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(simBrute, simLsh, simIvf, simPq, simIvfPq,
     embCentroid, simRange, embKnn, embPurity, embDimStats, simRecallEval,
-    embQuantize, simTruncate)
+    embQuantize, simTruncate, simIvfSweep)
 }

@@ -552,4 +552,38 @@ class RelationalESpec extends SparkSpec {
     // (0,0) cannot exist: a customer absent from both halves has no row
     assert(!rows.exists(r => r._1 == 0 && r._2 == 0))
   }
+  test("q132 cannibalization: pairwise r matches a naive weekly recompute") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), date_trunc("week", col("l_shipdate")).as("wk"),
+        round(col("l_quantity")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byPart = rows.groupBy(_._1).map { case (pk, rs) => pk -> rs.map(_._3).sum }
+    val top = byPart.toSeq.sortBy { case (pk, t) => (-t, pk) }.take(20).map(_._1).toSet
+    val weeks = {
+      val ws = rows.map(_._2); (ws.min to ws.max by 7L * 86400000L).toArray
+    }
+    val series = top.map { pk =>
+      val m = rows.filter(_._1 == pk).groupBy(_._2)
+        .map { case (w, rs) => w -> rs.map(_._3).sum }
+      pk -> weeks.map(w => m.getOrElse(w, 0L).toDouble)
+    }.toMap
+    def corr(x: Array[Double], y: Array[Double]): Double = {
+      val n = x.length.toDouble
+      val (sx, sy) = (x.sum, y.sum)
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val got = SparkEntry.queries("q132_cannibalization")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3), r.getString(4))))
+    assert(got.length === 190, "20 choose 2 pairs")
+    got.foreach { case ((a, b), (nw, r, rel)) =>
+      assert(top(a) && top(b) && a < b)
+      assert(nw === weeks.length.toLong)
+      val want = corr(series(a), series(b))
+      assert(math.abs(r - want) < 1e-9, s"pair ($a,$b)")
+      val wantRel = if (r <= -0.2) "substitute" else if (r >= 0.2) "complement" else "independent"
+      assert(rel === wantRel)
+    }
+  }
 }

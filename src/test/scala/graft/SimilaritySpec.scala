@@ -234,4 +234,15 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(rows.sameElements(again), "deterministic")
   }
+  test("sim_ivf_sweep: recall monotone in nprobe, exhaustive probe anchors at 1.0") {
+    val rows = SparkEntry.queries("sim_ivf_sweep")(spark, sf).orderBy("nprobe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    val recalls = rows.map(_._3)
+    recalls.foreach(rc => assert(rc >= 0.0 && rc <= 1.0))
+    // probe sets are nested, so recall cannot decrease
+    assert(recalls.sameElements(recalls.sorted), s"non-monotone: ${recalls.toSeq}")
+    // nprobe = nClusters probes every cell: exhaustive = brute = 1.0
+    assert(recalls.last === 1.0)
+  }
 }
