@@ -1498,7 +1498,48 @@ object RelationalE extends Module {
       |FROM c ORDER BY pk_a, pk_b""".stripMargin)
   )
 
+  // q133 — basket-size profile (the EDA value_counts on order size,
+  // and the MEASUREMENT behind a documented scale assumption: q94/
+  // q113/q114's within-order pair joins are linear in orders only
+  // while baskets stay bounded — this is the readout that certifies
+  // it, with the pair-work column Σ C(parts, 2) each basket size
+  // contributes): one reduction to the per-order surface, one rollup
+  // to the |basket sizes|-row profile, exact integers + two IEEE
+  // shares.
+  private val q133 = Q(
+    "q133_basket_profile",
+    (s, d) => {
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum(Exact.qzl(col("l_extendedprice"), 100.0)).as("cents"))
+        .localCheckpoint(eager = true)
+      val tot = perOrder.agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
+      val (nOrders, totCents) = (tot.getLong(0), tot.getLong(1))
+      perOrder.groupBy(col("n_parts"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("cents"),
+          sum(expr("n_parts * (n_parts - 1) div 2")).as("pair_work"))
+        .select(col("n_parts"), col("n_orders"), col("pair_work"),
+          (col("n_orders").cast("double") / lit(nOrders.toDouble)).as("order_share"),
+          (col("cents").cast("double") / lit(totCents.toDouble)).as("revenue_share"))
+        .orderBy("n_parts")
+    },
+    Some("""WITH po AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS c FROM po)
+      |SELECT n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(n_parts * (n_parts - 1) // 2) AS BIGINT) AS pair_work,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE) AS order_share,
+      |  CAST(SUM(cents) AS DOUBLE) / CAST(t.c AS DOUBLE) AS revenue_share
+      |FROM po, t GROUP BY n_parts, t.n, t.c ORDER BY n_parts""".stripMargin)
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132)
+    q132, q133)
 }

@@ -586,4 +586,20 @@ class RelationalESpec extends SparkSpec {
       assert(rel === wantRel)
     }
   }
+  test("q133 basket profile: shares sum to one, pair work certifies boundedness") {
+    val rows = SparkEntry.queries("q133_basket_profile")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, "order shares partition")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, "revenue shares partition")
+    rows.foreach { case (np, no, pw, _, _) =>
+      assert(np >= 1 && no >= 1)
+      assert(pw === no * (np * (np - 1) / 2), "pair work identity")
+    }
+    // the bounded-basket claim q94/q113/q114 rely on: total pair work is
+    // a small multiple of orders, nowhere near |parts|^2
+    val totalOrders = rows.map(_._2).sum
+    val totalPairWork = rows.map(_._3).sum
+    assert(totalPairWork < totalOrders * 50, "pair joins stay linear in orders")
+  }
 }
