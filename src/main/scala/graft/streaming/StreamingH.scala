@@ -431,13 +431,16 @@ object StreamingH extends Module {
         .agg(min(col("event_type")).as("attr"),
           min(col("ts")).as("valid_from"),
           count(lit(1)).as("n_events"))
-        // the classic warehouse high-date sentinel for the open version
-        // (also keeps the dump free of NULL timestamps, which the
-        // driver's pandas compare cannot equate — NaT != NaT)
+        // warehouse high-date sentinel for the open version (also keeps
+        // the dump free of NULL timestamps, which the driver's pandas
+        // compare cannot equate — NaT != NaT). 2199 and not the classic
+        // 9999: pandas datetime64[ns] tops out at 2262-04-11, so a
+        // 9999 sentinel overflows ns-resolution readers while 2199
+        // round-trips exactly through every engine in the compare path.
         .withColumn("valid_to", coalesce(lead(col("valid_from"), 1).over(byVersion),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+          lit("2199-12-31 00:00:00").cast("timestamp")))
         .withColumn("is_current",
-          col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+          col("valid_to") === lit("2199-12-31 00:00:00").cast("timestamp"))
         .orderBy("user_id", "version")
     },
     Some("""WITH o AS (
@@ -457,9 +460,9 @@ object StreamingH extends Module {
       |  FROM f GROUP BY 1, 2)
       |SELECT user_id, version, attr, valid_from, n_events,
       |  COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
-      |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |    TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
       |  COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
-      |    TIMESTAMP '9999-12-31 00:00:00') = TIMESTAMP '9999-12-31 00:00:00' AS is_current
+      |    TIMESTAMP '2199-12-31 00:00:00') = TIMESTAMP '2199-12-31 00:00:00' AS is_current
       |FROM i ORDER BY user_id, version""".stripMargin)
   )
 
@@ -664,10 +667,11 @@ object Streaming {
       valid_from: java.sql.Timestamp, n_events: Long,
       valid_to: java.sql.Timestamp, is_current: Boolean)
 
-  /** The UTC instant of the batch side's 9999-12-31 high-date sentinel
-    * (computed from epoch so the twin is JVM-default-timezone-proof).
+  /** The UTC instant of the batch side's 2199-12-31 high-date sentinel
+    * (computed from epoch so the twin is JVM-default-timezone-proof;
+    * 2199 stays inside pandas datetime64[ns] range — see stScd2).
     */
-  val Scd2HighDate = new java.sql.Timestamp(253402214400000L)
+  val Scd2HighDate = new java.sql.Timestamp(7258032000000L)
 
   /** Streaming twin of st_scd2: ONE open-version row of state per user.
     * Same-type events extend the open version (n_events), a type change
