@@ -456,8 +456,22 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashAgg(args.head, 64)),
     (FunctionIdentifier("graft_kmv_agg"),
       new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv_agg"),
-      (args: Seq[Expression]) => KmvAgg(args(0),
-        args(1).eval().asInstanceOf[Int])),
+      (args: Seq[Expression]) => KmvAgg(args(0), {
+        // k must be a foldable integral literal: accept INT/BIGINT/…
+        // (lit(256L), a SQL CAST) and fail function-build time with a
+        // real message instead of a ClassCastException/NPE at eval
+        if (!args(1).foldable)
+          throw new IllegalArgumentException(
+            "graft_kmv_agg: k must be a literal integer, got non-foldable " +
+              args(1).sql)
+        args(1).eval() match {
+          case n: Number if n.longValue() > 0 && n.longValue() <= Int.MaxValue =>
+            n.intValue()
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_kmv_agg: invalid k literal: $other")
+        }
+      })),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalize(args.head)),

@@ -1353,8 +1353,10 @@ object RelationalD extends Module {
     (s, d) => {
       import s.implicits._
       val l = Tables.lineitem(s, d)
-      val gate = pmod((col("l_orderkey") * lit(8L) + col("l_linenumber")) % lit(1000000007L)
-        * lit(2654435761L % 1000000007L), lit(1000000007L)) % lit(10L)
+      // reduce the key mod p BEFORE the ×8 fanout so the raw multiply
+      // can't wrap int64 at any orderkey magnitude (the q18 discipline)
+      val gate = pmod((col("l_orderkey") % lit(1000000007L) * lit(8L) + col("l_linenumber"))
+        % lit(1000000007L) * lit(2654435761L % 1000000007L), lit(1000000007L)) % lit(10L)
       val withSplit = l.select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
         gate.as("g"))
       def z(c: Column, f: Double) = round(c * lit(f)).cast("long").cast(DecimalType(38, 0))

@@ -985,11 +985,12 @@ object RelationalE extends Module {
 
   // q125 — recency-decayed customer value (the marketing "decayed LTV"
   // that discounts old revenue; q93's RFM is its coarse cousin): the
-  // decay is a MONTHLY HALVING — weight 2^(−⌊age/30d⌋) — so every
-  // weighted cent is the exact integer cents · 2^(40−k) on a shared
-  // 2^40 grid (a continuous e^−λt would put libm pow in the hash — the
-  // dyadic step decay keeps both engines on integers until one final
-  // division). Ages ≥ 40 halvings decay to zero by construction.
+  // decay is a MONTHLY HALVING — weight 2^(−min(⌊age/30d⌋, 20)) — so
+  // every weighted cent is the exact integer cents · 2^(20−k) on a
+  // shared 2^20 grid (a continuous e^−λt would put libm pow in the
+  // hash — the dyadic step decay keeps both engines on integers until
+  // one final division). k is capped at 20, so the weight floors at
+  // 2^−20 rather than decaying to zero.
   // One scan, one partial-aggregable customer aggregate.
   private val q125 = Q(
     "q125_decayed_value",

@@ -120,22 +120,46 @@ object Sources {
     * is a directory rename. Row data, not row order, is preserved —
     * the spec asserts multiset equality.
     */
+  /** Close-safe Files.walk: the returned stream holds directory fds
+    * until closed, so every traversal goes through this bracket.
+    */
+  private def withWalk[A](dir: java.nio.file.Path)(
+      f: java.util.stream.Stream[java.nio.file.Path] => A): A = {
+    val s = java.nio.file.Files.walk(dir)
+    try f(s) finally s.close()
+  }
+
+  /** Swap `staging` into place at `dir`, parking the old data at
+    * `backup` and deleting it once the swap lands. Two renames, not
+    * one: a plain filesystem has no atomic directory EXCHANGE, so there
+    * is a microseconds-wide window where `dir` does not exist and a
+    * concurrent reader's listing fails — callers own external
+    * read-exclusion during the swap (at real scale this is the
+    * transaction-log commit a Delta/Iceberg table buys you). Crash
+    * safety: a crash between the renames leaves the full old table
+    * intact under `backup` (never half-written) — recovery is renaming
+    * it back.
+    */
+  private def swapDir(dir: java.nio.file.Path, staging: java.nio.file.Path,
+      backup: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
+    withWalk(backup)(_.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p)))
+  }
+
   def compactParquet(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Long = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     val dir = Paths.get(path)
-    val bytes = Files.walk(dir).filter(p => p.toString.endsWith(".parquet"))
-      .mapToLong(p => Files.size(p)).sum()
+    val bytes = withWalk(dir)(_.filter(p => p.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum())
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
     val staging = Paths.get(path + "__compact_staging")
     spark.read.parquet(path).repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(staging.toString)
-    val backup = Paths.get(path + "__compact_old")
-    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the replaced data
-    Files.walk(backup).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    swapDir(dir, staging, Paths.get(path + "__compact_old"))
     nFiles
   }
 
@@ -153,19 +177,14 @@ object Sources {
     */
   def mergeByKey(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.Paths
     val base = spark.read.parquet(path)
     val merged = base.join(updates.select(keyCols.map(col): _*),
         keyCols, "left_anti")
       .unionByName(updates.select(base.columns.map(col).toIndexedSeq: _*))
     val staging = Paths.get(path + "__merge_staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    val dir = Paths.get(path)
-    val backup = Paths.get(path + "__merge_old")
-    Files.move(dir, backup, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(backup).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    swapDir(Paths.get(path), staging, Paths.get(path + "__merge_old"))
   }
 
   /** Morton (Z-order) interleave of two 16-bit bucket ids as a pure

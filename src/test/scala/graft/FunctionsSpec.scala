@@ -108,6 +108,21 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(1L).intersect(other).isEmpty)
   }
 
+  test("graft_kmv_agg accepts any integral literal k and rejects non-literals") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (1L to 100L).toDF("h")
+    // INT and BIGINT literals (and a SQL CAST) must agree
+    val a = df.agg(expr("graft_kmv_agg(h, 16)")).head().getSeq[Long](0)
+    val b = df.agg(expr("graft_kmv_agg(h, CAST(16 AS BIGINT))")).head().getSeq[Long](0)
+    assert(a === b)
+    // non-literal / invalid k fails with a real message, not a CCE/NPE
+    val e1 = intercept[Exception] { df.agg(expr("graft_kmv_agg(h, h)")).head() }
+    assert(e1.getMessage.contains("literal integer"), e1.getMessage)
+    val e2 = intercept[Exception] { df.agg(expr("graft_kmv_agg(h, -3)")).head() }
+    assert(e2.getMessage.contains("invalid k"), e2.getMessage)
+  }
+
   test("graft_dot_planes equals the per-plane HOF formulation") {
     GraftFunctions.register(spark)
     import graft.similarity.Similarity
