@@ -97,6 +97,26 @@ object RelationalE extends Module {
     * buckets ranked. Public so the spec can plant adversarial frames
     * (all-ties groups, fence-straddling tie runs).
     */
+  /** The facts frame with its per-group bucket id attached: the fence
+    * table (g, lo, hi) — bounded by group cardinality — broadcast-joins
+    * onto the facts and width_bucket computes from the JOINED columns.
+    * No per-group literals in the expression tree: a when-chain keyed on
+    * group value grows the generated code linearly with distinct groups
+    * and falls out of codegen past ~10k groups (the 64KB method limit),
+    * while this shape is one broadcast hash join + a fixed-size
+    * expression at ANY group cardinality. Exposed for the plan pin.
+    */
+  def weightedBucketed(facts: DataFrame,
+      stats: Seq[(String, Double, Double)]): DataFrame = {
+    val sp = facts.sparkSession
+    val nB = Quantiles.Buckets
+    val fences = sp.createDataFrame(stats).toDF("fg", "f_lo", "f_hi")
+    facts.join(broadcast(fences), col("g") === col("fg"))
+      .withColumn("b",
+        least(width_bucket(col("x"), col("f_lo"), col("f_hi"), lit(nB)), lit(nB.toLong)))
+      .drop("fg", "f_lo", "f_hi")
+  }
+
   def weightedQuantiles(facts0: DataFrame,
       ps: Seq[(Long, Long, Double)]): Seq[(String, Double, Double)] = {
     val facts = facts0.localCheckpoint(eager = true)
@@ -104,17 +124,11 @@ object RelationalE extends Module {
         .agg(sum(col("w")).as("tw"), min(col("x")).as("lo"), max(col("x")).as("hi"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-      val nB = Quantiles.Buckets
-      def bucketOf(gv: String): Column = {
-        val (_, _, lo, hi) = stats.find(_._1 == gv).get
-        least(width_bucket(col("x"), lit(lo), lit(hi), lit(nB)), lit(nB.toLong))
-      }
-      val bExpr = coalesce(stats.map { case (gv, _, _, _) =>
-        when(col("g") === gv, bucketOf(gv))
-      }: _*)
+      val bucketed = weightedBucketed(facts,
+        stats.toSeq.map { case (gv, _, lo, hi) => (gv, lo, hi) })
       // (group, bucket) weight histogram: ≤ groups·65537 driver rows by
       // construction, a pure partial+final hash aggregate.
-      val hist = facts.groupBy(col("g"), bExpr.as("b"))
+      val hist = bucketed.groupBy(col("g"), col("b"))
         .agg(sum(col("w")).as("bw"), min(col("x")).as("bmin"), max(col("x")).as("bmax"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
@@ -139,11 +153,10 @@ object RelationalE extends Module {
       val fromRank: Seq[(String, Double, Double)] =
         if (picks.isEmpty) Seq.empty
         else {
-          val cond = picks.map(pk => col("g") === pk.g && bExpr === pk.b).reduce(_ || _)
+          val cond = picks.map(pk => col("g") === pk.g && col("b") === pk.b).reduce(_ || _)
           val cw = sum(col("w")).over(Window.partitionBy(col("g"), col("b"))
             .orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          val sub = facts.filter(cond)
-            .withColumn("b", bExpr)
+          val sub = bucketed.filter(cond)
             .withColumn("cw", cw)
           val aggs = picks.zipWithIndex.map { case (pk, i) =>
             min(when(col("g") === pk.g && col("b") === pk.b && col("cw") >= pk.offset,

@@ -151,6 +151,28 @@ class RelationalESpec extends SparkSpec {
       "window partitioned on the low-cardinality group alone:\n" + sp))
   }
 
+  test("q112 bucketizer: broadcast fence join, no per-group literals, 10k groups") {
+    import spark.implicits._
+    // 10k distinct groups: a when-chain bucketizer would generate one
+    // CASE arm per group and fall out of codegen at this cardinality
+    val nG = 10000
+    val facts = spark.range(nG * 5L).select(
+      concat(lit("g"), (col("id") % nG).cast("string")).as("g"),
+      (col("id") % 97L).cast("double").as("x"),
+      (col("id") % 7L + 1L).as("w"))
+    val stats = (0 until nG).map(i => (s"g$i", 0.0, 96.0))
+    val bucketed = RelationalE.weightedBucketed(facts, stats)
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CASE WHEN"), "per-group literals leaked back into the plan")
+    // the full quantile path completes (codegen survives the cardinality)
+    val got = RelationalE.weightedQuantiles(
+      facts.filter(col("g").isin("g0", "g1")), Seq((1L, 2L, 0.5)))
+    assert(got.size === 2)
+    // and the histogram stage is a pure hash aggregate over the join
+    assert(bucketed.groupBy("g", "b").count().count() > 0L)
+  }
+
   test("q113 item sim: scores reconcile with independent counts") {
     val got = SparkEntry.queries("q113_item_sim")(spark, sf).collect()
     assert(got.nonEmpty)
