@@ -1553,7 +1553,61 @@ object RelationalE extends Module {
       |FROM po, t GROUP BY n_parts, t.n, t.c ORDER BY n_parts""".stripMargin)
   )
 
+  // q134 — the pairplot grid (sns.pairplot of eda_processing.ipynb;
+  // q55_hist2d is ONE panel of it): 2-D fixed-grid histograms for ALL
+  // k·(k−1)/2 numeric column pairs in ONE fact scan. Per-column fences
+  // come from a single bounded agg; the scan then EXPLODES each row
+  // into its 6 (pair, bx, by) cells — a 6× row multiply BEFORE the
+  // partial aggregate (the q40-cube/Expand discipline), so the shuffle
+  // moves only ≤ pairs·16·16 partials per task, never 6× the data. The
+  // k² panels of a pairplot at 100 TB cost one scan + a few KB of
+  // shuffle — the per-pair re-scan formulation costs k² scans. Bin
+  // arithmetic is the identical IEEE expression as q55, mirrored
+  // per-pair in the oracle's UNION ALL (the oracle may re-scan; we
+  // must not).
+  private val q134 = Q(
+    "q134_pairgrid",
+    (s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val nb = 16
+      val l = Tables.lineitem(s, d)
+      val f = l.agg(
+        cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))).head,
+        cols.flatMap(c => Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c"))).tail: _*)
+      def bin(c: String): Column =
+        least(floor((col(c) - col(s"lo_$c")) / (col(s"hi_$c") - col(s"lo_$c"))
+          * lit(nb.toDouble)).cast("long"), lit(nb - 1L))
+      val cells = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        bin(cols(i)).as("bx"), bin(cols(j)).as("by"))
+      l.crossJoin(broadcast(f))
+        .select(explode(array(cells: _*)).as("c"))
+        .groupBy(col("c.col_x").as("col_x"), col("c.col_y").as("col_y"),
+          col("c.bx").as("bx"), col("c.by").as("by"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("col_x", "col_y", "bx", "by")
+    },
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val arms = pairs.map { case (cx, cy) =>
+        s"""SELECT '$cx' AS col_x, '$cy' AS col_y,
+           |  LEAST(CAST(FLOOR(($cx - f.lo_$cx) / (f.hi_$cx - f.lo_$cx) * 16.0) AS BIGINT), 15) AS bx,
+           |  LEAST(CAST(FLOOR(($cy - f.lo_$cy) / (f.hi_$cy - f.lo_$cy) * 16.0) AS BIGINT), 15) AS by,
+           |  CAST(COUNT(*) AS BIGINT) AS n
+           |FROM lineitem, f GROUP BY 1, 2, 3, 4""".stripMargin
+      }
+      val fences = cols.flatMap(c =>
+        Seq(s"MIN($c) AS lo_$c", s"MAX($c) AS hi_$c")).mkString(", ")
+      s"""WITH f AS (SELECT $fences FROM lineitem)
+         |SELECT * FROM (${arms.mkString("\nUNION ALL\n")})
+         |ORDER BY col_x, col_y, bx, by""".stripMargin
+    }
+  )
+
   def qs: Seq[Q] = Seq(q111, q112, q113, q114, q115, q116, q117, q118, q119,
     q120, q121, q122, q123, q124, q125, q126, q127, q128, q129, q130, q131,
-    q132, q133)
+    q132, q133, q134)
 }

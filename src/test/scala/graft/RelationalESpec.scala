@@ -173,6 +173,34 @@ class RelationalESpec extends SparkSpec {
     assert(bucketed.groupBy("g", "b").count().count() > 0L)
   }
 
+  test("q134 pairgrid: panels reconcile with q55 and a single fact scan serves all pairs") {
+    val grid = SparkEntry.queries("q134_pairgrid")(spark, sf)
+    val rows = grid.collect()
+    // 6 unordered pairs of the 4 EDA columns, each panel sums to |lineitem|
+    val n = Tables.lineitem(spark, sf).count()
+    val byPair = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(byPair.keySet.size === 6)
+    byPair.foreach { case (pair, cells) =>
+      assert(cells.map(_.getLong(4)).sum === n, s"panel $pair does not cover the table")
+    }
+    // the (quantity, price) panel IS q55's histogram
+    val panel = rows.filter(r => r.getString(0) == "l_quantity" &&
+        r.getString(1) == "l_extendedprice")
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val q55 = SparkEntry.queries("q55_hist2d")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(panel === q55)
+    // plan: ONE fact scan fans out through Generate(explode) into one
+    // partial+final aggregate — never a per-pair union of scans
+    // (fresh frame: an executed AQE plan prints Final+Initial sections
+    // and would double the scan count)
+    val p = SparkEntry.queries("q134_pairgrid")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length === 2, // fact + bounded fence agg
+      "pairgrid re-scans the fact table per pair:\n" + p.take(3000))
+    assert(p.contains("Generate explode"), p.take(2000))
+  }
+
   test("q113 item sim: scores reconcile with independent counts") {
     val got = SparkEntry.queries("q113_item_sim")(spark, sf).collect()
     assert(got.nonEmpty)
