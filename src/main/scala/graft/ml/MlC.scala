@@ -1042,9 +1042,258 @@ object MlC extends Module {
     None
   )
 
+  // ml_mutual_info — the reference's mutual_info_classif feature-
+  // relevance ranking (feature_engineering.ipynb: mi_scores =
+  // mutual_info_classif(X, y, discrete_features=...)): binned MI
+  // between every feature and the binary label. The entire estimator
+  // reduces to ONE exact (feature, bin, label) count scan — continuous
+  // features bin equal-width over broadcast fences, discrete features
+  // (nation, the one-hots) use their value as the bin, the scan
+  // explodes each row into its 9 (feature, bin) cells BEFORE the
+  // partial aggregate (the q134 discipline), and the surface is
+  // bounded at features·(bins+1)·2 rows. MI/entropy then compute on
+  // the driver from exact counts in sorted order — deterministic, but
+  // libm log keeps it rows-only (the tx_bm25 log-free trick doesn't
+  // apply: MI sums p·ln p terms, it isn't a monotone rational).
+
+  /** Exact (feature, bin, label, n) count surface for all features in
+    * one scan. Exposed for the spec's independent recompute.
+    */
+  private[graft] val miContinuous = Seq("n_orders", "total_spend", "avg_spend")
+
+  private[graft] def miSurface(s: SparkSession, d: String): Seq[(String, Long, Double, Long)] = {
+    val df = customerFeatures(s, d)
+    val discCols = featCols.toSeq.filterNot(miContinuous.contains)
+    val nb = 16
+    val fenceAggs = miContinuous.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    val f = df.agg(fenceAggs.head, fenceAggs.tail: _*)
+    def contBin(c: String): Column =
+      least(floor((col(c) - col(s"lo_$c")) / (col(s"hi_$c") - col(s"lo_$c"))
+        * lit(nb.toDouble)).cast("long"), lit(nb - 1L))
+    val cells = miContinuous.map(c =>
+        struct(lit(c).as("feature"), contBin(c).as("bin"))) ++
+      discCols.map(c => struct(lit(c).as("feature"), col(c).cast("long").as("bin")))
+    df.crossJoin(broadcast(f))
+      .select(col("label"), explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.feature").as("feature"), col("c.bin").as("bin"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+  }
+
+  /** (feature, mi_nats, h_feature, h_label, rank) from the exact count
+    * surface, computed in sorted order so the dump is deterministic.
+    */
+  private[graft] def mutualInfoRows(s: SparkSession, d: String)
+      : Seq[(String, Double, Double, Double, Long)] = {
+    val byFeat = miSurface(s, d).groupBy(_._1)
+    val scored = byFeat.toSeq.sortBy(_._1).map { case (feat, cells) =>
+      val nTot = cells.map(_._4).sum.toDouble
+      val pb = cells.groupBy(_._2).map { case (b, cs) => b -> cs.map(_._4).sum / nTot }
+      val py = cells.groupBy(_._3).map { case (y, cs) => y -> cs.map(_._4).sum / nTot }
+      val mi = cells.sortBy(c => (c._2, c._3)).map { case (_, b, y, n) =>
+        val pxy = n / nTot
+        pxy * math.log(pxy / (pb(b) * py(y)))
+      }.sum
+      def h(ps: Iterable[Double]): Double =
+        -ps.toSeq.sorted.map(p => p * math.log(p)).sum
+      (feat, math.max(mi, 0.0), h(pb.values), h(py.values))
+    }
+    // rank by MI descending, feature name breaking ties
+    scored.sortBy(r => (-r._2, r._1)).zipWithIndex
+      .map { case ((f, mi, hx, hy), k) => (f, mi, hx, hy, (k + 1).toLong) }
+      .sortBy(_._1)
+  }
+
+  private val mlMutualInfo = Q(
+    "ml_mutual_info",
+    (s, d) => {
+      import s.implicits._
+      mutualInfoRows(s, d)
+        .toDF("feature", "mi_nats", "h_feature", "h_label", "rank")
+        .orderBy("feature")
+    },
+    None
+  )
+
+  // ml_model_panel — the reference's my_cross_validate benchmark table
+  // (modeling.py:12 over ~12 classifier families vs DummyClassifier):
+  // SEVEN MLlib families + the most-frequent dummy baseline, each
+  // scored by the same seeded hash-fold 3-fold CV as ml_search (fold
+  // membership identical on any cluster shape), reporting fold-mean
+  // accuracy / f1 / AUC per family. Fits are MLlib's distributed
+  // optimizers; every metric is exact counting except AUC, which uses
+  // the rawPrediction ranking (the dummy's constant score degenerates
+  // to the binarized 0.5, matching the reference's quirk). Rows-only
+  // (seeded iterative fits); MlSpec pins determinism, the family
+  // roster, and that the dummy sits at the bottom of the AUC column.
+
+  /** Per-family fold-mean metrics. Exposed for the determinism spec. */
+  private[graft] def modelPanelRows(s: SparkSession, d: String)
+      : Seq[(String, Double, Double, Double)] = {
+    import org.apache.spark.ml.classification._
+    val df = assembler.transform(customerFeatures(s, d))
+      .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
+      .select("features", "label", "fold")
+      .cache()
+    val families: Seq[(String, org.apache.spark.ml.Estimator[_])] = Seq(
+      "gbt" -> new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(42L),
+      "linear_svc" -> new LinearSVC().setMaxIter(20).setRegParam(0.01),
+      "logreg" -> new LogisticRegression().setMaxIter(20).setRegParam(0.01),
+      "mlp" -> new MultilayerPerceptronClassifier()
+        .setLayers(Array(featCols.length, 8, 2)).setMaxIter(30).setSeed(42L),
+      "naive_bayes" -> new NaiveBayes().setModelType("gaussian"),
+      "random_forest" -> new RandomForestClassifier()
+        .setNumTrees(10).setMaxDepth(5).setSeed(42L),
+      "ridge" -> new LogisticRegression().setMaxIter(20)
+        .setRegParam(0.1).setElasticNetParam(0.0))
+    // exact-count accuracy / f1_1 (zero_division=0, the reference's
+    // classification_report semantics) from one aggregate per fold
+    def countMetrics(preds: DataFrame): (Double, Double) = {
+      val r = preds.agg(count(lit(1)),
+        sum(when(col("label") === 1.0 && col("prediction") === 1.0, 1L).otherwise(0L)),
+        sum(when(col("label") === 0.0 && col("prediction") === 1.0, 1L).otherwise(0L)),
+        sum(when(col("label") === 1.0 && col("prediction") === 0.0, 1L).otherwise(0L))).head()
+      val (n, tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val acc = (n - fp - fn).toDouble / n.toDouble
+      val prec = if (tp + fp > 0) tp.toDouble / (tp + fp) else 0.0
+      val rec = if (tp + fn > 0) tp.toDouble / (tp + fn) else 0.0
+      val f1 = if (prec + rec > 0) 2.0 * prec * rec / (prec + rec) else 0.0
+      (acc, f1)
+    }
+    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+    val fitted = families.map { case (name, est) =>
+      val folds = (0 until 3).map { f =>
+        val m = est.fit(df.filter(col("fold") =!= f))
+          .asInstanceOf[org.apache.spark.ml.Transformer]
+        val preds = m.transform(df.filter(col("fold") === f))
+        val (acc, f1) = countMetrics(preds)
+        (acc, f1, ev.evaluate(preds))
+      }
+      (name, folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
+        folds.map(_._3).sum / 3.0)
+    }
+    // DummyClassifier(most_frequent): constant majority-of-train-folds
+    // prediction; binarized AUC degenerates to (recall1 + recall0)/2
+    val dummy = {
+      val folds = (0 until 3).map { f =>
+        val maj = df.filter(col("fold") =!= f)
+          .agg(sum(col("label")), count(lit(1))).head() match {
+          case r0 => if (r0.getDouble(0) * 2.0 > r0.getLong(1)) 1.0 else 0.0
+        }
+        val preds = df.filter(col("fold") === f).withColumn("prediction", lit(maj))
+        val (acc, f1) = countMetrics(preds)
+        (acc, f1, 0.5)
+      }
+      ("dummy", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
+        folds.map(_._3).sum / 3.0)
+    }
+    df.unpersist()
+    (fitted :+ dummy).sortBy(_._1)
+  }
+
+  private val mlModelPanel = Q(
+    "ml_model_panel",
+    (s, d) => {
+      import s.implicits._
+      modelPanelRows(s, d)
+        .toDF("model", "mean_accuracy", "mean_f1", "mean_auc")
+        .orderBy("model")
+    },
+    None
+  )
+
+  // ml_attrib_tree — per-prediction attribution for the GBT (the
+  // TreeExplainer force plot of modeling_validation.ipynb;
+  // ml_attrib covers the LINEAR model exactly): Saabas path
+  // attribution — walking a row down each tree, the change in node
+  // value at every split is credited to the split feature, so
+  // bias (Σ weighted root values) + Σ contributions == the GBT margin
+  // EXACTLY by telescoping. The fitted ensemble flattens to a few KB
+  // of arrays shipped in the closure (broadcast semantics); the
+  // per-row walk is one JVM function over the feature array — no
+  // per-row Python, no driver loop, embarrassingly parallel. Rows-only
+  // (seeded fit); MlSpec reconciles bias + Σcontrib == margin ==
+  // rawPrediction[1] of an identically-seeded refit.
+
+  /** Flattened tree node; feat == -1 marks a leaf. */
+  private case class TNode(feat: Int, thr: Double, left: Int, right: Int,
+      value: Double)
+
+  private def flattenTree(root: org.apache.spark.ml.tree.Node): Array[TNode] = {
+    val buf = scala.collection.mutable.ArrayBuffer[TNode]()
+    def rec(n: org.apache.spark.ml.tree.Node): Int = {
+      val id = buf.length
+      buf += TNode(-1, 0.0, -1, -1, n.prediction)
+      n match {
+        case in: org.apache.spark.ml.tree.InternalNode =>
+          val (fi, thr) = in.split match {
+            case cs: org.apache.spark.ml.tree.ContinuousSplit =>
+              (cs.featureIndex, cs.threshold)
+            case other => throw new IllegalArgumentException(
+              s"ml_attrib_tree handles continuous splits only, got $other")
+          }
+          val l = rec(in.leftChild)
+          val r = rec(in.rightChild)
+          buf(id) = TNode(fi, thr, l, r, in.prediction)
+        case _ => ()
+      }
+      id
+    }
+    rec(root)
+    buf.toArray
+  }
+
+  /** (c_custkey, feature, contribution, bias, margin) on the hold-out. */
+  private[graft] def gbtAttribution(s: SparkSession, d: String): DataFrame = {
+    val (train, test) = split(customerFeatures(s, d))
+    val gbt = new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(42L)
+    val model = new Pipeline().setStages(Array(assembler, gbt)).fit(train)
+      .stages(1).asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel]
+    val trees = model.trees.map(t => flattenTree(t.rootNode))
+    val weights = model.treeWeights
+    val nf = featCols.length
+    val walk = udf { xs: Seq[Double] =>
+      val contrib = new Array[Double](nf)
+      var bias = 0.0
+      var margin = 0.0
+      var t = 0
+      while (t < trees.length) {
+        val nodes = trees(t)
+        val w = weights(t)
+        bias += w * nodes(0).value
+        var i = 0
+        while (nodes(i).feat >= 0) {
+          val n = nodes(i)
+          val nxt = if (xs(n.feat) <= n.thr) n.left else n.right
+          contrib(n.feat) += w * (nodes(nxt).value - n.value)
+          i = nxt
+        }
+        margin += w * nodes(i).value
+        t += 1
+      }
+      (contrib.toSeq, bias, margin)
+    }
+    test.select(col("c_custkey"),
+        walk(array(featCols.map(c => col(c).cast("double")).toIndexedSeq: _*)).as("a"))
+      .select(col("c_custkey"), col("a._2").as("bias"), col("a._3").as("margin"),
+        posexplode(col("a._1")).as(Seq("pos", "contribution")))
+      .select(col("c_custkey"),
+        element_at(typedLit(featCols.toSeq), col("pos").cast("int") + 1).as("feature"),
+        col("contribution"), col("bias"), col("margin"))
+  }
+
+  private val mlAttribTree = Q(
+    "ml_attrib_tree",
+    (s, d) => gbtAttribution(s, d).orderBy("c_custkey", "feature"),
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,
-    mlCostThreshold, mlBrier, mlKs, mlErrorDecile)
+    mlCostThreshold, mlBrier, mlKs, mlErrorDecile, mlMutualInfo, mlModelPanel,
+    mlAttribTree)
 }

@@ -409,4 +409,90 @@ class MlSpec extends SparkSpec {
       assert(mae >= 0.0 && mae <= 1.0)
     }
   }
+
+  test("ml_mutual_info: H(X)+H(Y)-H(X,Y) recompute matches, ranks order by MI") {
+    val rows = SparkEntry.queries("ml_mutual_info")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length === 9)
+    // independent recompute through the ENTROPY identity (different
+    // formulation than the operator's direct p*log(p/q) sum) from the
+    // same exact count surface
+    val surf = MlC.miSurface(spark, sf).groupBy(_._1)
+    def ent(ws: Iterable[Long], n: Double): Double =
+      -ws.map(_ / n).filter(_ > 0).toSeq.sorted.map(p => p * math.log(p)).sum
+    rows.foreach { case (feat, mi, hx, hy, _) =>
+      val cells = surf(feat)
+      val n = cells.map(_._4).sum.toDouble
+      val hxy = ent(cells.map(_._4), n)
+      val hx2 = ent(cells.groupBy(_._2).map(_._2.map(_._4).sum), n)
+      val hy2 = ent(cells.groupBy(_._3).map(_._2.map(_._4).sum), n)
+      assert(math.abs(hx - hx2) < 1e-12, s"$feat H(X)")
+      assert(math.abs(hy - hy2) < 1e-12, s"$feat H(Y)")
+      assert(math.abs(mi - math.max(hx2 + hy2 - hxy, 0.0)) < 1e-9,
+        s"$feat MI identity: $mi vs ${hx2 + hy2 - hxy}")
+      assert(mi >= 0.0 && mi <= math.min(hx2, hy2) + 1e-9, s"$feat MI bounds")
+    }
+    // ranks are 1..9 and descend with MI
+    assert(rows.map(_._5).sorted === (1L to 9L))
+    val byRank = rows.sortBy(_._5).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, "rank order")
+  }
+
+  test("ml_model_panel: >= 6 families + dummy, deterministic, metrics in range") {
+    val a = MlC.modelPanelRows(spark, sf)
+    val names = a.map(_._1)
+    assert(names.contains("dummy"))
+    assert(names.size >= 7, s"family roster too thin: $names") // 7 + dummy
+    Seq("gbt", "linear_svc", "logreg", "mlp", "naive_bayes", "random_forest",
+      "ridge").foreach(f => assert(names.contains(f), s"missing family $f"))
+    a.foreach { case (m, acc, f1, auc) =>
+      assert(acc >= 0.0 && acc <= 1.0, s"$m accuracy")
+      assert(f1 >= 0.0 && f1 <= 1.0, s"$m f1")
+      assert(auc >= 0.0 && auc <= 1.0, s"$m auc")
+    }
+    // the constant dummy's binarized AUC is exactly 0.5
+    assert(a.find(_._1 == "dummy").get._4 === 0.5)
+    // seeded fits + hash folds: bit-identical on a re-run
+    val b = MlC.modelPanelRows(spark, sf)
+    assert(a === b, "panel not deterministic")
+  }
+
+  test("ml_attrib_tree: bias + sum(contrib) telescopes to the GBT margin") {
+    val rows = SparkEntry.queries("ml_attrib_tree")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length % 9 === 0)
+    val byRow = rows.groupBy(_._1)
+    byRow.foreach { case (k, cs) =>
+      assert(cs.length === 9, s"row $k feature fan")
+      val (bias, margin) = (cs.head._4, cs.head._5)
+      assert(cs.forall(c => c._4 === bias && c._5 === margin))
+      assert(math.abs(bias + cs.map(_._3).sum - margin) < 1e-9,
+        s"row $k: Saabas telescope broken")
+    }
+    // margins match the rawPrediction of an identically-seeded refit
+    val att = byRow.view.mapValues(_.head._5).toMap
+    val (train, test) = {
+      val df = MlC.customerFeatures(spark, sf)
+      val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
+        lit(1000000007L) % 1000
+      (df.filter(bucket < 800), df.filter(bucket >= 800))
+    }
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setMaxIter(5).setMaxDepth(3).setSeed(42L)
+    val asm = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("nation", "n_orders", "total_spend", "avg_spend",
+        "seg_AUTOMOBILE", "seg_BUILDING", "seg_FURNITURE", "seg_HOUSEHOLD",
+        "seg_MACHINERY")).setOutputCol("features")
+    val m = new org.apache.spark.ml.Pipeline().setStages(Array(asm, gbt)).fit(train)
+    val raw = m.transform(test).select(col("c_custkey"),
+        org.apache.spark.ml.functions.vector_to_array(col("rawPrediction"))
+          .getItem(1).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(raw.keySet === att.keySet)
+    raw.foreach { case (k, v) =>
+      assert(math.abs(v - att(k)) < 1e-9, s"row $k margin vs rawPrediction")
+    }
+  }
 }
