@@ -1,7 +1,5 @@
 package graft.similarity
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,9 +42,15 @@ object IvfPq {
     s
   }
 
-  /** Coarse quantizer (MLlib KMeans on a seeded bounded sample) + PQ
-    * codebooks (driver Lloyd's on the normalized sample), then ONE pass
-    * assigning + encoding the corpus, written partitioned by cell.
+  /** Coarse quantizer + PQ codebooks, both seeded driver Lloyd's on the
+    * SAME bounded collected sample (coarse on raw vectors, books on the
+    * normalized ones), then ONE pass assigning + encoding the corpus,
+    * written partitioned by cell. The coarse fit was MLlib KMeans
+    * through round 5 — profiled at 1.2 s of pure job-scheduling
+    * overhead on a ≤10k sample whose driver Lloyd's takes
+    * single-digit ms; with the sample already in hand for the books,
+    * the distributed fit bought nothing (the full corpus never feeds
+    * the quantizer at any scale — that's the IVF contract).
     */
   def buildIndex(corpus: DataFrame, idCol: String, embCol: String,
       nClusters: Int, m: Int, ksub: Int, path: String, seed: Long = 42L,
@@ -56,21 +60,18 @@ object IvfPq {
     val n = corpus.count()
     val trainDf = if (n <= maxTrainRows) corpus
       else corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    val featurized = trainDf.withColumn("features",
-      array_to_vector(transform(col(embCol), x => x.cast("double"))))
-    val km = new KMeans().setK(nClusters).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster_id").fit(featurized)
-    val train = trainDf.select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).map(normalize)
+    val trainRaw = trainDf.select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids = Pq.kmeansSub(trainRaw, nClusters, seed)
+    val train = trainRaw.map(normalize)
     val dim = train(0).length
     val dsub = dim / m
     val books = Array.tabulate(m) { j =>
       Pq.kmeansSub(train.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, seed + j)
     }
     val flatBooks: Seq[Double] = books.flatMap(_.flatMap(_.toSeq)).toSeq
-    val assigned = Similarity.withQuantized(
-        km.transform(corpus.withColumn("features",
-          array_to_vector(transform(col(embCol), x => x.cast("double"))))), embCol)
+    val assigned = Similarity.withQuantized(corpus, embCol)
+      .withColumn("cluster_id", Similarity.nearestCell(col(embCol), centroids))
       .withColumn("nvec", transform(col("qvec"),
         x => x.cast("double") / sqrt(col("qnorm").cast("double"))))
       .select(col(idCol).as("corpus_id"), col("qvec").as("c_qvec"),
@@ -78,7 +79,7 @@ object IvfPq {
         call_function("graft_pq_encode", col("nvec"), typedLit(flatBooks), lit(m)).as("codes"),
         col("cluster_id"))
     graft.sources.Sources.writePartitioned(assigned, path, Seq("cluster_id"))
-    IvfPqIndex(path, km.clusterCenters.map(_.toArray), books, m, ksub, dsub)
+    IvfPqIndex(path, centroids, books, m, ksub, dsub)
   }
 
   /** Prune → ADC → exact re-rank. The query set is bounded by contract:

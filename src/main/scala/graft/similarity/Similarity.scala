@@ -39,6 +39,35 @@ object Similarity {
       .withColumn("qnorm", dotL(col("qvec"), col("qvec")))
   }
 
+  /** Nearest-centroid cell assignment over a broadcast centroid array
+    * (the IVF corpus-assignment step): one per-row JVM argmin shipped in
+    * the closure — k·dim flops per row, the same work any engine's
+    * predict does, with no per-row allocation beyond the input. A UDF by
+    * design: the k-way argmin has no builtin expression form, MLlib's
+    * own transform is an identical non-codegen UDF with Vector boxing on
+    * top, and the HOF formulation (k aggregate/zip_with arms) is also
+    * interpreted — this is the cheapest of the three. Ties go to the
+    * lowest cell index (deterministic).
+    */
+  def nearestCell(emb: Column, centers: Array[Array[Double]]): Column = {
+    val k = centers.length
+    val assign = udf { xs: Seq[Float] =>
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val ctr = centers(c)
+        var s = 0.0
+        var i = 0
+        while (i < ctr.length) { val d = xs(i) - ctr(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; best = c }
+        c += 1
+      }
+      best
+    }
+    assign(emb)
+  }
+
   /** Lossless two-phase per-query top-k over a (query_id, corpus_id,
     * `orderCol`) surface: a LOCAL top-k per (query, input partition)
     * prunes candidates to ≤ k·partitions rows per query BEFORE the

@@ -13,7 +13,8 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 HEADLINE = ["q01_agg", "q03_join_agg", "q05_window", "q10_corr",
-            "dd_minhash", "sim_brute_topk", "tx_quality", "st_window_agg"]
+            "dd_minhash", "sim_brute_topk", "tx_quality", "st_window_agg",
+            "dd_winnow_pairs", "sim_ivfpq_topk"]  # ivfpq has no oracle -> skipped
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
