@@ -1290,10 +1290,167 @@ object MlC extends Module {
     None
   )
 
+  // ml_woe_iv — weight-of-evidence binning, the consumer-credit
+  // scorecard readout the reference's domain implies (per-bin
+  // good/bad distributions over the DEFAULT_FLAG analog; WoE/IV are
+  // ln readouts of this surface): continuous features bin equal-width
+  // over broadcast fences (the ml_mutual_info discipline, 8 bins),
+  // discrete features use their value, one exploded fact scan builds
+  // the whole (feature, bin, label) surface. Everything emitted is
+  // log-free — exact counts, single-division distribution shares, and
+  // the 0.5-smoothed good/bad odds ratio as one fixed IEEE expression —
+  // so unlike MI this one IS oracle-checked; MlSpec takes ln on top to
+  // reconcile WoE monotonicity and the IV sum. Per-feature totals come
+  // from a window over the aggregated surface, which is bounded
+  // metadata (features × bins rows), not data.
+  private val woeNb = 8
+
+  private val mlWoeIv = Q(
+    "ml_woe_iv",
+    (s, d) => {
+      val df = customerFeatures(s, d)
+      val discCols = featCols.toSeq.filterNot(miContinuous.contains)
+      val fenceAggs = miContinuous.flatMap(c =>
+        Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+      val f = df.agg(fenceAggs.head, fenceAggs.tail: _*)
+      def contBin(c: String): Column =
+        least(floor((col(c) - col(s"lo_$c")) / (col(s"hi_$c") - col(s"lo_$c"))
+          * lit(woeNb.toDouble)).cast("long"), lit(woeNb - 1L))
+      val cells = miContinuous.map(c =>
+          struct(lit(c).as("feature"), contBin(c).as("bin"))) ++
+        discCols.map(c => struct(lit(c).as("feature"), col(c).cast("long").as("bin")))
+      val surface = df.crossJoin(broadcast(f))
+        .select(col("label"), explode(array(cells: _*)).as("c"))
+        .groupBy(col("c.feature").as("feature"), col("c.bin").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label").cast("long")).as("n_bad"))
+        .withColumn("n_good", col("n") - col("n_bad"))
+      val w = Window.partitionBy(col("feature"))
+      surface
+        .withColumn("tot_good", sum(col("n_good")).over(w))
+        .withColumn("tot_bad", sum(col("n_bad")).over(w))
+        .select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
+          (col("n_good").cast("double") / col("tot_good").cast("double")).as("dist_good"),
+          (col("n_bad").cast("double") / col("tot_bad").cast("double")).as("dist_bad"),
+          (((col("n_good").cast("double") + lit(0.5)) / col("tot_good").cast("double"))
+            / ((col("n_bad").cast("double") + lit(0.5)) / col("tot_bad").cast("double")))
+            .as("odds_smoothed"))
+        .orderBy("feature", "bin")
+    },
+    Some {
+      val cont = Seq("n_orders", "total_spend", "avg_spend")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val segCols = segs.map(v =>
+        s"CASE WHEN c_mktsegment = '$v' THEN 1.0 ELSE 0.0 END AS seg_$v").mkString(",\n  |    ")
+      val fences = cont.flatMap(c =>
+        Seq(s"MIN($c) AS lo_$c", s"MAX($c) AS hi_$c")).mkString(", ")
+      val contArms = cont.map(c =>
+        s"""SELECT '$c' AS feature,
+           |    LEAST(CAST(FLOOR(($c - lo_$c) / (hi_$c - lo_$c) * 8.0) AS BIGINT), 7) AS bin,
+           |    label FROM cf, f""".stripMargin)
+      val discArms = ("nation" +: segs.map(v => s"seg_$v")).map(c =>
+        s"SELECT '$c' AS feature, CAST($c AS BIGINT) AS bin, label FROM cf")
+      s"""WITH bc AS (
+         |  SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+         |  FROM orders GROUP BY 1),
+         |cf AS (
+         |  SELECT c_custkey,
+         |    CAST(c_nationkey AS DOUBLE) AS nation,
+         |    COALESCE(n_orders, 0.0) AS n_orders,
+         |    COALESCE(total_spend, 0.0) AS total_spend,
+         |    COALESCE(total_spend, 0.0) / GREATEST(COALESCE(n_orders, 0.0), 1.0) AS avg_spend,
+         |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS label,
+         |    $segCols
+         |  FROM customer LEFT JOIN bc ON c_custkey = o_custkey),
+         |f AS (SELECT $fences FROM cf),
+         |cells AS (
+         |  ${(contArms ++ discArms).mkString("\n  |  UNION ALL\n  |  ")}),
+         |g AS (
+         |  SELECT feature, bin, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_bad
+         |  FROM cells GROUP BY 1, 2),
+         |t AS (
+         |  SELECT feature, bin, n - n_bad AS n_good, n_bad,
+         |    CAST(SUM(n - n_bad) OVER (PARTITION BY feature) AS BIGINT) AS tot_good,
+         |    CAST(SUM(n_bad) OVER (PARTITION BY feature) AS BIGINT) AS tot_bad
+         |  FROM g)
+         |SELECT feature, bin, n_good, n_bad,
+         |  CAST(n_good AS DOUBLE) / CAST(tot_good AS DOUBLE) AS dist_good,
+         |  CAST(n_bad AS DOUBLE) / CAST(tot_bad AS DOUBLE) AS dist_bad,
+         |  ((CAST(n_good AS DOUBLE) + 0.5) / CAST(tot_good AS DOUBLE))
+         |    / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(tot_bad AS DOUBLE)) AS odds_smoothed
+         |FROM t ORDER BY feature, bin""".stripMargin
+    }
+  )
+
+  // ml_vif — variance-inflation factors, the multicollinearity screen
+  // that accompanies the reference's correlation-heatmap EDA: VIF_j is
+  // the j-th diagonal of the inverse correlation matrix of the
+  // predictors. One scan accumulates the exact decimal gram surface
+  // (n, Σx_i, Σx_i·x_j — 45 bounded aggregates, partial-aggregable);
+  // the correlation matrix and its Gauss–Jordan inverse are driver
+  // arithmetic over that fixed-size metadata. The MACHINERY one-hot is
+  // dropped as the reference category — keeping all five exhaustive
+  // segment dummies makes R exactly singular, which is the textbook
+  // dummy-variable trap, not a numerical accident. Rows-only (matrix
+  // inverse is not SQL); MlSpec plants an exact linear combination and
+  // asserts its VIF explodes while independent columns stay near 1.
+  private[graft] val vifCols: Seq[String] = Seq("nation", "n_orders",
+    "total_spend", "avg_spend", "seg_AUTOMOBILE", "seg_BUILDING",
+    "seg_FURNITURE", "seg_HOUSEHOLD")
+
+  /** VIF per feature from the exact gram of `cols` in `df`. */
+  private[graft] def vifRows(df: DataFrame, cols: Seq[String]): Seq[(String, Double)] = {
+    val k = cols.length
+    val aggs = Seq(count(lit(1)).cast("double").as("n")) ++
+      cols.map(c => sum(d6w(col(c))).cast("double").as(s"s_$c")) ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum(d6w(col(cols(i)) * col(cols(j)))).cast("double").as(s"p_${i}_$j"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getDouble(0)
+    val s = cols.indices.map(i => r.getDouble(1 + i))
+    val p = Array.ofDim[Double](k, k)
+    var idx = 1 + k
+    for { i <- 0 until k; j <- i until k } {
+      p(i)(j) = r.getDouble(idx); p(j)(i) = p(i)(j); idx += 1
+    }
+    // correlation matrix, then Gauss–Jordan inverse with partial pivoting
+    val corr = Array.tabulate(k, k) { (i, j) =>
+      val cov = n * p(i)(j) - s(i) * s(j)
+      val di = math.sqrt(n * p(i)(i) - s(i) * s(i))
+      val dj = math.sqrt(n * p(j)(j) - s(j) * s(j))
+      if (di == 0.0 || dj == 0.0) { if (i == j) 1.0 else 0.0 } else cov / (di * dj)
+    }
+    val a = Array.tabulate(k, 2 * k)((i, j) =>
+      if (j < k) corr(i)(j) else if (j - k == i) 1.0 else 0.0)
+    for (c <- 0 until k) {
+      val piv = (c until k).maxBy(r0 => math.abs(a(r0)(c)))
+      val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+      val pv = a(c)(c)
+      require(math.abs(pv) > 1e-12, s"singular correlation matrix at ${cols(c)}")
+      for (j <- 0 until 2 * k) a(c)(j) /= pv
+      for (r0 <- 0 until k if r0 != c) {
+        val m = a(r0)(c)
+        if (m != 0.0) for (j <- 0 until 2 * k) a(r0)(j) -= m * a(c)(j)
+      }
+    }
+    cols.indices.map(i => cols(i) -> a(i)(k + i))
+  }
+
+  private val mlVif = Q(
+    "ml_vif",
+    (s, d) => {
+      import s.implicits._
+      vifRows(customerFeatures(s, d), vifCols)
+        .toDF("feature", "vif")
+        .orderBy("feature")
+    },
+    None
+  )
+
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,
     mlCostThreshold, mlBrier, mlKs, mlErrorDecile, mlMutualInfo, mlModelPanel,
-    mlAttribTree)
+    mlAttribTree, mlWoeIv, mlVif)
 }

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.{Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.F — text analysis over `documents` (LLM-pipeline mandate).
@@ -920,8 +921,103 @@ object TextF extends Module {
       |SELECT n, agree, po, pe, (po - pe) / (1.0 - pe) AS kappa FROM m""".stripMargin)
   )
 
+  // tx_pack — context-window packing, the concat-and-chunk step that
+  // turns a curated document set into fixed-length training sequences:
+  // docs are sharded deterministically (the q18 Z-mod-p gate, so shard
+  // membership is engine- and cluster-shape-independent), concatenated
+  // in doc_id order within their shard, and sliced into 512-token
+  // windows; a document belongs to the pack where it starts, and
+  // `n_straddle` counts docs whose tail crosses into the next window
+  // (the attention-mask boundary accounting). Scale shape: the shard
+  // count is a deployment parameter sized to the writer-task count
+  // (8 here; 10k+ on a real cluster so each shard is corpus/W tokens),
+  // shards pack independently, and within a shard the prefix sum is ONE
+  // streaming window pass whose state is a single running counter — the
+  // sequential fold is the *semantics* of packing, not an implementation
+  // shortcut, and TextSpec replays it as a per-shard fold to pin that a
+  // stateful one-counter stream reproduces the batch assignment exactly.
+  // All arithmetic is integer (`div`), so pack ids are exact at any
+  // corpus size (no double rounding at 2^53 tokens).
+  private val txPack = Q(
+    "tx_pack",
+    (s, d) => {
+      val p = 1000000007L
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (col("doc_id") % p * lit(654435747L) % p % 8).as("shard"),
+          size(tokens).cast("long").as("n_w"))
+        .withColumn("cum", sum(col("n_w")).over(w))
+        .withColumn("pack_id", expr("(cum - n_w) div 512"))
+        .withColumn("straddle", expr("(cum - 1) div 512") =!= col("pack_id"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_w")).as("sum_tokens"),
+          sum(when(col("straddle"), 1L).otherwise(0L)).as("n_straddle"))
+        .orderBy("shard", "pack_id")
+    },
+    Some("""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 1000000007 * 654435747 % 1000000007 % 8 AS BIGINT) AS shard,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_w
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, n_w,
+      |    CAST(SUM(n_w) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t),
+      |p AS (
+      |  SELECT shard, n_w,
+      |    (cum - n_w) // 512 AS pack_id,
+      |    CASE WHEN (cum - 1) // 512 <> (cum - n_w) // 512 THEN 1 ELSE 0 END AS straddle
+      |  FROM c)
+      |SELECT shard, pack_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_w) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
+      |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
+  )
+
+  // tx_ttr — per-source lexical-diversity profile (type-token ratio +
+  // hapax share), the cheap vocabulary-health readout used beside the
+  // Gopher heuristics to spot template farms (low TTR) and OCR noise
+  // (high hapax share). Scale shape: explode to (source, token) and
+  // count — the Zipf head collapses in the map-side partial aggregate,
+  // the shuffled surface is vocabulary-sized (not corpus-sized), and
+  // the per-source rollup is a second tiny keyed aggregate. Counts are
+  // exact integers; the two ratios are single BIGINT→DOUBLE divisions,
+  // identical IEEE in both engines.
+  private val txTtr = Q(
+    "tx_ttr",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("total_tokens"),
+          count(lit(1)).as("distinct_tokens"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("ttr",
+          col("distinct_tokens").cast("double") / col("total_tokens").cast("double"))
+        .withColumn("hapax_share",
+          col("hapax").cast("double") / col("distinct_tokens").cast("double"))
+        .orderBy("source")
+    },
+    Some("""WITH w AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      |c AS (SELECT source, t, COUNT(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hapax_share
+      |FROM c GROUP BY source ORDER BY source""".stripMargin)
+  )
+
   override val qs: Seq[Q] = Seq(txLangId, txQuality, txTokenCount, txFingerprint,
     txShingles, txRepetition, txFilterFlags, txBudgetSample, txContamination,
     txLmScore, txPiiRedact, txTfidf, txNormalize, txWinnow, txMixSample,
-    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures, txBm25, txKappa)
+    txLmBuckets, txNgramFreq, txLangConfusion, txHashFeatures, txBm25, txKappa,
+    txPack, txTtr)
 }

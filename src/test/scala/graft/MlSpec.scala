@@ -495,4 +495,59 @@ class MlSpec extends SparkSpec {
       assert(math.abs(v - att(k)) < 1e-9, s"row $k margin vs rawPrediction")
     }
   }
+
+  test("ml_woe_iv: distributions are per-feature simplexes; WoE/IV reconcile") {
+    val rows = SparkEntry.queries("ml_woe_iv")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val byFeat = rows.groupBy(_._1)
+    assert(byFeat.keySet === Set("nation", "n_orders", "total_spend",
+      "avg_spend", "seg_AUTOMOBILE", "seg_BUILDING", "seg_FURNITURE",
+      "seg_HOUSEHOLD", "seg_MACHINERY"))
+    byFeat.foreach { case (f, cs) =>
+      // every customer lands in exactly one bin per feature
+      assert(math.abs(cs.map(_._5).sum - 1.0) < 1e-12, s"$f dist_good simplex")
+      assert(math.abs(cs.map(_._6).sum - 1.0) < 1e-12, s"$f dist_bad simplex")
+      val totG = cs.map(_._3).sum
+      val totB = cs.map(_._4).sum
+      cs.foreach { case (_, _, ng, nb, dg, db, odds) =>
+        assert(dg === ng.toDouble / totG && db === nb.toDouble / totB)
+        // the emitted surface is ln-free; WoE is its log readout
+        val woe = math.log(odds)
+        val want = math.log(((ng + 0.5) / totG.toDouble) / ((nb + 0.5) / totB.toDouble))
+        assert(math.abs(woe - want) < 1e-12, s"$f WoE")
+      }
+      // IV from the surface is finite and non-negative (smoothed odds > 0)
+      val iv = cs.map { case (_, _, _, _, dg, db, odds) =>
+        (dg - db) * math.log(odds)
+      }.sum
+      assert(!iv.isNaN && !iv.isInfinite, s"$f IV")
+    }
+  }
+
+  test("ml_vif: planted collinearity explodes, independent columns stay near 1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { _ =>
+      val x1 = rnd.nextDouble() * 10.0
+      val x2 = rnd.nextDouble() * 5.0
+      val x3 = 2.0 * x1 - 3.0 * x2 + rnd.nextGaussian() * 1e-4 // near-exact combo
+      val x4 = rnd.nextDouble() // independent
+      (x1, x2, x3, x4)
+    }
+    val df = rows.toDF("x1", "x2", "x3", "x4")
+    val vif = MlC.vifRows(df, Seq("x1", "x2", "x3", "x4")).toMap
+    assert(vif("x3") > 100.0, s"collinear x3 should explode: ${vif("x3")}")
+    assert(vif("x4") < 2.0, s"independent x4 near 1: ${vif("x4")}")
+    assert(vif.values.forall(v => v >= 1.0 - 1e-9), "VIF >= 1")
+    // real feature frame: finite, >= 1, and deterministic
+    val real = SparkEntry.queries("ml_vif")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(real.map(_._1).toSeq.sorted === MlC.vifCols.sorted)
+    assert(real.forall { case (_, v) => v >= 1.0 - 1e-9 && !v.isInfinite })
+    val again = SparkEntry.queries("ml_vif")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    assert(real.toSeq === again.toSeq)
+  }
 }

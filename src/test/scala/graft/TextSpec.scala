@@ -155,4 +155,56 @@ class TextSpec extends SparkSpec {
     assert(math.abs(kappa - (po - pe) / (1.0 - pe)) < 1e-12)
     assert(kappa <= po + 1e-12 && kappa >= -1.0 && kappa <= 1.0)
   }
+
+  test("tx_pack: a one-counter-per-shard stateful fold reproduces the batch packs") {
+    val packs = SparkEntry.queries("tx_pack")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // replay: the exact state a streaming packer would hold is ONE
+    // running token counter per shard; fold docs in doc_id order and
+    // rebuild every (shard, pack) row from that counter alone
+    val p = 1000000007L
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n_w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cum = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val want = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L))
+    for ((id, nw) <- docs) {
+      val shard = id % p * 654435747L % p % 8
+      val before = cum(shard)
+      val packId = before / 512
+      val straddle = if ((before + nw - 1) / 512 != packId) 1L else 0L
+      val (d0, t0, s0) = want((shard, packId))
+      want((shard, packId)) = (d0 + 1, t0 + nw, s0 + straddle)
+      cum(shard) = before + nw
+    }
+    assert(packs === want.toMap)
+    // global accounting: every doc lands in exactly one pack
+    assert(packs.values.map(_._1).sum === docs.length.toLong)
+    assert(packs.values.map(_._2).sum === docs.map(_._2).sum)
+  }
+
+  test("tx_ttr: per-source profile matches a naive recount; ratios bounded") {
+    val out = SparkEntry.queries("tx_ttr")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val naive = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, rows) =>
+        val toks = rows.flatMap(_._2.toLowerCase.split(" ", -1))
+        val counts = toks.groupBy(identity).map(_._2.length)
+        src -> (toks.length.toLong, counts.size.toLong,
+          counts.count(_ == 1).toLong)
+      }
+    for (r <- out) {
+      val (tot, dist, hapax) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((tot, dist, hapax) === naive(r.getString(0)))
+      assert(hapax <= dist && dist <= tot)
+      assert(r.getDouble(4) === dist.toDouble / tot.toDouble)
+      assert(r.getDouble(5) === hapax.toDouble / dist.toDouble)
+    }
+  }
 }

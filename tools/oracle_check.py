@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness compare.
 
-Usage: tools/oracle_check.py [sf_dir] [verify_out_dir] [query ...]
+Usage: tools/oracle_check.py [--pyarrow] [sf_dir] [verify_out_dir] [query ...]
 
 Reads verify_out_dir/<name>/*.parquet (written by graft.Verify), runs
 verify_out_dir/oracle_sql.json in DuckDB over sf_dir's tables, sorts
 columns by name and rows by all columns, and compares values exactly.
+
+--pyarrow reads the Spark side via pyarrow -> pandas instead of DuckDB,
+replicating the driver's actual read path: pandas datetime64[ns] tops
+out at 2262-04-11, so timestamps outside that window coerce differently
+than DuckDB's fetch and hash-diverge even when values are equal (the
+round-5 st_scd2 FAIL class). Run BOTH modes before claiming green.
 """
 import sys, os, json, glob, math
 import duckdb
@@ -18,7 +24,20 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def is_missing(x):
+    if x is None:
+        return True
+    try:
+        return isinstance(x, float) and math.isnan(x)
+    except TypeError:
+        return False
+
 def cmp_cell(a, b):
+    # None vs NaN: the DuckDB fetch renders NULL doubles as NaN while
+    # pyarrow renders them as None — the driver treats both as missing
+    # (q100 hash-matched r5 with exactly this split), so we do too.
+    if is_missing(a) and is_missing(b):
+        return True
     if a is None and b is None:
         return True
     try:
@@ -36,9 +55,13 @@ def cmp_cell(a, b):
     return a == b
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "target/verify"
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    use_pyarrow = "--pyarrow" in argv
+    if use_pyarrow:
+        argv.remove("--pyarrow")
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out = argv[1] if len(argv) > 1 else "target/verify"
+    only = set(argv[2:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -56,7 +79,23 @@ def main():
             n_fail += 1
             continue
         try:
-            mine = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
+            if use_pyarrow:
+                import pyarrow.parquet as pq
+                import pandas as pd
+                import datetime
+                mine = pd.concat(
+                    [pq.read_table(f).to_pandas() for f in sorted(files)],
+                    ignore_index=True)
+                # parquet DATE comes back as datetime.date objects where
+                # DuckDB's fetch gives midnight Timestamps (hash-equal to
+                # the driver, per r5); align the representation
+                for c in mine.columns:
+                    if mine[c].dtype == object and mine[c].map(
+                            lambda x: isinstance(x, datetime.date) or x is None).all() \
+                            and mine[c].notna().any():
+                        mine[c] = pd.to_datetime(mine[c])
+            else:
+                mine = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
             ref = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
