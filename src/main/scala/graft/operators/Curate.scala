@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *                          min-id survivor per cluster
   *   4. token budget      — keep the longest documents until the token
   *                          budget (BudgetSelect's two-phase prefix sum)
+  *   5. context packing   — concat-and-chunk the kept docs into
+  *                          512-token training sequences (tx_pack's
+  *                          per-shard single-counter prefix sum)
   *
   * Every stage is the same code path its standalone operator uses, so
   * correctness is inherited from their oracles/specs; CurateSpec pins
@@ -65,4 +68,12 @@ object Curate {
 
     (kept, funnel.result())
   }
+
+  /** Stage 5 on the pipeline's kept docs: per-doc context-window
+    * assignment (doc_id, shard, n_w, pack_id, straddle) — what a
+    * training-data writer partitions the output files by. Same code
+    * path as tx_pack, so pack semantics are oracle-inherited.
+    */
+  def pack(kept: DataFrame): DataFrame =
+    graft.text.TextF.packAssignments(kept)
 }

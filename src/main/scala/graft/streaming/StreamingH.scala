@@ -1198,4 +1198,37 @@ object Streaming {
           out.iterator
       }
   }
+
+  case class DocTok(doc_id: Long, n_w: Long)
+  case class PackAssign(shard: Long, doc_id: Long, pack_id: Long, straddle: Boolean)
+
+  /** Streaming twin of tx_pack's concat-and-chunk packer: per-shard
+    * state is ONE running token counter, so a continuously-ingesting
+    * curation pipeline can assign context-window packs on the fly with
+    * O(shards) total state. Docs within a micro-batch are applied in
+    * doc_id order — the batch window's sort key; cross-batch the
+    * in-order delivery contract is the same as [[scd2Stream]]. Emits
+    * the per-doc assignment (the batch op's pre-aggregation surface);
+    * the (shard, pack) rollup downstream is a plain streaming
+    * aggregate.
+    */
+  def packStream(docs: Dataset[DocTok]): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    val p = 1000000007L
+    docs.groupByKey(d => d.doc_id % p * 654435747L % p % 8)
+      .flatMapGroupsWithState[Long, PackAssign](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (shard: Long, ds: Iterator[DocTok], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = ds.toSeq.sortBy(_.doc_id).map { d =>
+            val packId = cum / 512L
+            val straddle = (cum + d.n_w - 1L) / 512L != packId
+            cum += d.n_w
+            PackAssign(shard, d.doc_id, packId, straddle)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 }

@@ -938,19 +938,26 @@ object TextF extends Module {
   // stateful one-counter stream reproduces the batch assignment exactly.
   // All arithmetic is integer (`div`), so pack ids are exact at any
   // corpus size (no double rounding at 2^53 tokens).
+  /** Per-doc context-window assignment surface of tx_pack (doc_id,
+    * shard, n_w, pack_id, straddle) — reused by Curate's final stage.
+    */
+  private[graft] def packAssignments(docs: DataFrame): DataFrame = {
+    val p = 1000000007L
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        (col("doc_id") % p * lit(654435747L) % p % 8).as("shard"),
+        size(tokens).cast("long").as("n_w"))
+      .withColumn("cum", sum(col("n_w")).over(w))
+      .withColumn("pack_id", expr("(cum - n_w) div 512"))
+      .withColumn("straddle", expr("(cum - 1) div 512") =!= col("pack_id"))
+  }
+
   private val txPack = Q(
     "tx_pack",
     (s, d) => {
-      val p = 1000000007L
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (col("doc_id") % p * lit(654435747L) % p % 8).as("shard"),
-          size(tokens).cast("long").as("n_w"))
-        .withColumn("cum", sum(col("n_w")).over(w))
-        .withColumn("pack_id", expr("(cum - n_w) div 512"))
-        .withColumn("straddle", expr("(cum - 1) div 512") =!= col("pack_id"))
+      packAssignments(Tables.documents(s, d))
         .groupBy("shard", "pack_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_w")).as("sum_tokens"),

@@ -43,4 +43,21 @@ class CurateSpec extends SparkSpec {
     val b = Curate.pipeline(spark, sf)._1.collect().map(_.getLong(0)).sorted
     assert(a === b)
   }
+
+  test("stage 5 packing covers exactly the kept docs, windows contiguous") {
+    val (kept, _) = Curate.pipeline(spark, sf)
+    val assigns = Curate.pack(kept)
+      .select("doc_id", "shard", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection with the kept set — nothing dropped, nothing invented
+    assert(assigns.map(_._1).sorted === kept.collect().map(_.getLong(0)).sorted)
+    // within a shard, pack ids start at 0 and never jump by more than the
+    // widest doc can straddle (docs here are << 512 tokens, so step <= 1)
+    assigns.groupBy(_._2).foreach { case (shard, as) =>
+      val ids = as.sortBy(_._1).map(_._3)
+      assert(ids.head === 0L, s"shard $shard must start at pack 0")
+      assert(ids.zip(ids.tail).forall { case (a, b) => b - a >= 0 && b - a <= 1 },
+        s"shard $shard pack ids must be contiguous non-decreasing")
+    }
+  }
 }

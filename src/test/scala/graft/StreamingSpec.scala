@@ -781,4 +781,36 @@ class StreamingSpec extends SparkSpec {
       assert(perUserDay.length === perUserDay.distinct.length)
     } finally q.stop()
   }
+
+  test("streaming packer reproduces the batch tx_pack rollup across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_w"))
+      .collect().map(r => Streaming.DocTok(r.getLong(0), r.getLong(1)))
+      .sortBy(_.doc_id) // in-order delivery contract (per shard it holds too)
+    val thirds = docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+    val input = MemoryStream[Streaming.DocTok]
+    val q = Streaming.packStream(input.toDS())
+      .writeStream.format("memory").queryName("packs")
+      .outputMode("append").start()
+    try {
+      thirds.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      // one assignment per doc, then the (shard, pack) rollup must equal
+      // the batch operator's output exactly
+      val assigns = spark.table("packs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(assigns.length === docs.length)
+      val nw = docs.map(d => d.doc_id -> d.n_w).toMap
+      val streamed = assigns.groupBy(a => (a._1, a._3)).view.mapValues { as =>
+        (as.length.toLong, as.map(a => nw(a._2)).sum, as.count(_._4).toLong)
+      }.toMap
+      val batch = SparkEntry.queries("tx_pack")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(streamed === batch,
+        "one-counter-per-shard streaming state must reproduce the batch packs")
+    } finally q.stop()
+  }
 }
