@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, which
+// prefixes every line with [info]/[error] — that breaks any harness
+// parsing Bench's one-line JSON from stdout. Inherit the parent's
+// stdio instead so the JSON line arrives clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -91,14 +91,20 @@ object Bench {
         (best.min, median(best))
       }
     }
-    def worstRatio(): Double = headline.map { n =>
-      val (mn, md) = windowStats(n)
-      if (mn < 0) Double.PositiveInfinity else md / mn
-    }.max
+    // ratio over queries that have ≥1 valid sample: a query that fails
+    // every rep (it's already visible as value -1.0 / samples 0) must not
+    // return Infinity here, or one broken query would both block the
+    // retry loop and mark every OTHER query's clean window uncertified.
+    def worstRatio(): Double = {
+      val rs = headline.flatMap { n =>
+        val (mn, md) = windowStats(n)
+        if (mn < 0) None else Some(md / mn)
+      }
+      if (rs.isEmpty) Double.PositiveInfinity else rs.max
+    }
     (1 to reps).foreach(_ => oneRound())
     var done = reps
-    while (worstRatio() > 1.2 && done < maxReps &&
-        !headline.exists(n => samples(n).forall(_ < 0))) {
+    while (worstRatio() > 1.2 && done < maxReps) {
       System.err.println(f"[bench] windowed median/min ${worstRatio()}%.2f > 1.2 — retry round ${done + 1}")
       oneRound()
       done += 1
@@ -155,7 +161,9 @@ object Bench {
     val sampleJson = counts.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
-    val certified = ratio <= 1.2 && ratio >= 0.0
+    // a query with zero valid samples still fails certification — its
+    // wall time is missing from `total`, so the run isn't comparable
+    val certified = ratio <= 1.2 && ratio >= 0.0 && counts.values.forall(_ > 0)
     val ratioStr = if (ratio.isInfinite) "-1.0" else f"$ratio%.4f"
     val calibStr = f"$calib%.4f"
     val t001Str = f"$total001%.4f"

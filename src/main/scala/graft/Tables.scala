@@ -24,16 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to microseconds
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * parquet across driver rounds. Spark's vectorized reader rejects the
+    * nanos encoding, so we read nanos as long and truncate to microseconds
     * (integer floor-division — exactly what DuckDB does when it narrows
-    * ns→µs, so oracle timestamps match bit-for-bit).
+    * ns→µs, so oracle timestamps match bit-for-bit). When the file is
+    * already µs the column arrives as a proper timestamp and needs nothing.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive-µs encoding: wall times are UTC; cast to LTZ (session TZ
+        // is pinned UTC) so every downstream time function sees the same
+        // TIMESTAMP type the ns-era loader produced.
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -550,14 +550,29 @@ object Streaming {
     */
   def eventsStream(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-    spark.readStream
+    // Probe the footer via a batch read: ts is LONG for the nanos
+    // encoding and TIMESTAMP for the micros one; the stream's declared
+    // schema and narrowing must match whichever shipped this round.
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", tsType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private def clicksAndPurchases(events: DataFrame): (DataFrame, DataFrame) = (
