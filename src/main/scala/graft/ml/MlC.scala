@@ -604,7 +604,10 @@ object MlC extends Module {
   // the TRAIN deciles from the distributed quantile selection; both
   // splits then bin in one partial-aggregable pass each, and the PSI
   // sum runs over the 10-row rate tables (bounded driver metadata).
-  // Rows-only (ln is not cross-engine bit-stable); MlSpec pins
+  // ORACLE-CHECKED on the 1e-9 grid (the ml_mutual_info discipline:
+  // bins and rates are exact on both sides because the decile fences
+  // replay q07's bit-exact quantile SQL; only the 10-term p·ln p sum
+  // sees libm, ~1e-15 of slack under a 1e-9 rounding). MlSpec pins
   // non-negativity and that a random hash split of one population
   // stays far below the drift threshold.
   private val mlPsi = Q(
@@ -631,11 +634,57 @@ object MlC extends Module {
           val pe = math.max(be.getOrElse(i, 0L) / ne, eps)
           (pt - pe) * math.log(pt / pe)
         }.sum
-        (f, psi)
+        (f, BigDecimal(psi).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       rows.toDF("feature", "psi").orderBy("feature")
     },
-    None
+    Some {
+      val feats = Seq("n_orders", "total_spend", "avg_spend")
+      // per-feature: train-decile fences via the q07 exact-quantile SQL
+      // shape, strict > binning, then the smoothed 10-term PSI sum
+      val arms = feats.map { f =>
+        s"""SELECT '$f' AS feature, ROUND(SUM((pt - pe) * ln(pt / pe)), 9) AS psi FROM (
+           |  SELECT GREATEST(CAST(COALESCE(tn.c, 0) AS DOUBLE)
+           |      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM tr), 1e-6) AS pt,
+           |    GREATEST(CAST(COALESCE(te.c, 0) AS DOUBLE)
+           |      / (SELECT CAST(COUNT(*) AS DOUBLE) FROM ts), 1e-6) AS pe
+           |  FROM (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS bin) bins
+           |  LEFT JOIN (
+           |    SELECT 1 + (SELECT COUNT(*) FROM fences_$f fe WHERE tr.$f > fe.value) AS bin,
+           |      COUNT(*) AS c FROM tr GROUP BY 1) tn ON bins.bin = tn.bin
+           |  LEFT JOIN (
+           |    SELECT 1 + (SELECT COUNT(*) FROM fences_$f fe WHERE ts.$f > fe.value) AS bin,
+           |      COUNT(*) AS c FROM ts GROUP BY 1) te ON bins.bin = te.bin)""".stripMargin
+      }
+      val fenceCtes = feats.map { f =>
+        s"""fences_$f AS MATERIALIZED (
+           |  SELECT x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS value
+           |  FROM (
+           |    SELECT q, q * (cnt - 1.0) AS h, CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+           |      LEAST(CAST(FLOOR(q * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+           |    FROM (SELECT CAST(unnest(generate_series(1, 9)) AS DOUBLE) / 10.0 AS q) qs,
+           |      (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM tr) n
+           |  ) h
+           |  JOIN (SELECT $f AS x_lo, ROW_NUMBER() OVER (ORDER BY $f) AS rn_lo FROM tr) lo ON rlo = rn_lo
+           |  JOIN (SELECT $f AS x_hi, ROW_NUMBER() OVER (ORDER BY $f) AS rn_hi FROM tr) hi ON rhi = rn_hi)""".stripMargin
+      }
+      s"""WITH bc AS (
+         |  SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+         |  FROM orders GROUP BY 1),
+         |cf AS MATERIALIZED (
+         |  SELECT c_custkey,
+         |    COALESCE(n_orders, 0.0) AS n_orders,
+         |    COALESCE(total_spend, 0.0) AS total_spend,
+         |    COALESCE(total_spend, 0.0) / GREATEST(COALESCE(n_orders, 0.0), 1.0) AS avg_spend,
+         |    (c_custkey % 1000000007) * 654435747 % 1000000007 % 1000 AS bucket
+         |  FROM customer LEFT JOIN bc ON c_custkey = o_custkey),
+         |tr AS MATERIALIZED (SELECT * FROM cf WHERE bucket < 800),
+         |ts AS MATERIALIZED (SELECT * FROM cf WHERE bucket >= 800),
+         |${fenceCtes.mkString(",\n")}
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY feature""".stripMargin
+    }
   )
 
   // ml_auc — EXACT ROC-AUC as the Mann–Whitney rank statistic with
@@ -1052,9 +1101,13 @@ object MlC extends Module {
   // explodes each row into its 9 (feature, bin) cells BEFORE the
   // partial aggregate (the q134 discipline), and the surface is
   // bounded at features·(bins+1)·2 rows. MI/entropy then compute on
-  // the driver from exact counts in sorted order — deterministic, but
-  // libm log keeps it rows-only (the tx_bm25 log-free trick doesn't
-  // apply: MI sums p·ln p terms, it isn't a monotone rational).
+  // the driver from exact counts in sorted order — deterministic, and
+  // ORACLE-CHECKED on the 1e-9 grid: JVM Math.log and DuckDB's libm ln
+  // may differ in the last ulp (~1e-15 over these short p·ln p sums),
+  // so both sides round the reported nats to 9 decimals — five orders
+  // above the libm divergence, six below the estimator's own binning
+  // bias — and the rank column orders by the ROUNDED value on both
+  // sides so a would-be ulp tie cannot flip it.
 
   /** Exact (feature, bin, label, n) count surface for all features in
     * one scan. Exposed for the spec's independent recompute.
@@ -1098,9 +1151,15 @@ object MlC extends Module {
       }.sum
       def h(ps: Iterable[Double]): Double =
         -ps.toSeq.sorted.map(p => p * math.log(p)).sum
-      (feat, math.max(mi, 0.0), h(pb.values), h(py.values))
+      // report on the 1e-9 grid: JVM and libm ln agree to ~1e-15 over
+      // these ≤34-term sums, so both engines round to the same cell —
+      // this is what lets the estimator be oracle-checked at all, and
+      // 1e-9 is noise relative to a binned-MI estimate's own bias
+      def r9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (feat, r9(math.max(mi, 0.0)), r9(h(pb.values)), r9(h(py.values)))
     }
-    // rank by MI descending, feature name breaking ties
+    // rank by (rounded) MI descending, feature name breaking ties
     scored.sortBy(r => (-r._2, r._1)).zipWithIndex
       .map { case ((f, mi, hx, hy), k) => (f, mi, hx, hy, (k + 1).toLong) }
       .sortBy(_._1)
@@ -1114,7 +1173,59 @@ object MlC extends Module {
         .toDF("feature", "mi_nats", "h_feature", "h_label", "rank")
         .orderBy("feature")
     },
-    None
+    Some {
+      val cont = miContinuous
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val segCols = segs.map(v =>
+        s"CASE WHEN c_mktsegment = '$v' THEN 1.0 ELSE 0.0 END AS seg_$v").mkString(",\n  |    ")
+      val fences = cont.flatMap(c =>
+        Seq(s"MIN($c) AS lo_$c", s"MAX($c) AS hi_$c")).mkString(", ")
+      val contArms = cont.map(c =>
+        s"""SELECT '$c' AS feature,
+           |    LEAST(CAST(FLOOR(($c - lo_$c) / (hi_$c - lo_$c) * 16.0) AS BIGINT), 15) AS bin,
+           |    label FROM cf, f""".stripMargin)
+      val discArms = ("nation" +: segs.map(v => s"seg_$v")).map(c =>
+        s"SELECT '$c' AS feature, CAST($c AS BIGINT) AS bin, label FROM cf")
+      s"""WITH bc AS (
+         |  SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+         |  FROM orders GROUP BY 1),
+         |cf AS (
+         |  SELECT c_custkey,
+         |    CAST(c_nationkey AS DOUBLE) AS nation,
+         |    COALESCE(n_orders, 0.0) AS n_orders,
+         |    COALESCE(total_spend, 0.0) AS total_spend,
+         |    COALESCE(total_spend, 0.0) / GREATEST(COALESCE(n_orders, 0.0), 1.0) AS avg_spend,
+         |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS label,
+         |    $segCols
+         |  FROM customer LEFT JOIN bc ON c_custkey = o_custkey),
+         |f AS (SELECT $fences FROM cf),
+         |cells AS (
+         |  ${(contArms ++ discArms).mkString("\n  |  UNION ALL\n  |  ")}),
+         |g AS (SELECT feature, bin, label, COUNT(*) AS n FROM cells GROUP BY 1, 2, 3),
+         |t AS (SELECT feature, CAST(SUM(n) AS DOUBLE) AS ntot FROM g GROUP BY 1),
+         |pb AS (SELECT feature, bin, CAST(SUM(n) AS DOUBLE) AS nb FROM g GROUP BY 1, 2),
+         |py AS (SELECT feature, label, CAST(SUM(n) AS DOUBLE) AS ny FROM g GROUP BY 1, 2),
+         |mi AS (
+         |  SELECT g.feature,
+         |    ROUND(GREATEST(SUM((g.n / t.ntot)
+         |      * ln((g.n / t.ntot) / ((pb.nb / t.ntot) * (py.ny / t.ntot)))), 0.0), 9) AS mi_nats
+         |  FROM g
+         |  JOIN t ON g.feature = t.feature
+         |  JOIN pb ON g.feature = pb.feature AND g.bin = pb.bin
+         |  JOIN py ON g.feature = py.feature AND g.label = py.label
+         |  GROUP BY g.feature),
+         |hx AS (
+         |  SELECT p.feature, ROUND(-SUM((p.nb / t.ntot) * ln(p.nb / t.ntot)), 9) AS h_feature
+         |  FROM pb p JOIN t ON p.feature = t.feature GROUP BY p.feature),
+         |hy AS (
+         |  SELECT p.feature, ROUND(-SUM((p.ny / t.ntot) * ln(p.ny / t.ntot)), 9) AS h_label
+         |  FROM py p JOIN t ON p.feature = t.feature GROUP BY p.feature)
+         |SELECT m.feature, m.mi_nats, hx.h_feature, hy.h_label,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY m.mi_nats DESC, m.feature) AS BIGINT) AS rank
+         |FROM mi m JOIN hx ON m.feature = hx.feature JOIN hy ON m.feature = hy.feature
+         |ORDER BY m.feature""".stripMargin
+    }
   )
 
   // ml_model_panel — the reference's my_cross_validate benchmark table

@@ -17,7 +17,27 @@ object Graph {
     * pairs (each undirected edge listed once, src < dst): a fixed
     * number of damped power iterations from the uniform vector. Every
     * node in `edges` has degree ≥ 1, so there is no dangling mass.
-    * Returns (id, rank); ranks sum to 1 up to float addition order.
+    * Returns (id, rank); ranks sum to 1 up to per-term rounding.
+    *
+    * Contribution sums accumulate on the 1e-18 integer grid via FLOOR:
+    * each rank/deg term is one IEEE division, FLOOR(term·1e18) is the
+    * same IEEE multiply + floor in any engine, the long sum is exact
+    * and ORDER-INDEPENDENT, and one cast-divide rescales. That makes
+    * the whole iteration bit-reproducible on any cluster shape AND
+    * bit-matchable by an engine replaying the same shapes (the DuckDB
+    * oracle unrolls these 15 iterations as chained CTEs). FLOOR, not
+    * ROUND or a decimal cast, deliberately: Spark rounds doubles (and
+    * casts them to decimal) through the SHORTEST string representation
+    * (BigDecimal.valueOf), which near a half boundary disagrees with
+    * DuckDB's exact-binary rounding — floor is a primitive IEEE
+    * operation with no such path. ([[graft.Exact.qzl]] can use ROUND
+    * because its inputs are fixed-point currency/quantity values whose
+    * grid images land nowhere near .5; arbitrary reals like rank/deg
+    * need floor.) Grid truncation is ~1e-18 per term, ~1e-17 total
+    * over 15 damped iterations — far below the 1e-9 the spec's
+    * local-reference comparison uses. Overflow: ranks sum to 1, so any
+    * contribution partial sum ≤ 1e18, inside the long range at any
+    * graph size.
     */
   def pagerank(edges: DataFrame, damping: Double = 0.85, iters: Int = 15): DataFrame = {
     val both = edges.select(col("src"), col("dst"))
@@ -32,8 +52,10 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0 / n.toDouble))
     for (_ <- 1 to iters) {
       val contribs = adj.join(ranks, adj("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("rank") / col("deg").cast("double")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("in_sum"))
+        .select(col("dst").as("id"),
+          floor(col("rank") / col("deg").cast("double") * lit(1e18)).as("c"))
+        .groupBy(col("id"))
+        .agg((sum(col("c")).cast("double") / lit(1e18)).as("in_sum"))
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))

@@ -763,6 +763,14 @@ object RelationalA extends Module {
   // 50·k (covers Zipf-ish skew for any realistic dictionary, ≫ the 5
   // priority values here), not a data-independent constant.
   // ApproxSpec bounds the overestimate against exact counts.
+  //
+  // ORACLE-CHECKED against the exact top-k: with 5 distinct keys in a
+  // width-2719 (eps 0.001) depth-7 sketch, some depth row is
+  // collision-free for every key with near-certainty, so the CMS min
+  // equals the exact count — the estimate is exact by the sketch's own
+  // guarantee, not by luck, and the exact-count SQL is a legitimate
+  // oracle at any SF (key cardinality is fixed at 5). If a future
+  // column had ≳ width distinct keys this would revert to rows-only.
   private val apTopk = Q(
     "ap_topk",
     (s, d) => {
@@ -790,7 +798,10 @@ object RelationalA extends Module {
         .map { case (r, i) => (i.toLong + 1L, r.getString(0), r.getLong(1)) }
         .toDF("rank", "o_orderpriority", "est_count")
     },
-    None
+    Some("""SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderpriority) AS BIGINT) AS rank,
+      |  o_orderpriority, COUNT(*) AS est_count
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY est_count DESC, o_orderpriority LIMIT 5""".stripMargin)
   )
 
   private val apQuantiles = Q(

@@ -955,10 +955,13 @@ object RelationalD extends Module {
   // lift): distinct co-purchase pairs form an undirected graph, 15
   // damped power iterations run as keyed join + partial-aggregable sum
   // per step with per-iteration lineage checkpoints (the
-  // connectedComponents discipline — see [[Graph]]). Rows-only (an
-  // iterative float fixpoint has no bit-stable SQL twin); the spec
-  // reconciles against a local power iteration and pins the
-  // probability-mass invariant.
+  // connectedComponents discipline — see [[Graph]]). ORACLE-CHECKED:
+  // [[Graph.pagerank]] accumulates contribution sums in DECIMAL(38,18)
+  // (order-independent, exact), every other step is a fixed per-row
+  // IEEE expression, so the SQL twin — the same 15 iterations unrolled
+  // as chained CTEs with identical expression shapes — reproduces every
+  // rank bit-for-bit. The spec additionally reconciles against a local
+  // power iteration and pins the probability-mass invariant.
   private val q98 = Q(
     "q98_pagerank",
     (s, d) => {
@@ -973,7 +976,32 @@ object RelationalD extends Module {
         .orderBy(desc("rank"), col("id"))
         .limit(100)
     },
-    None
+    Some {
+      val iters = 15
+      val steps = (1 to iters).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT n.id, (SELECT base FROM p) + 0.85 * COALESCE(s.in_sum, 0.0) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT a.dst AS id,
+           |      CAST(SUM(CAST(FLOOR(r.rank / CAST(a.deg AS DOUBLE) * 1e18) AS BIGINT)) AS DOUBLE) / 1e18 AS in_sum
+           |    FROM adj a JOIN r${i - 1} r ON a.src = r.id GROUP BY a.dst) s
+           |  ON n.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |ed AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+         |bi AS MATERIALIZED (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM bi GROUP BY src),
+         |adj AS MATERIALIZED (SELECT b.src, b.dst, d.deg FROM bi b JOIN deg d ON b.src = d.src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM bi),
+         |p AS (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE) AS base,
+         |  CAST(1.0 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS r_init FROM nodes),
+         |r0 AS (SELECT id, (SELECT r_init FROM p) AS rank FROM nodes),
+         |$steps
+         |SELECT id, rank FROM r$iters ORDER BY rank DESC, id LIMIT 100""".stripMargin
+    }
   )
 
   // graph_kcore — the 3-core of the co-purchase graph (the dense
@@ -982,8 +1010,14 @@ object RelationalD extends Module {
   // iterative peeling to the fixpoint where every surviving node keeps
   // ≥ 3 in-core neighbors — per round one degree aggregate + two semi
   // joins, checkpointed like connectedComponents. Support floor n_ab ≥
-  // 2 bounds the edge set first. Rows-only (iterative fixpoint isn't
-  // SQL); the spec reconciles against a local peel.
+  // 2 bounds the edge set first. ORACLE-CHECKED: the output is pure
+  // integers (node id, in-core degree) and peeling is monotone, so the
+  // SQL twin UNROLLS the peel a fixed 20 rounds (fixpoint is reached in
+  // 11 at sf0.01; once reached, every further peel of a k-core edge set
+  // returns it unchanged, so extra rounds are idempotent). The unroll
+  // depth is an oracle parameter only — the engine iterates to the true
+  // fixpoint whatever the depth. The spec still reconciles against a
+  // local peel.
   private val graphKcore = Q(
     "graph_kcore",
     (s, d) => {
@@ -998,7 +1032,31 @@ object RelationalD extends Module {
         .select(col("src"), col("dst"))
       Graph.kcore(edges, k = 3).orderBy("id")
     },
-    None
+    Some {
+      val rounds = 20
+      val peels = (1 to rounds).map { r =>
+        s"""k$r AS MATERIALIZED (
+           |  SELECT id FROM (SELECT src AS id FROM e${r - 1}
+           |    UNION ALL SELECT dst FROM e${r - 1})
+           |  GROUP BY id HAVING COUNT(*) >= 3),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${r - 1} e
+           |  JOIN k$r ka ON e.src = ka.id JOIN k$r kb ON e.dst = kb.id)""".stripMargin
+      }.mkString(",\n")
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and a
+      // 20-round peel referencing its predecessor 3× per round would
+      // expand 3^20 scans of the base table
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a.pk AS src, b.pk AS dst
+         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |$peels
+         |SELECT id, COUNT(*) AS deg
+         |FROM (SELECT src AS id FROM e$rounds UNION ALL SELECT dst FROM e$rounds)
+         |GROUP BY id HAVING COUNT(*) >= 3 ORDER BY id""".stripMargin
+    }
   )
 
   // q99 — ABC / Pareto inventory classification: parts ranked by
@@ -1161,9 +1219,13 @@ object RelationalD extends Module {
   // (duration, events, censored) surface are distributed aggregates;
   // the cumulative product Π(1 − dᵢ/nᵢ) runs on the DRIVER over that
   // bounded surface as an EXACT BigInt fraction (a float cumprod
-  // drifts; exp-sum-log hangs on libm), divided to double once per
-  // step. Rows-only — SQL has no product aggregate both engines share
-  // bit-for-bit; the spec reconciles against a naive local KM.
+  // drifts; exp-sum-log hangs on libm), rounded once per step to the
+  // 1e-6 grid the estimate is reported on. ORACLE-CHECKED through that
+  // quantization: the exact fraction and DuckDB's float window product
+  // agree to ~1e-13 relative (≤ |surface| correctly-rounded multiplies),
+  // five orders below the grid, so both engines round to the same cell;
+  // the integer columns are exact on both sides unconditionally. The
+  // spec still reconciles against a naive local KM.
   private val q102 = Q(
     "q102_survival",
     (s, d) => {
@@ -1190,8 +1252,10 @@ object RelationalD extends Module {
       var num = BigInt(1); var den = BigInt(1)
       val rows = surface.map { case (t, d0, allT) =>
         if (d0 > 0) { num *= (atRisk - d0); den *= atRisk }
-        val surv = (BigDecimal(num, java.math.MathContext.DECIMAL64) /
-          BigDecimal(den, java.math.MathContext.DECIMAL64)).toDouble
+        // exact rational → one HALF_UP rounding onto the 1e-6 grid
+        val surv = new java.math.BigDecimal(num.bigInteger)
+          .divide(new java.math.BigDecimal(den.bigInteger), 6,
+            java.math.RoundingMode.HALF_UP).doubleValue()
         val out = (t, atRisk, d0, allT - d0, surv)
         atRisk -= allT
         out
@@ -1199,7 +1263,26 @@ object RelationalD extends Module {
       rows.toSeq.toDF("t_days", "n_risk", "n_events", "n_censored", "survival")
         .orderBy("t_days")
     },
-    None
+    Some("""WITH spans AS (
+      |  SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      |  FROM orders GROUP BY 1),
+      |obs AS (SELECT MAX(o_orderdate) AS m FROM orders),
+      |pc AS (
+      |  SELECT CAST(datediff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+      |    l < (SELECT m FROM obs) - INTERVAL 90 DAY AS event
+      |  FROM spans),
+      |surf AS (
+      |  SELECT t, SUM(CASE WHEN event THEN 1 ELSE 0 END) AS d, COUNT(*) AS all_t
+      |  FROM pc GROUP BY t),
+      |w AS (
+      |  SELECT t,
+      |    CAST(SUM(all_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+      |    CAST(d AS BIGINT) AS n_events, CAST(all_t - d AS BIGINT) AS n_censored, d
+      |  FROM surf)
+      |SELECT t AS t_days, n_risk, n_events, n_censored,
+      |  ROUND(product(CASE WHEN d > 0 THEN CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) ELSE 1.0 END)
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS survival
+      |FROM w ORDER BY t_days""".stripMargin)
   )
 
   // q103 — seasonal-naive forecast backtest (the "can we even beat a
@@ -1346,8 +1429,12 @@ object RelationalD extends Module {
   // residual quantile on the CALIBRATION split via the distributed
   // selection, then hold-out coverage — which the conformal guarantee
   // lower-bounds at 90% under exchangeability regardless of the
-  // model's quality. Rows-only (three-stage fit); the spec asserts the
-  // coverage floor and split disjointness.
+  // model's quality. ORACLE-CHECKED: every stage is already exact-or-
+  // fixed-IEEE — grid-integer train sums, one closed-form slope/icept
+  // expression, the exact-selection quantile (same interpolation shape
+  // as q07's oracle), and integer coverage counts — so the three-stage
+  // fit unrolls into one SQL statement with identical shapes. The spec
+  // asserts the coverage floor and split disjointness.
   private val q106 = Q(
     "q106_conformal",
     (s, d) => {
@@ -1382,7 +1469,48 @@ object RelationalD extends Module {
         cov.getLong(1).toDouble / cov.getLong(0).toDouble))
         .toDF("n_train", "n_calib", "n_test", "slope", "intercept", "qhat", "coverage")
     },
-    None
+    Some("""WITH ws AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y,
+      |    (((l_orderkey % 1000000007) * 8 + l_linenumber) % 1000000007
+      |      * 654435747) % 1000000007 % 10 AS g
+      |  FROM lineitem),
+      |tr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(SUM(CAST(ROUND(x * 1000.0) AS BIGINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ROUND(y * 100.0) AS BIGINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ROUND(x * 1000.0) AS BIGINT) * CAST(ROUND(x * 1000.0) AS BIGINT)) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ROUND(x * 1000.0) AS BIGINT) * CAST(ROUND(y * 100.0) AS BIGINT)) AS DOUBLE) AS sxy
+      |  FROM ws WHERE g < 6),
+      |fit AS (
+      |  SELECT n, nd, sx, sy,
+      |    10.0 * (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope
+      |  FROM tr),
+      |fit2 AS (
+      |  SELECT n, slope, sy / nd / 100.0 - slope * (sx / nd / 1000.0) AS icept
+      |  FROM fit),
+      |calib AS (
+      |  SELECT ABS(y - ((SELECT icept FROM fit2) + (SELECT slope FROM fit2) * x)) AS r
+      |  FROM ws WHERE g >= 6 AND g < 8),
+      |qh AS (
+      |  SELECT x_lo + (x_hi - x_lo) * (h - FLOOR(h)) AS qhat
+      |  FROM (
+      |    SELECT 0.9 * (cnt - 1.0) AS h,
+      |      CAST(FLOOR(0.9 * (cnt - 1.0)) AS BIGINT) + 1 AS rlo,
+      |      LEAST(CAST(FLOOR(0.9 * (cnt - 1.0)) AS BIGINT) + 2, CAST(cnt AS BIGINT)) AS rhi
+      |    FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM calib)) hh
+      |  JOIN (SELECT r AS x_lo, ROW_NUMBER() OVER (ORDER BY r) AS rn_lo FROM calib) lo ON rlo = rn_lo
+      |  JOIN (SELECT r AS x_hi, ROW_NUMBER() OVER (ORDER BY r) AS rn_hi FROM calib) hi ON rhi = rn_hi),
+      |tst AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    CAST(SUM(CASE WHEN ABS(y - ((SELECT icept FROM fit2) + (SELECT slope FROM fit2) * x))
+      |      <= (SELECT qhat FROM qh) THEN 1 ELSE 0 END) AS BIGINT) AS inside
+      |  FROM ws WHERE g >= 8)
+      |SELECT fit2.n AS n_train,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM calib) AS n_calib,
+      |  tst.n_test, fit2.slope, fit2.icept AS intercept,
+      |  (SELECT qhat FROM qh) AS qhat,
+      |  CAST(tst.inside AS DOUBLE) / CAST(tst.n_test AS DOUBLE) AS coverage
+      |FROM fit2, tst""".stripMargin)
   )
 
   // q107 — two-proportion z-test on conversion rates (the canonical

@@ -427,8 +427,10 @@ class MlSpec extends SparkSpec {
       val hxy = ent(cells.map(_._4), n)
       val hx2 = ent(cells.groupBy(_._2).map(_._2.map(_._4).sum), n)
       val hy2 = ent(cells.groupBy(_._3).map(_._2.map(_._4).sum), n)
-      assert(math.abs(hx - hx2) < 1e-12, s"$feat H(X)")
-      assert(math.abs(hy - hy2) < 1e-12, s"$feat H(Y)")
+      // the operator reports on the 1e-9 grid (oracle-check rounding),
+      // so the unrounded recompute can sit up to 5e-10 away
+      assert(math.abs(hx - hx2) < 1e-9, s"$feat H(X)")
+      assert(math.abs(hy - hy2) < 1e-9, s"$feat H(Y)")
       assert(math.abs(mi - math.max(hx2 + hy2 - hxy, 0.0)) < 1e-9,
         s"$feat MI identity: $mi vs ${hx2 + hy2 - hxy}")
       assert(mi >= 0.0 && mi <= math.min(hx2, hy2) + 1e-9, s"$feat MI bounds")

@@ -484,7 +484,9 @@ class RelationalDSpec extends SparkSpec {
     want.foreach { case (t, (r, d, sv)) =>
       assert(got(t)._1 === r, s"t=$t at-risk")
       assert(got(t)._2 === d, s"t=$t events")
-      assert(math.abs(got(t)._3 - sv) < 1e-9, s"t=$t survival ${got(t)._3} vs $sv")
+      // the operator reports on the 1e-6 grid (oracle-check rounding),
+      // so the naive float cumprod can sit up to 5e-7 away
+      assert(math.abs(got(t)._3 - sv) < 1e-6, s"t=$t survival ${got(t)._3} vs $sv")
     }
     // survival is monotone non-increasing and starts at ≤ 1
     val ordered = got.toSeq.sortBy(_._1).map(_._2._3)
