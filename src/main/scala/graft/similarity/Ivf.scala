@@ -37,12 +37,7 @@ object Ivf {
     */
   def buildIndex(corpus: DataFrame, idCol: String, embCol: String, nClusters: Int,
       path: String, seed: Long = 42L, maxTrainRows: Long = 10000L): IvfIndex = {
-    val n = corpus.count()
-    val trainDf =
-      if (n <= maxTrainRows) corpus
-      else corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    val train = trainDf.select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val train = Similarity.boundedTrainSample(corpus, embCol, maxTrainRows, seed)
     val centers = Pq.kmeansSub(train, nClusters, seed)
     val assigned = Similarity.withQuantized(corpus, embCol)
       .withColumn("cluster_id", Similarity.nearestCell(col(embCol), centers))

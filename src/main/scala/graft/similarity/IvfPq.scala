@@ -57,11 +57,7 @@ object IvfPq {
       maxTrainRows: Long = 10000L): IvfPqIndex = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val n = corpus.count()
-    val trainDf = if (n <= maxTrainRows) corpus
-      else corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    val trainRaw = trainDf.select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val trainRaw = Similarity.boundedTrainSample(corpus, embCol, maxTrainRows, seed)
     val centroids = Pq.kmeansSub(trainRaw, nClusters, seed)
     val train = trainRaw.map(normalize)
     val dim = train(0).length

@@ -94,11 +94,8 @@ object Pq {
     graft.functions.GraftFunctions.register(spark)
 
     // build: bounded seeded sample → per-subspace codebooks (driver)
-    val n = corpus.count()
-    val trainDf = if (n <= maxTrainRows) corpus
-      else corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    val train = trainDf.select(col(embCol)).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble)).map(normalize)
+    val train = Similarity.boundedTrainSample(corpus, embCol, maxTrainRows, seed)
+      .map(normalize)
     val dim = train(0).length
     val dsub = dim / m
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>

@@ -32,6 +32,29 @@ object Similarity {
   def cosineQ(qa: Column, qb: Column, na: Column, nb: Column): Column =
     dotL(qa, qb).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
+  /** Bounded quantizer-training sample WITHOUT a separate COUNT job:
+    * pull maxTrainRows+1 rows via limit — if the corpus fits under the
+    * cap, that IS the whole corpus (exact, unbiased, one job); only a
+    * larger corpus pays the count + seeded-sample pair. Saves one
+    * full-scan job per index build at the SFs where the corpus is
+    * sample-sized, which is exactly when per-job overhead dominates the
+    * build (the same profiling that evicted the MLlib KMeans fit in
+    * r6). Driver memory stays ≤ maxTrainRows+1 embedding rows by
+    * construction at any SF.
+    */
+  def boundedTrainSample(corpus: DataFrame, embCol: String,
+      maxTrainRows: Long, seed: Long): Array[Array[Double]] = {
+    val probe = corpus.select(col(embCol)).limit(maxTrainRows.toInt + 1).collect()
+    val rows =
+      if (probe.length <= maxTrainRows) probe
+      else {
+        val n = corpus.count()
+        corpus.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+          .select(col(embCol)).collect()
+      }
+    rows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
+
   /** Adds `qvec` (quantized) and `qnorm` (exact |qvec|²) columns. */
   def withQuantized(df: DataFrame, embCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
