@@ -45,6 +45,12 @@ class ApproxSpec extends SparkSpec {
       assert(est(k) >= c, s"$k: est ${est(k)} < exact $c")
       assert(est(k) - c <= (0.003 * n).ceil.toLong + 1, s"$k: est ${est(k)} vs $c")
     }
+    // the DuckDB oracle for ap_topk is the EXACT top-k — valid because at
+    // this key cardinality (5 keys, width-2719 depth-7 sketch) some depth
+    // row is collision-free per key and the CMS min equals the exact
+    // count. Pin that claim so a future param change that breaks it fails
+    // HERE, not in the driver's hash compare.
+    assert(est === exact, "CMS estimates must be exact at 5-key cardinality")
   }
 
   test("space-saving candidates always contain the above-1/cap heavy hitters") {
