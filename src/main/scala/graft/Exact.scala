@@ -67,6 +67,32 @@ object Exact {
   def sqlSumg(e: String, grid: String): String =
     s"CAST(SUM(CAST(ROUND(($e) * $grid) AS BIGINT)) AS DOUBLE) / $grid"
 
+  /** Exact integer DECIMAL(38,0) → double through an explicit 2^32
+    * hi/lo split: hi and lo are each < 2^53 (exact casts), and
+    * hi·2^32 + lo is the same two IEEE ops in any engine — so the
+    * (twice-rounded) result is ENGINE-IDENTICAL. A direct cast is NOT
+    * once the integer exceeds 2^53: the JVM's BigDecimal path rounds
+    * the exact decimal string once (correct), while DuckDB's
+    * hugeint→double converts the two 64-bit halves separately and can
+    * land 1 ulp away (observed at Σz² ≈ 2.2e19, sf0.1, q90). Scaled
+    * decimals (38,6/12) have the same trap internally (int128 cast
+    * then ÷10^s) — route anything whose backing integer can reach
+    * ~2^63 through scale-0 + this split. Valid for non-negative
+    * integers < 2^85.
+    */
+  def dec2d(c: Column): Column = {
+    val L = lit(4294967296L)
+    val lo = c % L
+    ((c - lo) / L).cast("double") * lit(4294967296.0) + lo.cast("double")
+    // (c - lo) is an exact multiple of 2^32, so the decimal division is
+    // exact (zero fraction at the result scale); bound: backing integer
+    // ≲ 1e24 keeps intDigits + resultScale within DECIMAL(38). Beyond
+    // that, split twice.
+  }
+
+  def sqlDec2d(e: String): String =
+    s"(CAST(($e) // 4294967296 AS DOUBLE) * CAST(4294967296 AS DOUBLE) + CAST(($e) % 4294967296 AS DOUBLE))"
+
   /** Ditto for product-magnitude inputs. */
   def sumdw(c: Column): Column = sum(d6w(c)).cast("double")
 

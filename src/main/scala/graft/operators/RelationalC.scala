@@ -684,12 +684,22 @@ object RelationalC extends Module {
         .groupBy(rep.as("rep"))
         .agg(count(lit(1)).as("n"), sum(z).cast("double").as("szd"))
         .select(col("rep"), col("n"),
-          (col("szd") / col("n").cast("double") / lit(100.0)).as("m"))
+          // replicate mean quantized to the 1e-4 grid via FLOOR (the
+          // engine-stable quantizer — see Graph.pagerank): its square
+          // sums exactly in DECIMAL(38,0) and converts through the
+          // dec2d split, where the previous DECIMAL(38,12) image of an
+          // arbitrary-real m² double-rounded in DuckDB's scaled-decimal
+          // cast (1-ulp CI drift surfaced at sf0.1). 1e-4 absolute on a
+          // ~1e5-magnitude mean is 1e-9 relative — noise against the
+          // subsample CI's own width.
+          floor(col("szd") / col("n").cast("double") / lit(100.0) * lit(10000.0))
+            .as("mq"))
+      val mqd = col("mq").cast(org.apache.spark.sql.types.DecimalType(38, 0))
       val g = perRep.agg(
         sum(col("n")).as("n_total"),
         count(lit(1)).as("n_reps"),
-        sum(Exact.d12(col("m"))).cast("double").as("sm"),
-        sum(Exact.d12(col("m") * col("m"))).cast("double").as("smm"))
+        (Exact.dec2d(sum(mqd)) / lit(10000.0)).as("sm"),
+        (Exact.dec2d(sum(mqd * mqd)) / lit(100000000.0)).as("smm"))
       val k = col("n_reps").cast("double")
       val mbar = col("sm") / k
       val se = sqrt((col("smm") - col("sm") * col("sm") / k) / (k - lit(1.0)) / k)
@@ -698,17 +708,19 @@ object RelationalC extends Module {
         (mbar - lit(2.0) * se).as("ci_lo"),
         (mbar + lit(2.0) * se).as("ci_hi"))
     },
-    Some("""WITH r AS (
+    Some(s"""WITH r AS (
       |  SELECT (((o_orderkey % 1000000007) * 654435747) % 1000000007) % 32 AS rep,
       |    CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) AS szd
       |  FROM orders GROUP BY 1),
       |m AS (
-      |  SELECT rep, n, szd / CAST(n AS DOUBLE) / 100.0 AS m FROM r),
+      |  SELECT rep, n,
+      |    CAST(FLOOR(szd / CAST(n AS DOUBLE) / 100.0 * 10000.0) AS HUGEINT) AS mq
+      |  FROM r),
       |g AS (
       |  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS n_reps,
-      |    CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE) AS sm,
-      |    CAST(SUM(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE) AS smm
+      |    ${graft.Exact.sqlDec2d("SUM(mq)")} / 10000.0 AS sm,
+      |    ${graft.Exact.sqlDec2d("SUM(mq * mq)")} / 100000000.0 AS smm
       |  FROM m)
       |SELECT n_total, n_reps,
       |  sm / CAST(n_reps AS DOUBLE) AS mean_est,
@@ -1127,21 +1139,27 @@ object RelationalC extends Module {
       val byDec = spend.groupBy(decile.as("decile"))
         .agg(count(lit(1)).as("n_customers"),
           // decimal accumulator: a flat long cent sum per decile
-          // overflows around 1e10 customers
-          sum(col("x").cast("long").cast(DecimalType(38, 0))).cast("double").as("cents"))
+          // overflows around 1e10 customers; dec2d split so the
+          // readout stays engine-identical past 2^53 cents
+          Exact.dec2d(sum(col("x").cast("long").cast(DecimalType(38, 0)))).as("cents"))
       val w = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // scale-0 decimal + the dec2d split: a (38,6) accumulator put the
+      // backing int128 at e18 magnitudes where DuckDB's scaled-decimal →
+      // double cast double-rounds (1-ulp drift surfaced at sf0.1)
       byDec
-        .withColumn("cum_cents", sum(col("cents").cast(DecimalType(38, 6))).over(w).cast("double"))
-        .withColumn("tot_cents", sum(col("cents").cast(DecimalType(38, 6))).over(all).cast("double"))
+        .withColumn("cum_cents",
+          Exact.dec2d(sum(col("cents").cast(DecimalType(38, 0))).over(w)))
+        .withColumn("tot_cents",
+          Exact.dec2d(sum(col("cents").cast(DecimalType(38, 0))).over(all)))
         .select(col("decile"), col("n_customers"),
           (col("cents") / col("tot_cents")).as("share"),
           (col("cum_cents") / col("tot_cents")).as("cum_share"))
         .orderBy("decile")
     },
-    Some("""WITH spend AS (
+    Some(s"""WITH spend AS (
       |  SELECT CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS DOUBLE) AS x
       |  FROM orders GROUP BY o_custkey),
       |f AS (
@@ -1158,14 +1176,18 @@ object RelationalC extends Module {
       |  FROM spend s),
       |byd AS (
       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
-      |    CAST(CAST(SUM(CAST(x AS BIGINT)) AS HUGEINT) AS DOUBLE) AS cents
-      |  FROM dec GROUP BY decile)
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(x AS HUGEINT))")} AS cents
+      |  FROM dec GROUP BY decile),
+      |wd AS (
+      |  SELECT decile, n_customers, cents,
+      |    SUM(CAST(cents AS HUGEINT)) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h,
+      |    SUM(CAST(cents AS HUGEINT)) OVER () AS tot_h
+      |  FROM byd)
       |SELECT decile, n_customers,
-      |  cents / CAST(SUM(CAST(cents AS DECIMAL(38,6))) OVER () AS DOUBLE) AS share,
-      |  CAST(SUM(CAST(cents AS DECIMAL(38,6))) OVER (ORDER BY decile
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |    / CAST(SUM(CAST(cents AS DECIMAL(38,6))) OVER () AS DOUBLE) AS cum_share
-      |FROM byd ORDER BY decile""".stripMargin)
+      |  cents / ${graft.Exact.sqlDec2d("tot_h")} AS share,
+      |  ${graft.Exact.sqlDec2d("cum_h")} / ${graft.Exact.sqlDec2d("tot_h")} AS cum_share
+      |FROM wd ORDER BY decile""".stripMargin)
   )
 
   // q79 — Mann–Whitney U / Wilcoxon rank-sum test between the O/F

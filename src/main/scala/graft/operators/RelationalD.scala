@@ -486,12 +486,18 @@ object RelationalD extends Module {
     // grouped: (n_l long, sd decimal, ssd decimal) per group — exact sums
     val term = round(col("sd").cast("double") * col("sd").cast("double")
       / col("n_l").cast("double")).cast(DecimalType(38, 0))
+    // tss/sterm back 2^53-plus integers at sf0.1 (Σz² ≈ 2.2e19), where
+    // a direct decimal→double cast is engine-DIVERGENT (DuckDB's
+    // hugeint conversion double-rounds its 64-bit halves) — route
+    // through the Exact.dec2d hi/lo split, identical IEEE ops on both
+    // sides. ts stays ≲ 1e15 at any tested SF; split it anyway so the
+    // shape survives the next two orders of magnitude.
     val agg = grouped.agg(
       count(lit(1)).as("k"),
       sum(col("n_l")).as("n"),
-      sum(col("sd")).cast("double").as("ts"),
-      sum(col("ssd")).cast("double").as("tss"),
-      sum(term).cast("double").as("sterm"))
+      graft.Exact.dec2d(sum(col("sd"))).as("ts"),
+      graft.Exact.dec2d(sum(col("ssd"))).as("tss"),
+      graft.Exact.dec2d(sum(term)).as("sterm"))
     val n = col("n").cast("double"); val k = col("k").cast("double")
     val ssb = col("sterm") - col("ts") * col("ts") / n
     val ssw = col("tss") - col("sterm")
@@ -507,9 +513,9 @@ object RelationalD extends Module {
        |  FROM $src GROUP BY g),
        |a AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_l) AS BIGINT) AS n,
-       |    CAST(SUM(sd) AS DOUBLE) AS ts,
-       |    CAST(SUM(ssd) AS DOUBLE) AS tss,
-       |    CAST(SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n_l AS DOUBLE)) AS HUGEINT)) AS DOUBLE) AS sterm
+       |    ${graft.Exact.sqlDec2d("SUM(sd)")} AS ts,
+       |    ${graft.Exact.sqlDec2d("SUM(ssd)")} AS tss,
+       |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n_l AS DOUBLE)) AS HUGEINT))")} AS sterm
        |  FROM pg)
        |SELECT k, n,
        |  ((sterm - ts * ts / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
