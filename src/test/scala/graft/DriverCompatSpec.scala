@@ -45,4 +45,42 @@ class DriverCompatSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "timestamp values outside the driver-safe range:\n" + offenders.mkString("\n"))
   }
+
+  // The driver regenerates /root/testdata each round and has already
+  // switched a physical encoding once (events.ts: TIMESTAMP(NANOS)
+  // through r6 → TIMESTAMP(MICROS)/NTZ in r7), which silently killed
+  // all 49 events-table queries in the r6 driver run. Pin the LOADER
+  // CONTRACT — the logical types downstream operators rely on — at
+  // every SF present, so the next encoding change fails loudly here
+  // instead of inside 49 query plans.
+  test("table loaders normalize physical encodings to the expected logical types") {
+    import org.apache.spark.sql.types._
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sf)
+      .filter(d => new java.io.File(d).isDirectory).distinct
+    sfs.foreach { d =>
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType === TimestampType,
+        s"$d events.ts must normalize to TIMESTAMP (session-UTC), " +
+          s"got ${ev.schema("ts").dataType}")
+      Seq("event_id", "user_id").foreach(c =>
+        assert(ev.schema(c).dataType === LongType, s"$d events.$c"))
+      assert(ev.schema("value").dataType === DoubleType, s"$d events.value")
+      // events must actually read (analysis exceptions surface on head)
+      assert(ev.select("ts").head().getTimestamp(0) != null, s"$d events read")
+      val o = Tables.orders(spark, d)
+      assert(Seq(TimestampType, TimestampNTZType, DateType)
+        .contains(o.schema("o_orderdate").dataType),
+        s"$d o_orderdate unexpectedly ${o.schema("o_orderdate").dataType}")
+      Seq("lineitem" -> "l_quantity", "orders" -> "o_totalprice").foreach {
+        case (t, c) =>
+          val df = Tables.t(spark, d, t)
+          assert(df.schema(c).dataType === DoubleType, s"$d $t.$c")
+      }
+      val emb = Tables.embeddings(spark, d)
+      assert(emb.schema("embedding").dataType === ArrayType(FloatType, true)
+        || emb.schema("embedding").dataType === ArrayType(FloatType, false),
+        s"$d embeddings.embedding must stay Array[Float], " +
+          s"got ${emb.schema("embedding").dataType}")
+    }
+  }
 }
