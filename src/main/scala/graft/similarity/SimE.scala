@@ -44,8 +44,16 @@ object SimE extends Module {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
   )
 
-  // sim_lsh_topk — sign-LSH bucketed ANN with hamming≤1 multiprobe;
-  // rows-checked here, recall vs brute force asserted in SimilaritySpec.
+  // sim_lsh_topk — sign-LSH bucketed ANN with hamming≤1 multiprobe.
+  // ORACLE-CHECKED, unlike the learned-partition ANN ops: the
+  // hyperplanes are seeded-deterministic DOUBLES, and Scala's
+  // Double.toString is the shortest round-trip representation, which
+  // DuckDB's literal parser converts back to the identical bits — so
+  // the SQL twin embeds the 6×64 plane constants and replays the exact
+  // sign computation (left-fold dot product in ascending index order,
+  // the same IEEE sequence as the DotPlanes codegen loop). Bucketing,
+  // multiprobe XOR, and the integer-grid cosine re-rank are then plain
+  // SQL. Recall vs brute force additionally asserted in SimilaritySpec.
   private val simLsh = Q(
     "sim_lsh_topk",
     (s, d) => {
@@ -53,7 +61,49 @@ object SimE extends Module {
       Similarity.lshTopK(q, c, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     },
-    None
+    Some {
+      val nBits = 6
+      val planes = Similarity.hyperplanes(nBits, 64)
+      // per-bit sign term: left-fold of emb[i]*plane[i] in index order
+      def sgn(alias: String): String = (0 until nBits).map { j =>
+        val lits = planes(j).map(_.toString).mkString(", ")
+        s"""CASE WHEN list_reduce(list_transform(range(1, 65),
+           |      i -> CAST($alias.embedding[i] AS DOUBLE) * (CAST([$lits] AS DOUBLE[]))[i]),
+           |      (a, b) -> a + b) >= 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      s"""WITH cb AS (
+         |  SELECT vec_id, embedding, ${sgn("embeddings")} AS bucket
+         |  FROM embeddings),
+         |qp AS (
+         |  SELECT vec_id AS query_id, embedding, xor(bucket, p.flip) AS bucket
+         |  FROM cb, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) p
+         |  WHERE vec_id < 10),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id AS corpus_id
+         |  FROM qp q JOIN cb c ON q.bucket = c.bucket AND c.vec_id >= 10),
+         |g AS (
+         |  SELECT vec_id,
+         |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, SUM(qv * qv) AS nq FROM g GROUP BY vec_id),
+         |dots AS (
+         |  SELECT cand.query_id, cand.corpus_id, SUM(a.qv * b.qv) AS dot
+         |  FROM cand
+         |  JOIN g a ON a.vec_id = cand.query_id
+         |  JOIN g b ON b.vec_id = cand.corpus_id AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, corpus_id,
+         |    CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
+         |  FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = corpus_id),
+         |ranked AS (
+         |  SELECT query_id, corpus_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, corpus_id, cosine, rank FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
   )
 
   // sim_ivf_topk — IVF: k-means coarse quantizer (seeded, trained on the
