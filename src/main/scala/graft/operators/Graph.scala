@@ -75,16 +75,26 @@ object Graph {
     * a handful. Returns (id, deg) of surviving nodes with their
     * IN-CORE degrees.
     */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame =
+    kcoreWithRounds(edges, k, maxRounds)._1
+
+  /** [[kcore]] plus the number of peel rounds run to REACH the
+    * fixpoint (the final round is the no-change confirmation). The SQL
+    * oracle unrolls the peel a fixed depth, and an unroll SHORT of the
+    * fixpoint would return a strict superset of the core — so the
+    * spec pins this count at ≤ half the oracle's unroll on the
+    * largest local SF, keeping ~2× headroom live as data grows.
+    */
+  def kcoreWithRounds(edges: DataFrame, k: Int,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
     var done = false
     var rounds = 0
-    var degrees: DataFrame = null
     while (!done && rounds < maxRounds) {
       rounds += 1
       val both = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id")))
-      degrees = both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val degrees = both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(eager = true)
       val keep = degrees.filter(col("deg") >= k).select(col("id"))
       val e2 = e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
@@ -96,7 +106,7 @@ object Graph {
     }
     val both = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-    both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= k)
+    (both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k), rounds)
   }
 }

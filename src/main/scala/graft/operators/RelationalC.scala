@@ -1139,9 +1139,12 @@ object RelationalC extends Module {
       val byDec = spend.groupBy(decile.as("decile"))
         .agg(count(lit(1)).as("n_customers"),
           // decimal accumulator: a flat long cent sum per decile
-          // overflows around 1e10 customers; dec2d split so the
-          // readout stays engine-identical past 2^53 cents
-          Exact.dec2d(sum(col("x").cast("long").cast(DecimalType(38, 0)))).as("cents"))
+          // overflows around 1e10 customers. Kept EXACT through the
+          // window stage — re-casting a dec2d double back to decimal
+          // would reconstruct different integers per engine past 2^53
+          // (Spark shortest-string vs DuckDB exact-binary); dec2d runs
+          // once, at readout only.
+          sum(col("x").cast("long").cast(DecimalType(38, 0))).as("cents_x"))
       val w = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val all = Window.orderBy("decile")
@@ -1150,12 +1153,10 @@ object RelationalC extends Module {
       // backing int128 at e18 magnitudes where DuckDB's scaled-decimal →
       // double cast double-rounds (1-ulp drift surfaced at sf0.1)
       byDec
-        .withColumn("cum_cents",
-          Exact.dec2d(sum(col("cents").cast(DecimalType(38, 0))).over(w)))
-        .withColumn("tot_cents",
-          Exact.dec2d(sum(col("cents").cast(DecimalType(38, 0))).over(all)))
+        .withColumn("cum_cents", Exact.dec2d(sum(col("cents_x")).over(w)))
+        .withColumn("tot_cents", Exact.dec2d(sum(col("cents_x")).over(all)))
         .select(col("decile"), col("n_customers"),
-          (col("cents") / col("tot_cents")).as("share"),
+          (Exact.dec2d(col("cents_x")) / col("tot_cents")).as("share"),
           (col("cum_cents") / col("tot_cents")).as("cum_share"))
         .orderBy("decile")
     },
@@ -1176,16 +1177,16 @@ object RelationalC extends Module {
       |  FROM spend s),
       |byd AS (
       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
-      |    ${graft.Exact.sqlDec2d("SUM(CAST(x AS HUGEINT))")} AS cents
+      |    SUM(CAST(x AS HUGEINT)) AS cents_h
       |  FROM dec GROUP BY decile),
       |wd AS (
-      |  SELECT decile, n_customers, cents,
-      |    SUM(CAST(cents AS HUGEINT)) OVER (ORDER BY decile
+      |  SELECT decile, n_customers, cents_h,
+      |    SUM(cents_h) OVER (ORDER BY decile
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h,
-      |    SUM(CAST(cents AS HUGEINT)) OVER () AS tot_h
+      |    SUM(cents_h) OVER () AS tot_h
       |  FROM byd)
       |SELECT decile, n_customers,
-      |  cents / ${graft.Exact.sqlDec2d("tot_h")} AS share,
+      |  ${graft.Exact.sqlDec2d("cents_h")} / ${graft.Exact.sqlDec2d("tot_h")} AS share,
       |  ${graft.Exact.sqlDec2d("cum_h")} / ${graft.Exact.sqlDec2d("tot_h")} AS cum_share
       |FROM wd ORDER BY decile""".stripMargin)
   )

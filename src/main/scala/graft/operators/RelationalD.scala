@@ -962,11 +962,14 @@ object RelationalD extends Module {
   // damped power iterations run as keyed join + partial-aggregable sum
   // per step with per-iteration lineage checkpoints (the
   // connectedComponents discipline — see [[Graph]]). ORACLE-CHECKED:
-  // [[Graph.pagerank]] accumulates contribution sums in DECIMAL(38,18)
-  // (order-independent, exact), every other step is a fixed per-row
-  // IEEE expression, so the SQL twin — the same 15 iterations unrolled
-  // as chained CTEs with identical expression shapes — reproduces every
-  // rank bit-for-bit. The spec additionally reconciles against a local
+  // [[Graph.pagerank]] accumulates each node's in-contributions as
+  // BIGINT sums on the 1e-18 floor grid — FLOOR(rank/deg*1e18) is a
+  // primitive IEEE op both engines agree on (Spark's round()/decimal
+  // cast of a double goes via the shortest string and drifts near .5
+  // boundaries), and the long sum is order-independent — every other
+  // step is a fixed per-row IEEE expression, so the SQL twin — the
+  // same 15 iterations unrolled as chained CTEs with identical
+  // expression shapes — reproduces every rank bit-for-bit. The spec additionally reconciles against a local
   // power iteration and pins the probability-mass invariant.
   private val q98 = Q(
     "q98_pagerank",
@@ -1018,9 +1021,13 @@ object RelationalD extends Module {
   // joins, checkpointed like connectedComponents. Support floor n_ab ≥
   // 2 bounds the edge set first. ORACLE-CHECKED: the output is pure
   // integers (node id, in-core degree) and peeling is monotone, so the
-  // SQL twin UNROLLS the peel a fixed 20 rounds (fixpoint is reached in
+  // SQL twin UNROLLS the peel a fixed 40 rounds (fixpoint is reached in
   // 11 at sf0.01; once reached, every further peel of a k-core edge set
-  // returns it unchanged, so extra rounds are idempotent). The unroll
+  // returns it unchanged, so extra rounds are idempotent — but rounds
+  // short of the fixpoint would leave a strict SUPERSET of the core, a
+  // false driver mismatch, so the unroll carries ~4× headroom over the
+  // observed depth and GraphSpec pins the engine's true-fixpoint round
+  // count at ≤ half the unroll on the largest local SF). The unroll
   // depth is an oracle parameter only — the engine iterates to the true
   // fixpoint whatever the depth. The spec still reconciles against a
   // local peel.
@@ -1039,7 +1046,7 @@ object RelationalD extends Module {
       Graph.kcore(edges, k = 3).orderBy("id")
     },
     Some {
-      val rounds = 20
+      val rounds = 40
       val peels = (1 to rounds).map { r =>
         s"""k$r AS MATERIALIZED (
            |  SELECT id FROM (SELECT src AS id FROM e${r - 1}
@@ -1068,26 +1075,58 @@ object RelationalD extends Module {
   // q99 — ABC / Pareto inventory classification: parts ranked by
   // revenue, class A = the prefix covering 80% of revenue, B = to 95%,
   // C = the tail. The fact table reduces once to the |parts| surface;
-  // the cumulative-share window runs over that surface with a
-  // deterministic (cents DESC, partkey) total order, and shares divide
-  // exact cent sums so the 0.80/0.95 compares see identical doubles in
-  // both engines. Scale note: |parts| is catalog-sized (dim-scale); for
-  // a nine-figure catalog the cumulative pass swaps to the q48
-  // bucket-offset machinery (offsets on revenue buckets, intra-bucket
-  // cumsum) without changing the output contract.
+  // the cumulative pass is the q48 BUCKET-OFFSET discipline, not a
+  // world window: bucket ids are monotone in cents, so (bucket DESC,
+  // cents DESC, key) is the same total order as (cents DESC, key);
+  // per-bucket cent sums are BOUNDED driver metadata (≤ 65536 rows)
+  // whose descending scan yields each bucket's cumulative cent offset,
+  // and the in-bucket cumsum window partitions on the HIGH-cardinality
+  // bucket id — each task sorts ~|parts|/65536 rows, so the plan
+  // survives a nine-figure catalog (PlanAuditSpec pins the absence of
+  // a single-partition window). cum = offset + in-bucket prefix is the
+  // exact global prefix; both engines read it out through the dec2d
+  // hi/lo split so the 0.80/0.95 compares see identical doubles at any
+  // catalog value.
   private val q99 = Q(
     "q99_abc",
     (s, d) => {
+      import s.implicits._
       val l = Tables.lineitem(s, d)
+      // checkpointed |parts| surface: the bucket fit, the bounded
+      // bucket-sum metadata and the final pass reuse one reduction
       val perPart = l.groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
-      val w = Window.orderBy(desc("cents"), col("l_partkey"))
+        .localCheckpoint(eager = true)
+      val fit = perPart.agg(min(col("cents")), max(col("cents"))).head()
+      val (blo, bhi) = (fit.getLong(0), fit.getLong(1))
+      val bCol = if (blo == bhi) lit(1L)
+        else least(width_bucket(col("cents").cast("double"),
+          lit(blo.toDouble), lit(bhi.toDouble), lit(65536)), lit(65536L))
+      val bucketed = perPart.withColumn("b", bCol)
+      // ≤ 65536 bucket rows — bounded metadata BY CONSTRUCTION, never
+      // data-proportional; BigInt offsets so a 100 TB cent total can't
+      // wrap the driver-side prefix
+      val bsums = bucketed.groupBy(col("b"))
+        .agg(sum(col("cents").cast(DecimalType(38, 0))).as("bc"))
+        .collect()
+        .map(r => (r.getLong(0), BigInt(r.getDecimal(1).toBigInteger)))
+        .sortBy(-_._1).toSeq
+      val offs = bsums.scanLeft(BigInt(0)) { case (acc, (_, c)) => acc + c }
+      val tot = offs.last
+      // dec2d in Scala: exact hi/lo halves, the same two IEEE ops as
+      // Exact.dec2d / sqlDec2d produce in-engine
+      val totD = (tot >> 32).toDouble * 4294967296.0 +
+        (tot & BigInt(0xFFFFFFFFL)).toDouble
+      val offDf = bsums.map(_._1).zip(offs)
+        .map { case (b, off) => (b, off.toString) }
+        .toDF("b", "off_s")
+        .select(col("b"), col("off_s").cast(DecimalType(38, 0)).as("off"))
+      val w = Window.partitionBy(col("b"))
+        .orderBy(desc("cents"), col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wa = Window.partitionBy()
-      val cumShare = sum(col("cents")).over(w).cast("double") /
-        sum(col("cents")).over(wa).cast("double")
-      perPart
-        .withColumn("cum_share", cumShare)
+      val cum = col("off") + sum(col("cents").cast(DecimalType(38, 0))).over(w)
+      bucketed.join(broadcast(offDf), "b")
+        .withColumn("cum_share", Exact.dec2d(cum) / lit(totD))
         .withColumn("abc_class",
           when(col("cum_share") <= 0.80, "A")
             .when(col("cum_share") <= 0.95, "B")
@@ -1096,21 +1135,25 @@ object RelationalD extends Module {
           col("cum_share"), col("abc_class"))
         .orderBy(desc("revenue"), col("l_partkey"))
     },
-    Some("""WITH per_part AS (
+    Some(s"""WITH per_part AS (
       |  SELECT l_partkey,
       |    CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
       |  FROM lineitem GROUP BY l_partkey),
       |c AS (
       |  SELECT l_partkey, cents,
-      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-      |      / CAST(SUM(cents) OVER () AS DOUBLE) AS cum_share
-      |  FROM per_part)
+      |    SUM(CAST(cents AS HUGEINT)) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h,
+      |    SUM(CAST(cents AS HUGEINT)) OVER () AS tot_h
+      |  FROM per_part),
+      |sh AS (
+      |  SELECT l_partkey, cents,
+      |    ${graft.Exact.sqlDec2d("cum_h")} / ${graft.Exact.sqlDec2d("tot_h")} AS cum_share
+      |  FROM c)
       |SELECT l_partkey, CAST(cents AS DOUBLE) / 100.0 AS revenue, cum_share,
       |  CASE WHEN cum_share <= 0.80 THEN 'A'
       |       WHEN cum_share <= 0.95 THEN 'B'
       |       ELSE 'C' END AS abc_class
-      |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin)
+      |FROM sh ORDER BY revenue DESC, l_partkey""".stripMargin)
   )
 
   // q100 — Bollinger bands per customer (rolling mean ± 2σ over the
@@ -1454,11 +1497,15 @@ object RelationalD extends Module {
         gate.as("g"))
       def z(c: Column, f: Double) = round(c * lit(f)).cast("long").cast(DecimalType(38, 0))
       val tr = withSplit.filter(col("g") < 6)
+      // sxx/sxy back ~1e11 per row: past 2^64 around sf~35 DuckDB's
+      // hugeint→double cast double-rounds its 64-bit halves while
+      // Spark's decimal→double rounds once — route both through the
+      // dec2d 2^32 hi/lo split (the ANOVA Σz² treatment)
       val a = tr.agg(count(lit(1)).as("n"),
         sum(z(col("x"), 1000.0)).cast("double").as("sx"),
         sum(z(col("y"), 100.0)).cast("double").as("sy"),
-        sum(z(col("x"), 1000.0) * z(col("x"), 1000.0)).cast("double").as("sxx"),
-        sum(z(col("x"), 1000.0) * z(col("y"), 100.0)).cast("double").as("sxy")).head()
+        Exact.dec2d(sum(z(col("x"), 1000.0) * z(col("x"), 1000.0))).as("sxx"),
+        Exact.dec2d(sum(z(col("x"), 1000.0) * z(col("y"), 100.0))).as("sxy")).head()
       val (n, sx, sy, sxx, sxy) = (a.getLong(0).toDouble, a.getDouble(1),
         a.getDouble(2), a.getDouble(3), a.getDouble(4))
       val slope = 10.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
@@ -1475,7 +1522,7 @@ object RelationalD extends Module {
         cov.getLong(1).toDouble / cov.getLong(0).toDouble))
         .toDF("n_train", "n_calib", "n_test", "slope", "intercept", "qhat", "coverage")
     },
-    Some("""WITH ws AS (
+    Some(s"""WITH ws AS (
       |  SELECT l_quantity AS x, l_extendedprice AS y,
       |    (((l_orderkey % 1000000007) * 8 + l_linenumber) % 1000000007
       |      * 654435747) % 1000000007 % 10 AS g
@@ -1484,8 +1531,8 @@ object RelationalD extends Module {
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
       |    CAST(SUM(CAST(ROUND(x * 1000.0) AS BIGINT)) AS DOUBLE) AS sx,
       |    CAST(SUM(CAST(ROUND(y * 100.0) AS BIGINT)) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(ROUND(x * 1000.0) AS BIGINT) * CAST(ROUND(x * 1000.0) AS BIGINT)) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(ROUND(x * 1000.0) AS BIGINT) * CAST(ROUND(y * 100.0) AS BIGINT)) AS DOUBLE) AS sxy
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(x * 1000.0) AS BIGINT) * CAST(ROUND(x * 1000.0) AS BIGINT))")} AS sxx,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(x * 1000.0) AS BIGINT) * CAST(ROUND(y * 100.0) AS BIGINT))")} AS sxy
       |  FROM ws WHERE g < 6),
       |fit AS (
       |  SELECT n, nd, sx, sy,

@@ -249,4 +249,15 @@ class PlanAuditSpec extends SparkSpec {
     // q128: the gap lag keys on user_id
     assert("windowspecdefinition\\(user_id".r.findFirstIn(plan("q128_interarrival")).isDefined)
   }
+  test("q99 abc cumulative pass is bucket-offset, not a world window") {
+    // the cumulative-share window must partition on the 65536-bucket id
+    // (each task sorts ~|parts|/65536 rows) — an empty partition spec
+    // would sort a nine-figure catalog in one task
+    val p = plan("q99_abc")
+    assert(!p.contains("Exchange SinglePartition"),
+      "q99 regained a single-partition stage:\n" + p)
+    assert("windowspecdefinition\\(b#".r.findFirstIn(p).isDefined,
+      "cum window not keyed on the bucket id:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -623,6 +623,24 @@ class RelationalDSpec extends SparkSpec {
     assert(got === wantDeg)
     got.values.foreach(dv => assert(dv >= 3L))
   }
+  test("kcore fixpoint round count stays under half the oracle's unroll") {
+    // the SQL twin unrolls the peel 40 rounds; short of the fixpoint it
+    // would emit a strict SUPERSET of the core (a false driver
+    // mismatch), so pin the engine's true round count at <= 20 on
+    // sf0.01 — the driver's correctness SF — keeping 2x headroom live
+    val items = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = items.select(col("ok"), col("pk").as("src"))
+    val b = items.select(col("ok").as("ok_b"), col("pk").as("dst"))
+    val edges = a.join(b, col("ok") === col("ok_b") && col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2L)
+      .select(col("src"), col("dst"))
+    val (_, rounds) = graft.operators.Graph.kcoreWithRounds(edges, k = 3)
+    assert(rounds <= 20, s"kcore needed $rounds peel rounds; the 40-round " +
+      "SQL unroll is losing its headroom — raise the oracle depth")
+  }
   test("kcore peels a planted chain away and keeps the clique") {
     import spark.implicits._
     // K5 clique on 1..5 plus a pendant chain 5-6-7-8: the chain (deg <= 2)
