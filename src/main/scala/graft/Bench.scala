@@ -128,8 +128,39 @@ object Bench {
         }
         mins.sum
       } else -1.0
-    printAndExit(results, counts, sfDir, done, math.min(reps, done), worstRatio(),
-      calibrate(), total001)
+    // build/probe split for the ANN composition: the headline
+    // sim_ivfpq_topk number is an end-to-end BUILD+PROBE cycle per rep
+    // (the build amortizes across queries in any real deployment), so a
+    // probe-path regression could hide inside build noise — time the
+    // halves separately with the operator's exact parameters. min-of-3
+    // each, matching the headline's steady-state convention.
+    val (buildSec, probeSec) = try {
+      import org.apache.spark.sql.functions.col
+      val e = Tables.embeddings(spark, sfDir)
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      def dir(): String = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "ivfpq_bench_").toString
+      var idx: graft.similarity.IvfPq.IvfPqIndex = null
+      val bts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        idx = graft.similarity.IvfPq.buildIndex(
+          c, "vec_id", "embedding", nClusters = 8, m = 8, ksub = 16, path = dir())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val pts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.similarity.IvfPq.probeIndex(idx, q, "vec_id", "embedding", k = 5, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (bts.min, pts.min)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ivfpq build/probe split failed: ${e.getMessage}")
+      (-1.0, -1.0)
+    }
+    println(render(results, counts, sfDir, done, math.min(reps, done), worstRatio(),
+      calibrate(), total001, buildSec, probeSec))
     spark.stop()
   }
 
@@ -153,9 +184,16 @@ object Bench {
     Seq.fill(3)(once()).min
   }
 
-  private def printAndExit(results: Map[String, (Double, Double)],
+  /** The driver-contract metrics line: ONE line of bare JSON (no log
+    * prefix, no embedded newline — `run` is forked with inherited stdio
+    * precisely so sbt can't prepend `[info]`; BenchContractSpec pins
+    * the shape). Pure so the spec can exercise it without a 5-minute
+    * bench run.
+    */
+  def render(results: Map[String, (Double, Double)],
       counts: Map[String, Int], sfDir: String, reps: Int, window: Int,
-      ratio: Double, calib: Double, total001: Double): Unit = {
+      ratio: Double, calib: Double, total001: Double,
+      ivfpqBuild: Double, ivfpqProbe: Double): String = {
     def json(f: ((Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val sampleJson = counts.map { case (k, v) => "\"" + k + "\":" + v }
@@ -167,6 +205,8 @@ object Bench {
     val ratioStr = if (ratio.isInfinite) "-1.0" else f"$ratio%.4f"
     val calibStr = f"$calib%.4f"
     val t001Str = f"$total001%.4f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"calib_sec":$calibStr,"total_sf001":$t001Str,"sf":"$sfDir"}""")
+    val buildStr = f"$ivfpqBuild%.4f"
+    val probeStr = f"$ivfpqProbe%.4f"
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"calib_sec":$calibStr,"total_sf001":$t001Str,"ivfpq_build_sec":$buildStr,"ivfpq_probe_sec":$probeStr,"sf":"$sfDir"}"""
   }
 }
