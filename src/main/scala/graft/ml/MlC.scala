@@ -131,6 +131,25 @@ object MlC extends Module {
       en: Option[Double], depth: Option[Long],
       est: org.apache.spark.ml.Estimator[_])
 
+  /** The seeded trial sequence shared by ml_search (random + pruner) and
+    * ml_search_adaptive (successive halving): 6 logreg draws (regParam
+    * log-uniform in [1e-4, 1], elasticNetParam uniform) + 4 GBT depths.
+    * Deterministic under the fixed seed.
+    */
+  private def searchTrialSet(): Seq[Trial] = {
+    val rnd = new scala.util.Random(42L)
+    (0 until 6).map { i =>
+      val reg = math.pow(10.0, -4.0 + 4.0 * rnd.nextDouble())
+      val en = rnd.nextDouble()
+      Trial(i.toLong, "logreg", Some(reg), Some(en), None,
+        new LogisticRegression().setMaxIter(20).setRegParam(reg).setElasticNetParam(en))
+    } ++
+    Seq(2, 3, 4, 5).zipWithIndex.map { case (dep, i) =>
+      Trial((6 + i).toLong, "gbt", None, None, Some(dep.toLong),
+        new GBTClassifier().setMaxIter(5).setMaxDepth(dep).setSeed(42L))
+    }
+  }
+
   /** Run the seeded trial sequence; returns (per-trial rows, fold-fits
     * performed). Exposed for MlSpec's pruning-equivalence check.
     */
@@ -147,18 +166,7 @@ object MlC extends Module {
         .asInstanceOf[org.apache.spark.ml.Transformer]
       ev.evaluate(m.transform(df.filter(col("fold") === f)))
     }
-    val rnd = new scala.util.Random(42L)
-    val trials: Seq[Trial] =
-      (0 until 6).map { i =>
-        val reg = math.pow(10.0, -4.0 + 4.0 * rnd.nextDouble())
-        val en = rnd.nextDouble()
-        Trial(i.toLong, "logreg", Some(reg), Some(en), None,
-          new LogisticRegression().setMaxIter(20).setRegParam(reg).setElasticNetParam(en))
-      } ++
-      Seq(2, 3, 4, 5).zipWithIndex.map { case (dep, i) =>
-        Trial((6 + i).toLong, "gbt", None, None, Some(dep.toLong),
-          new GBTClassifier().setMaxIter(5).setMaxDepth(dep).setSeed(42L))
-      }
+    val trials = searchTrialSet()
     def median(v: Seq[Double]): Double = {
       val ss = v.sorted
       if (ss.size % 2 == 1) ss(ss.size / 2)
@@ -192,6 +200,83 @@ object MlC extends Module {
       ranked.toDF("trial_id", "model", "reg_param", "elastic_net", "max_depth",
         "mean_auc", "pruned", "rank")
         .orderBy("trial_id")
+    },
+    None
+  )
+
+  // ml_search_adaptive — deterministic SUCCESSIVE HALVING (Jamieson &
+  // Talwalkar 2016; Hyperband's inner loop) over the same seeded trial
+  // set as ml_search: the adaptive-allocation character of the
+  // reference's optuna TPE loop (modeling.py:213-233) with NO RNG in
+  // the schedule. Rung 0 scores every trial cheaply — fold-0 AUC with
+  // the training folds cut to a deterministic Z-mod-p 25% prefix — and
+  // each rung doubles the budget for the surviving top half (score
+  // desc, trial id tiebreak) until the final rung runs the full seeded
+  // 3-fold CV on the remaining ~n/4. Budgets are NESTED hash prefixes
+  // (the ml_learning_curve discipline), so rung membership and
+  // survivors are identical on any cluster shape. Emits the whole
+  // (trial, rung) audit surface. Rows-only (seeded iterative MLlib
+  // fits); MlSpec pins determinism, the rung shape, and per-rung
+  // selection monotonicity (every survivor's rung score >= every
+  // eliminated trial's at that rung).
+
+  /** (trial_id, model, reg, en, depth, rung, budget_frac, auc, survived)
+    * long-form audit rows. Exposed for MlSpec.
+    */
+  private[graft] def adaptiveSearchRows(s: SparkSession, d: String)
+      : Seq[(Long, String, Option[Double], Option[Double], Option[Long],
+          Long, Double, Double, Boolean)] = {
+    val df = assembler.transform(customerFeatures(s, d))
+      .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
+      // nested budget prefixes: the q18 overflow-free Z-mod-p gate
+      .withColumn("bkt", (col("c_custkey") % lit(1000000007L)) * lit(654435747L)
+        % lit(1000000007L) % lit(1000L))
+      .cache()
+    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+    def rungTrain(frac: Double) =
+      df.filter(col("fold") =!= 0 && col("bkt") < lit((frac * 1000).toLong))
+    def rungScore(t: Trial, frac: Double): Double = {
+      val m = t.est.fit(rungTrain(frac))
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      ev.evaluate(m.transform(df.filter(col("fold") === 0)))
+    }
+    def fullCv(t: Trial): Double = (0 until 3).map { f =>
+      val m = t.est.fit(df.filter(col("fold") =!= f))
+        .asInstanceOf[org.apache.spark.ml.Transformer]
+      ev.evaluate(m.transform(df.filter(col("fold") === f)))
+    }.sum / 3.0
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Double],
+      Option[Double], Option[Long], Long, Double, Double, Boolean)]()
+    var alive = searchTrialSet()
+    Seq(0.25, 0.5).zipWithIndex.foreach { case (frac, rung) =>
+      // a class-starved prefix (tiny SF) can't rank trials: every model
+      // degenerates — score the rung 0.5 flat so the id tiebreak decides
+      // deterministically (the ml_learning_curve NaN convention, made
+      // selection-safe)
+      val starved = rungTrain(frac).select(col("label")).distinct().count() < 2
+      val scored = alive.map(t => t -> (if (starved) 0.5 else rungScore(t, frac)))
+      val keep = scored.sortBy { case (t, sc) => (-sc, t.id) }
+        .take((alive.size + 1) / 2).map(_._1.id).toSet
+      scored.foreach { case (t, sc) =>
+        out += ((t.id, t.model, t.reg, t.en, t.depth, rung.toLong, frac, sc, keep(t.id)))
+      }
+      alive = alive.filter(t => keep(t.id))
+    }
+    alive.foreach { t =>
+      out += ((t.id, t.model, t.reg, t.en, t.depth, 2L, 1.0, fullCv(t), true))
+    }
+    df.unpersist()
+    out.toSeq
+  }
+
+  private val mlSearchAdaptive = Q(
+    "ml_search_adaptive",
+    (s, d) => {
+      import s.implicits._
+      adaptiveSearchRows(s, d)
+        .toDF("trial_id", "model", "reg_param", "elastic_net", "max_depth",
+          "rung", "budget_frac", "auc", "survived")
+        .orderBy("rung", "trial_id")
     },
     None
   )
@@ -1230,7 +1315,9 @@ object MlC extends Module {
 
   // ml_model_panel — the reference's my_cross_validate benchmark table
   // (modeling.py:12 over ~12 classifier families vs DummyClassifier):
-  // SEVEN MLlib families + the most-frequent dummy baseline, each
+  // SEVEN MLlib families + a kNN row (the roster's KNeighborsClassifier,
+  // backed by graft's own neighbor-join machinery since MLlib lacks
+  // kNN) + the most-frequent dummy baseline, each
   // scored by the same seeded hash-fold 3-fold CV as ml_search (fold
   // membership identical on any cluster shape), reporting fold-mean
   // accuracy / f1 / AUC per family. Fits are MLlib's distributed
@@ -1246,7 +1333,7 @@ object MlC extends Module {
     import org.apache.spark.ml.classification._
     val df = assembler.transform(customerFeatures(s, d))
       .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
-      .select("features", "label", "fold")
+      .select("c_custkey", "features", "label", "fold")
       .cache()
     val families: Seq[(String, org.apache.spark.ml.Estimator[_])] = Seq(
       "gbt" -> new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(42L),
@@ -1285,6 +1372,57 @@ object MlC extends Module {
       (name, folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
         folds.map(_._3).sum / 3.0)
     }
+    // kNN family (the reference roster's KNeighborsClassifier; MLlib has
+    // no kNN, so graft's own neighbor-join machinery backs the row):
+    // per fold, features z-scale by TRAIN-fold stats (two-phase
+    // broadcast fit — no leakage), the reference set is a deterministic
+    // Z-mod-p PROTOTYPE subsample (≤ 2000 rows — the standard kNN scale
+    // move, bounding the pair join at |test|·2000; at full scale the
+    // neighbor stage swaps to the IVF index behind the same contract),
+    // 10-NN with (distance, key) tiebreak, majority vote (tie → label
+    // 0, the emb_knn_classify rule); the positive-vote fraction is the
+    // ranking score AUC uses.
+    val knn = {
+      val nf = featCols.length
+      val bkt = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
+        lit(1000000007L) % lit(1000L)
+      val xs = org.apache.spark.ml.functions.vector_to_array(col("features"))
+      val folds = (0 until 3).map { f =>
+        val tr = df.filter(col("fold") =!= f)
+        val te = df.filter(col("fold") === f)
+        val stats = tr.select(posexplode(xs).as(Seq("pos", "v")))
+          .groupBy("pos").agg(avg("v").as("mu"), stddev_samp("v").as("sd"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val mus = stats.map(_._2)
+        val sds = stats.map(t => if (!t._3.isNaN && t._3 > 0.0) t._3 else 1.0)
+        def scaled = array((0 until nf).map(i =>
+          (xs.getItem(i) - lit(mus(i))) / lit(sds(i))): _*)
+        val nTr = tr.count()
+        val cut = math.min(1000L, 2000L * 1000L / math.max(nTr, 1L) + 1L)
+        val ref = tr.filter(bkt < lit(cut))
+          .select(col("c_custkey").as("rid"), scaled.as("rv"), col("label").as("rlabel"))
+        val q = te.select(col("c_custkey").as("qid"), scaled.as("qv"),
+          col("label").as("label"))
+        val dist = aggregate(zip_with(col("qv"), col("rv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("rid"))
+        val preds = q.join(broadcast(ref), lit(true))
+          .withColumn("dist", dist)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy(col("qid"), col("label"))
+          .agg((sum(col("rlabel")) / count(lit(1))).as("score"))
+          .withColumn("prediction", when(col("score") > 0.5, 1.0).otherwise(0.0))
+        val (acc, f1) = countMetrics(preds)
+        val auc = new BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC").setRawPredictionCol("score")
+          .evaluate(preds)
+        (acc, f1, auc)
+      }
+      ("knn", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
+        folds.map(_._3).sum / 3.0)
+    }
     // DummyClassifier(most_frequent): constant majority-of-train-folds
     // prediction; binarized AUC degenerates to (recall1 + recall0)/2
     val dummy = {
@@ -1301,7 +1439,7 @@ object MlC extends Module {
         folds.map(_._3).sum / 3.0)
     }
     df.unpersist()
-    (fitted :+ dummy).sortBy(_._1)
+    (fitted :+ knn :+ dummy).sortBy(_._1)
   }
 
   private val mlModelPanel = Q(
@@ -1558,7 +1696,8 @@ object MlC extends Module {
     None
   )
 
-  override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlReport, mlDummy,
+  override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlSearchAdaptive,
+    mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,

@@ -134,6 +134,32 @@ object StreamingH extends Module {
       |ORDER BY click_id, purchase_id""".stripMargin)
   )
 
+  // st_interval_join_left — st_interval_join's LEFT OUTER sibling: every
+  // click with its prior-24h purchases, or ONE NULL-extended row when
+  // there are none — the conversion-FAILURE surface the inner join
+  // silently drops. Batch plan identical (equi join on user_id + range
+  // residual; the outer side only adds the null fill). Streaming twin:
+  // Spark's watermarked stream-stream LEFT OUTER join — matched pairs
+  // emit as they join, a clickless row emits once the watermark expires
+  // the click's buffered state, so state stays bounded exactly as in
+  // the inner twin (StreamingSpec plants a purchase-less click and
+  // watches its NULL row emit after the watermark passes).
+  private val stIntervalJoinLeft = Q(
+    "st_interval_join_left",
+    (s, d) => Streaming.intervalJoinLeft(Tables.events(s, d))
+      .orderBy("click_id", "purchase_id"),
+    Some("""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  p.event_id AS purchase_id,
+      |  epoch_us(c.ts) - epoch_us(p.ts) AS purchase_age_us,
+      |  p.value AS purchase_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 24 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin)
+  )
+
   // st_topk — per-window heavy hitters (top-3 users by event count per 1h
   // window): the windowed frequency leaderboard every ingest pipeline
   // tracks. Scale shape: one (window, user) count aggregate, then a LOCAL
@@ -467,8 +493,8 @@ object StreamingH extends Module {
   )
 
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
-    stIntervalJoin, stTopk, stCdc, stSliding, stGapFill, stSessionWindow,
-    stAnomaly, stEnrich, stScd2, stSlidingDistinct)
+    stIntervalJoin, stIntervalJoinLeft, stTopk, stCdc, stSliding, stGapFill,
+    stSessionWindow, stAnomaly, stEnrich, stScd2, stSlidingDistinct)
 }
 
 /** Streaming-capable transforms (work on both batch and streaming frames)
@@ -607,6 +633,36 @@ object Streaming {
         .join(p.withWatermark("purchase_ts", "26 hours"), intervalCond)
         .select("click_id", "user_id", "click_ts", "purchase_id",
           "purchase_ts", "purchase_value")
+    }
+
+  private def intervalLeftCols = Seq(col("click_id"), col("user_id"),
+    col("click_ts"), col("purchase_id"),
+    // the purchase timestamp rides as its age relative to the click —
+    // NULL-able BIGINT/DOUBLE marker columns are driver-compare-proven
+    // (st_asof), while a NULL TIMESTAMP column hits the pandas read
+    // path's NaT representation split (the st_scd2 lesson class)
+    (unix_micros(col("click_ts")) - unix_micros(col("purchase_ts")))
+      .as("purchase_age_us"),
+    col("purchase_value"))
+
+  /** Left-outer batch twin of [[intervalJoin]]: unmatched clicks keep one
+    * NULL-extended row. Same one-shuffle equi join + range residual.
+    */
+  def intervalJoinLeft(events: DataFrame): DataFrame =
+    clicksAndPurchases(events) match { case (c, p) =>
+      c.join(p, intervalCond, "left_outer").select(intervalLeftCols: _*)
+    }
+
+  /** Watermarked stream-stream LEFT OUTER twin: matched pairs emit as
+    * they join; an unmatched click's NULL-extended row emits once the
+    * watermark passes its buffered state (Spark's outer stream-stream
+    * contract) — both sides' state expires exactly as in the inner twin.
+    */
+  def intervalJoinLeftStream(events: DataFrame): DataFrame =
+    clicksAndPurchases(events) match { case (c, p) =>
+      c.withWatermark("click_ts", "2 hours")
+        .join(p.withWatermark("purchase_ts", "26 hours"), intervalCond, "left_outer")
+        .select(intervalLeftCols: _*)
     }
 
   case class AsofEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -136,6 +136,31 @@ class MlSpec extends SparkSpec {
     prunedRows.filter(!_._7).foreach(r => assert(r._6 === fullById(r._1)))
   }
 
+  test("ml_search_adaptive: halving shape, per-rung selection monotone, deterministic") {
+    val a = MlC.adaptiveSearchRows(spark, sf)
+    // rung shape: 10 trials -> top 5 -> top 3 on doubled budgets
+    val byRung = a.groupBy(_._6)
+    assert(byRung(0L).size === 10 && byRung(1L).size === 5 && byRung(2L).size === 3)
+    assert(byRung(0L).forall(_._7 === 0.25) && byRung(1L).forall(_._7 === 0.5) &&
+      byRung(2L).forall(_._7 === 1.0))
+    // nested survival: each rung's trials are exactly the prior rung's
+    // survivors
+    assert(byRung(1L).map(_._1).toSet === byRung(0L).filter(_._9).map(_._1).toSet)
+    assert(byRung(2L).map(_._1).toSet === byRung(1L).filter(_._9).map(_._1).toSet)
+    // per-rung selection monotonicity: every survivor's rung score >=
+    // every eliminated trial's score at that rung
+    Seq(0L, 1L).foreach { r =>
+      val (kept, dropped) = byRung(r).partition(_._9)
+      assert(kept.map(_._8).min >= dropped.map(_._8).max,
+        s"rung $r promoted a trial below an eliminated one")
+    }
+    // scores are genuine AUCs
+    a.foreach(row => assert(row._8 >= 0.0 && row._8 <= 1.0))
+    // deterministic: the schedule has no RNG, fits are seeded
+    val b = MlC.adaptiveSearchRows(spark, sf)
+    assert(a === b, "adaptive search not deterministic")
+  }
+
   test("ml_impute_eval scores the masked hold-out consistently and above chance") {
     val r = SparkEntry.queries("ml_impute_eval")(spark, sf).head
     val nEval = r.getAs[Long]("n_eval")
@@ -445,9 +470,10 @@ class MlSpec extends SparkSpec {
     val a = MlC.modelPanelRows(spark, sf)
     val names = a.map(_._1)
     assert(names.contains("dummy"))
-    assert(names.size >= 7, s"family roster too thin: $names") // 7 + dummy
-    Seq("gbt", "linear_svc", "logreg", "mlp", "naive_bayes", "random_forest",
-      "ridge").foreach(f => assert(names.contains(f), s"missing family $f"))
+    assert(names.size >= 8, s"family roster too thin: $names") // 7 + knn + dummy
+    Seq("gbt", "knn", "linear_svc", "logreg", "mlp", "naive_bayes",
+      "random_forest", "ridge").foreach(f =>
+      assert(names.contains(f), s"missing family $f"))
     a.foreach { case (m, acc, f1, auc) =>
       assert(acc >= 0.0 && acc <= 1.0, s"$m accuracy")
       assert(f1 >= 0.0 && f1 <= 1.0, s"$m f1")

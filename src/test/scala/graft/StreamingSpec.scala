@@ -277,6 +277,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits the null-extended rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // planted feed: u1's click has a purchase 1h before (matches), u2's
+    // click has none within 24h (must emit NULL-extended once the
+    // watermark passes), u3's purchase is 25h stale (outside the window)
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+    def plus(h: Int) = new Timestamp(t0.getTime + h * 3600000L)
+    val real = Seq(
+      (1L, plus(-1), 10L, "purchase", 5.0),
+      (2L, plus(0), 10L, "click", 0.0),
+      (3L, plus(0), 20L, "click", 0.0),
+      (4L, plus(-25), 30L, "purchase", 7.0),
+      (5L, plus(0), 30L, "click", 0.0))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streaming.intervalJoinLeftStream(streamDf)
+      .writeStream.format("memory").queryName("ijl")
+      .outputMode("append").start()
+    try {
+      input.addData(real)
+      q.processAllAvailable()
+      // NULL-extended rows need the GLOBAL watermark (min across both
+      // sides) to pass the clicks' state — sentinels must advance BOTH
+      // the click and the purchase side; two far-future rounds on an
+      // absent user do it (their own rows are filtered out below)
+      input.addData(Seq((98L, plus(24 * 40), 999L, "click", 0.0),
+        (97L, plus(24 * 40 + 1), 999L, "purchase", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq((96L, plus(24 * 80), 999L, "click", 0.0),
+        (95L, plus(24 * 80 + 1), 999L, "purchase", 1.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("ijl").collect().map(_.toSeq).toSet
+      import spark.implicits._
+      val batch = Streaming.intervalJoinLeft(
+          real.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+      // the real feed's full left-outer result — matched u1, null u2/u3
+      assert(batch.count(_(3) == null) === 2)
+      // streamed superset check modulo the sentinels' own pending rows
+      val streamedReal = streamed.filterNot(r => r(1) == 999L)
+      assert(streamedReal === batch)
+    } finally q.stop()
+  }
+
   test("streaming as-of join matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
