@@ -90,6 +90,12 @@ object Exact {
     // that, split twice.
   }
 
+  /** lcm(1..25) — every count a centered ±12h hourly window can take
+    * divides it, so L·(y − S/n) = L·y − (L div n)·S is an exact BIGINT
+    * per row. The seasonal-decomposition grid (q72/q108/q110).
+    */
+  val seasonLcm: Long = 26771144400L
+
   def sqlDec2d(e: String): String =
     s"(CAST(($e) // 4294967296 AS DOUBLE) * CAST(4294967296 AS DOUBLE) + CAST(($e) % 4294967296 AS DOUBLE))"
 

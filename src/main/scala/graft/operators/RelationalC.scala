@@ -754,23 +754,36 @@ object RelationalC extends Module {
       .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
     val wTrend = Window.orderBy(unix_millis(col("h")))
       .rangeBetween(-12L * 3600000L, 12L * 3600000L)
+    // L = lcm(1..25): EVERY possible centered-window count divides it,
+    // so L·detr = L·y − (L div n)·Σy is an exact BIGINT per row and the
+    // seasonal mean is one division of exact integers. The previous
+    // DECIMAL(38,12) image of the detr DOUBLE hit Spark's
+    // shortest-string vs DuckDB's exact-binary rounding split at digit
+    // 12 (caught by the sf1 sweep on q72/q108); integers never round.
+    // Magnitudes: L·y ≲ 2.7e10·2e4 ≈ 5e14 per row, the seasonal-window
+    // sum ≲ 2e16 — exact in BIGINT, and the BIGINT→double readout is a
+    // single correctly-rounded conversion in both engines (the
+    // hugeint/int128 half-split trap starts past 2^64, which this sum
+    // reaches only alongside 2^53-breaking per-hour counts).
     val trended = series
-      .withColumn("trend",
-        sum(col("y")).over(wTrend).cast("double") /
-          count(lit(1)).over(wTrend).cast("double"))
-      .withColumn("detr", col("y").cast("double") - col("trend"))
+      .withColumn("tw_n", count(lit(1)).over(wTrend))
+      .withColumn("tw_s", sum(col("y")).over(wTrend))
+      .withColumn("trend", col("tw_s").cast("double") / col("tw_n").cast("double"))
+      .withColumn("detr_l",
+        expr(s"${Exact.seasonLcm}L * y - (${Exact.seasonLcm}L div tw_n) * tw_s"))
     val wSeason = Window.partitionBy(hour(col("h")))
     trended
       .withColumn("seasonal",
-        sum(Exact.d12(col("detr"))).over(wSeason).cast("double") /
-          count(lit(1)).over(wSeason).cast("double"))
+        sum(col("detr_l")).over(wSeason).cast("double") /
+          (count(lit(1)).over(wSeason) * lit(Exact.seasonLcm)).cast("double"))
       .select(col("h"), col("y"), col("trend"), col("seasonal"),
         (col("y").cast("double") - col("trend") - col("seasonal")).as("residual"))
   }
 
   /** DuckDB twin of [[decomposed]] as a WITH-body ending in `decomp`. */
+  private val seasonLcmSql: String = Exact.seasonLcm.toString
   private[operators] val decomposedSql: String =
-    """counts AS (
+    s"""counts AS (
       |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1),
       |spine AS (
@@ -780,18 +793,19 @@ object RelationalC extends Module {
       |  SELECT spine.h, epoch_ms(spine.h) AS hm, COALESCE(counts.y, 0) AS y
       |  FROM spine LEFT JOIN counts ON spine.h = counts.h),
       |t AS (
-      |  SELECT h, y,
+      |  SELECT h, y, SUM(y) OVER w AS tw_s, COUNT(*) OVER w AS tw_n,
       |    CAST(SUM(y) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
       |  FROM series
       |  WINDOW w AS (ORDER BY hm RANGE BETWEEN 43200000 PRECEDING AND 43200000 FOLLOWING)),
-      |d AS (SELECT h, y, trend, CAST(y AS DOUBLE) - trend AS detr FROM t),
+      |d AS (SELECT h, y, trend,
+      |  $seasonLcmSql * y - ($seasonLcmSql // tw_n) * tw_s AS detr_l FROM t),
       |decomp AS (
       |  SELECT h, y, trend,
-      |    CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
-      |      / CAST(COUNT(*) OVER s AS DOUBLE) AS seasonal,
+      |    CAST(CAST(SUM(detr_l) OVER s AS BIGINT) AS DOUBLE)
+      |      / CAST(COUNT(*) OVER s * $seasonLcmSql AS DOUBLE) AS seasonal,
       |    CAST(y AS DOUBLE) - trend
-      |      - CAST(SUM(CAST(detr AS DECIMAL(38,12))) OVER s AS DOUBLE)
-      |        / CAST(COUNT(*) OVER s AS DOUBLE) AS residual
+      |      - CAST(CAST(SUM(detr_l) OVER s AS BIGINT) AS DOUBLE)
+      |        / CAST(COUNT(*) OVER s * $seasonLcmSql AS DOUBLE) AS residual
       |  FROM d
       |  WINDOW s AS (PARTITION BY hour(h)))""".stripMargin
 

@@ -316,25 +316,28 @@ object RelationalD extends Module {
         .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
       val z = col("cents").cast(DecimalType(38, 0))
+      // Σc² crosses 2^64 at sf1 (per-customer cents² ~1e14 × 1e5+
+      // customers/nation), where DuckDB's hugeint→double cast
+      // double-rounds its 64-bit halves — both readouts ride dec2d
       spend.groupBy(col("c_nationkey").as("nation"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(z).cast("double").as("tot"),
-          sum(z * z).cast("double").as("sq"))
+          Exact.dec2d(sum(z)).as("tot"),
+          Exact.dec2d(sum(z * z)).as("sq"))
         .select(col("nation"), col("n_cust"),
           (col("sq") / (col("tot") * col("tot"))).as("hhi"),
           ((col("tot") * col("tot")) / col("sq")).as("effective_n"),
           (lit(1.0) - col("sq") / (col("tot") * col("tot"))).as("simpson_diversity"))
         .orderBy("nation")
     },
-    Some("""WITH spend AS (
+    Some(s"""WITH spend AS (
       |  SELECT c_nationkey AS nation,
       |    CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS HUGEINT) AS cents
       |  FROM orders JOIN customer ON o_custkey = c_custkey
       |  GROUP BY c_nationkey, o_custkey),
       |g AS (
       |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
-      |    CAST(SUM(cents) AS DOUBLE) AS tot,
-      |    CAST(SUM(cents * cents) AS DOUBLE) AS sq
+      |    ${graft.Exact.sqlDec2d("SUM(cents)")} AS tot,
+      |    ${graft.Exact.sqlDec2d("SUM(cents * cents)")} AS sq
       |  FROM spend GROUP BY nation)
       |SELECT nation, n_cust,
       |  sq / (tot * tot) AS hhi,
@@ -476,16 +479,23 @@ object RelationalD extends Module {
     * SINGLE correctly-rounded conversion in both engines, where a
     * scaled decimal (38,12) would double-round in DuckDB (int128→double
     * then ÷10¹² — observed 1-ulp drift at e18 magnitudes). The
-    * per-group quadratic terms S²/n are integer-rounded before the
-    * decimal sum — they are ≥ n·mean² ≈ 1e15 on any cent grid, so the
-    * unit digit is far below double resolution and the rounding is
-    * engine-identical (same input double). F and η² are
-    * grid-scale-invariant.
+    * per-group quadratic terms S²/n are EXACT floor divisions computed
+    * entirely in decimal/hugeint integer arithmetic — no double ever
+    * enters the term path. (The previous round-the-double-quotient
+    * image diverged once terms passed ~1e17: Spark's double→decimal
+    * cast goes via the shortest string while DuckDB's double→hugeint
+    * takes the exact binary integer, and the differing term integers
+    * amplified through the SSB cancellation — caught by the sf1 sweep
+    * on q91.) Floor truncation is ~1 grid unit on terms ≥ 1e15, far
+    * below double resolution. F and η² are grid-scale-invariant.
     */
   private def anovaOn(grouped: DataFrame): DataFrame = {
     // grouped: (n_l long, sd decimal, ssd decimal) per group — exact sums
-    val term = round(col("sd").cast("double") * col("sd").cast("double")
-      / col("n_l").cast("double")).cast(DecimalType(38, 0))
+    // sd² fits DECIMAL(38,0) to sd < 1e19 (sf1 sd ≈ 1e13); the exact
+    // multiple (sd² − sd²%n) divides to a zero-fraction decimal, so the
+    // scale-0 recast is the identity
+    val sq = col("sd") * col("sd")
+    val term = ((sq - pmod(sq, col("n_l"))) / col("n_l")).cast(DecimalType(38, 0))
     // tss/sterm back 2^53-plus integers at sf0.1 (Σz² ≈ 2.2e19), where
     // a direct decimal→double cast is engine-DIVERGENT (DuckDB's
     // hugeint conversion double-rounds its 64-bit halves) — route
@@ -515,7 +525,7 @@ object RelationalD extends Module {
        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_l) AS BIGINT) AS n,
        |    ${graft.Exact.sqlDec2d("SUM(sd)")} AS ts,
        |    ${graft.Exact.sqlDec2d("SUM(ssd)")} AS tss,
-       |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(n_l AS DOUBLE)) AS HUGEINT))")} AS sterm
+       |    ${graft.Exact.sqlDec2d("SUM((sd * sd) // n_l)")} AS sterm
        |  FROM pg)
        |SELECT k, n,
        |  ((sterm - ts * ts / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
