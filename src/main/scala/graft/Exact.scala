@@ -90,6 +90,21 @@ object Exact {
     // that, split twice.
   }
 
+  /** Exact ⌊a/n⌋ for a non-negative DECIMAL(38,0) `a` and an integral
+    * `n`, computed entirely in decimal arithmetic — no double ever
+    * enters the path. (Imaging the double quotient looked equivalent
+    * and was not: Spark's double→decimal cast takes the SHORTEST
+    * STRING while DuckDB's double→hugeint takes the exact binary
+    * integer, and past ~1e17 those are different integers — the q91
+    * divergence the sf1 sweep caught.) a − a%n is an exact multiple of
+    * n, so the decimal division has a zero fraction at any result
+    * scale and the scale-0 recast is the identity. Valid for quotients
+    * < 1e32 (Spark's division result lands at scale 6 under the
+    * 38-precision cap). SQL twin: `(a // n)` on HUGEINT.
+    */
+  def floorDiv(a: Column, n: Column): Column =
+    ((a - pmod(a, n)) / n).cast(DecimalType(38, 0))
+
   /** lcm(1..25) — every count a centered ±12h hourly window can take
     * divides it, so L·(y − S/n) = L·y − (L div n)·S is an exact BIGINT
     * per row. The seasonal-decomposition grid (q72/q108/q110).

@@ -494,8 +494,7 @@ object RelationalD extends Module {
     // sd² fits DECIMAL(38,0) to sd < 1e19 (sf1 sd ≈ 1e13); the exact
     // multiple (sd² − sd²%n) divides to a zero-fraction decimal, so the
     // scale-0 recast is the identity
-    val sq = col("sd") * col("sd")
-    val term = ((sq - pmod(sq, col("n_l"))) / col("n_l")).cast(DecimalType(38, 0))
+    val term = Exact.floorDiv(col("sd") * col("sd"), col("n_l"))
     // tss/sterm back 2^53-plus integers at sf0.1 (Σz² ≈ 2.2e19), where
     // a direct decimal→double cast is engine-DIVERGENT (DuckDB's
     // hugeint conversion double-rounds its 64-bit halves) — route

@@ -51,6 +51,48 @@ class ExactSpec extends SparkSpec {
     assert(sql.contains("CAST(4294967296 AS DOUBLE)"), "exact 2^32 factor")
   }
 
+  test("floorDiv equals BigInt floor division at 100TB-like magnitudes") {
+    import spark.implicits._
+    // (a, n) pairs spanning the ANOVA term path: sd² up to ~1e34 over
+    // group counts from tiny to fact-scale — the exact range where the
+    // old round(double)→decimal image silently diverged from DuckDB
+    val cases = Seq(
+      (BigInt("152415787532388352"), 3L),                  // ~1.5e17 / k
+      (BigInt("152415787806736454426051050"), 1999387L),   // ~1.5e26 / n_g
+      (BigInt("99999999999999999999999999999999"), 24L),   // 1e32, near cap
+      (BigInt("18446744073709551616"), 7L),                // 2^64
+      (BigInt("9223372036854775807"), 25L),                // 2^63-1
+      (BigInt("12345678901234567890123456789012"), 2000000L),
+      (BigInt(0), 5L), (BigInt(24), 25L))
+    val df = cases.map { case (a, n) => (a.toString, n) }.toDF("s", "n")
+      .select(col("s").cast(DecimalType(38, 0)).as("a"), col("n"))
+    val got = df.select(Exact.floorDiv(col("a"), col("n"))).collect()
+      .map(r => BigInt(r.getDecimal(0).toBigIntegerExact))
+    cases.zip(got).foreach { case ((a, n), g) =>
+      assert(g === a / n, s"floorDiv($a, $n)")
+    }
+  }
+
+  test("seasonLcm is divisible by every centered-window count") {
+    // the exact-integer seasonal mean (q72/q108/q110) rests on
+    // (L div n) being exact for every count a ±12h window can take
+    (1 to 25).foreach(n =>
+      assert(Exact.seasonLcm % n === 0L, s"lcm(1..25) must cover n=$n"))
+    // and the per-row L·detr identity matches BigInt arithmetic at the
+    // magnitudes a 100TB-scale hourly count would produce
+    import spark.implicits._
+    val cases = Seq((20000L, 480000L, 25L), (1L, 13L, 13L),
+      (340000L, 8000000L, 24L), (0L, 17L, 17L))
+    val df = cases.toDF("y", "tw_s", "tw_n")
+    val got = df.selectExpr(
+      s"${Exact.seasonLcm}L * y - (${Exact.seasonLcm}L div tw_n) * tw_s")
+      .collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((y, s, n), g) =>
+      val L = BigInt(Exact.seasonLcm)
+      assert(BigInt(g) === L * y - (L / n) * s, s"detr_l($y, $s, $n)")
+    }
+  }
+
   test("qzl grid image is exact for fixed-point inputs") {
     import spark.implicits._
     val df = Seq(12.34, 0.001, 99999.999, -5.5).toDF("x")
