@@ -117,7 +117,10 @@ object MultimodalG extends Module {
     */
   private def audioWindows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val wlen = 100
-    Tables.documents(s, d)
+    // fanout: the per-sample energy fold is the heaviest per-row
+    // pipeline in this module — a single-row-group input would run it
+    // on one task (measured 36 s at sf1; ~3 s fanned out)
+    graft.Exact.fanout(Tables.documents(s, d))
       .withColumn("n", length(col("text")))
       // empty payloads emit no windows: sequence(0, -1) would yield a
       // DESCENDING [0, -1] (Spark auto-steps -1) where DuckDB's
@@ -219,7 +222,10 @@ object MultimodalG extends Module {
   private val mmPhash = Q(
     "mm_phash",
     (s, d) => {
-      val hashed = Tables.documents(s, d)
+      // fanout: the testdata parquet is a single row group, which would
+      // run the 66-point sampling + 60-bit fold on ONE task (>10 min at
+      // sf1); checkpoint so the join's two branches share one pass
+      val hashed = graft.Exact.fanout(Tables.documents(s, d))
         .withColumn("stride", expr("greatest((length(text) - 1) div 66, 1)"))
         .withColumn("bs", expr(
           "transform(sequence(0, 65), k -> ascii(substring(text, k * stride + 1, 1)))"))
@@ -229,6 +235,7 @@ object MultimodalG extends Module {
             |           < element_at(bs, CAST((j div 10) * 11 + (j % 10) + 2 AS INT)),
             |        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
         .select(col("doc_id"), col("phash"))
+        .localCheckpoint(eager = true)
       val bands = hashed.select(col("doc_id"), col("phash"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> shiftrightunsigned(phash, b * 15) & 32767)")))

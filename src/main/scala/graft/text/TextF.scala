@@ -214,7 +214,9 @@ object TextF extends Module {
   private val txShingles = Q(
     "tx_shingles",
     (s, d) => {
-      Tables.documents(s, d)
+      // fanout: the per-position substr pipeline is O(len²) per row —
+      // heavy enough that a single-row-group scan serializes it
+      graft.Exact.fanout(Tables.documents(s, d))
         .select(col("doc_id"),
           size(array_distinct(transform(
             sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
@@ -242,7 +244,8 @@ object TextF extends Module {
       val c5 = transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
         i => col("text").substr(i, lit(5)))
-      Tables.documents(s, d)
+      // fanout: same O(len²) per-position substr class as tx_shingles
+      graft.Exact.fanout(Tables.documents(s, d))
         .select(col("doc_id"),
           size(w2).cast("long").as("n_w2"),
           size(array_distinct(w2)).cast("long").as("n_w2_distinct"),
