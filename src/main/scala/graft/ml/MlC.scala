@@ -113,6 +113,71 @@ object MlC extends Module {
     None
   )
 
+  // ml_adaboost — discrete AdaBoost (Freund & Schapire 1997; the
+  // reference roster's AdaBoostClassifier, which MLlib does not ship):
+  // T weighted depth-1 MLlib stumps — per round one distributed
+  // weighted fit, one weighted-error aggregate, one narrow
+  // exp-reweight map with a lineage checkpoint (the iterative-fixpoint
+  // discipline); α_t = ½·ln((1−ε_t)/ε_t) driver scalars. Deterministic:
+  // no sampling anywhere, seeded binning, hash split. A depth-1 stump
+  // predicts at worst the weighted-majority class, so ε_t ≤ ½ by
+  // construction (spec-pinned). The hold-out margin Σ α_t·(2h_t−1)
+  // doubles as the AUC ranking score. Rows-only (iterative fits).
+
+  /** Boost `rounds` stumps on `train`, margin-score `test`.
+    * Returns (per-row hold-out scores, per-round (err, alpha)).
+    */
+  private[graft] def adaboostFit(train: DataFrame, test: DataFrame,
+      rounds: Int, seed: Long): (DataFrame, Seq[(Double, Double)]) = {
+    import org.apache.spark.ml.classification.DecisionTreeClassifier
+    val cols = train.columns
+    var w = train.withColumn("w", lit(1.0)).localCheckpoint(eager = true)
+    val models = scala.collection.mutable.ArrayBuffer[
+      (org.apache.spark.ml.classification.DecisionTreeClassificationModel, Double)]()
+    val audit = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (t <- 1 to rounds) {
+      val m = new DecisionTreeClassifier().setMaxDepth(1).setWeightCol("w")
+        .setSeed(seed + t).fit(w)
+      val scored = m.transform(w)
+        .withColumn("miss", when(col("prediction") =!= col("label"), 1.0).otherwise(0.0))
+      val a = scored.agg(sum(col("w") * col("miss")), sum(col("w"))).head()
+      val err = math.min(math.max(a.getDouble(0) / a.getDouble(1), 1e-10), 1.0 - 1e-10)
+      val alpha = 0.5 * math.log((1.0 - err) / err)
+      models += ((m, alpha))
+      audit += ((err, alpha))
+      w = scored
+        .withColumn("w", col("w") * exp(lit(alpha) * (lit(2.0) * col("miss") - lit(1.0))))
+        .select(cols.map(col) :+ col("w"): _*)
+        .localCheckpoint(eager = true)
+    }
+    var scoredTest = test
+    models.zipWithIndex.foreach { case ((m, _), i) =>
+      scoredTest = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setPredictionCol(s"p_$i").setRawPredictionCol(s"raw_$i")
+        .setProbabilityCol(s"prob_$i")
+        .transform(scoredTest)
+    }
+    val margin = models.zipWithIndex.map { case ((_, alpha), i) =>
+      lit(alpha) * (lit(2.0) * col(s"p_$i") - lit(1.0))
+    }.reduce(_ + _)
+    val out = scoredTest
+      .withColumn("margin", margin)
+      .withColumn("prediction", when(col("margin") > 0.0, 1.0).otherwise(0.0))
+    (out, audit.toSeq)
+  }
+
+  private val mlAdaboost = Q(
+    "ml_adaboost",
+    (s, d) => {
+      val (train, test) = split(customerFeatures(s, d))
+      val (preds, _) = adaboostFit(assembler.transform(train),
+        assembler.transform(test), rounds = 8, seed = 42L)
+      preds.select(col("c_custkey"), col("label"), col("margin"), col("prediction"))
+        .orderBy("c_custkey")
+    },
+    None
+  )
+
   // ml_search — the optuna analog (reference optimize/after_params_objective,
   // modeling.py:213-233): a SEEDED random search — 6 logreg trials drawing
   // regParam log-uniform in [1e-4, 1] and elasticNetParam uniform, plus 4
@@ -1423,6 +1488,23 @@ object MlC extends Module {
       ("knn", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
         folds.map(_._3).sum / 3.0)
     }
+    // AdaBoost family (the roster's AdaBoostClassifier; MLlib lacks it
+    // — graft's own weighted-stump boosting backs the row, margin as
+    // the AUC ranking score)
+    val adaboost = {
+      val folds = (0 until 3).map { f =>
+        val (preds, _) = adaboostFit(df.filter(col("fold") =!= f),
+          df.filter(col("fold") === f), rounds = 6, seed = 42L)
+        val pr = preds.select(col("label"), col("prediction"), col("margin").as("score"))
+        val (acc, f1) = countMetrics(pr)
+        val auc = new BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC").setRawPredictionCol("score")
+          .evaluate(pr)
+        (acc, f1, auc)
+      }
+      ("adaboost", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
+        folds.map(_._3).sum / 3.0)
+    }
     // DummyClassifier(most_frequent): constant majority-of-train-folds
     // prediction; binarized AUC degenerates to (recall1 + recall0)/2
     val dummy = {
@@ -1439,7 +1521,7 @@ object MlC extends Module {
         folds.map(_._3).sum / 3.0)
     }
     df.unpersist()
-    (fitted :+ knn :+ dummy).sortBy(_._1)
+    (fitted :+ knn :+ adaboost :+ dummy).sortBy(_._1)
   }
 
   private val mlModelPanel = Q(
@@ -1697,7 +1779,7 @@ object MlC extends Module {
   )
 
   override val qs: Seq[Q] = Seq(mlLogreg, mlGbt, mlCv, mlSearch, mlSearchAdaptive,
-    mlReport, mlDummy,
+    mlAdaboost, mlReport, mlDummy,
     mlImputeModel, mlImputeEval, mlFinalPipeline, mlMlp, mlAttrib, mlFeatImp,
     mlKmeans, mlSweep, mlPca, mlCalibration, mlLift, mlSlice, mlPsi, mlAuc,
     mlPermImp, mlOlsExact, mlNaiveBayes, mlIsotonic, mlEnsemble, mlLearningCurve,

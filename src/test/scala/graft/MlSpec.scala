@@ -161,6 +161,37 @@ class MlSpec extends SparkSpec {
     assert(a === b, "adaptive search not deterministic")
   }
 
+  test("ml_adaboost: weak-learnability bound, margin consistency, deterministic") {
+    val (train, test) = {
+      val f = MlC.customerFeatures(spark, sf)
+      val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
+        lit(1000000007L) % 1000
+      (f.filter(bucket < 800), f.filter(bucket >= 800))
+    }
+    val asm = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("nation", "n_orders", "total_spend", "avg_spend",
+        "seg_AUTOMOBILE", "seg_BUILDING", "seg_FURNITURE", "seg_HOUSEHOLD",
+        "seg_MACHINERY")).setOutputCol("features")
+    val (preds, audit) = MlC.adaboostFit(asm.transform(train), asm.transform(test),
+      rounds = 8, seed = 42L)
+    // a depth-1 stump predicts at worst the weighted-majority class, so
+    // every round's weighted error is <= 1/2 (the boosting precondition)
+    audit.foreach { case (err, alpha) =>
+      assert(err <= 0.5 + 1e-12, s"weighted error $err breaks weak learnability")
+      assert(alpha >= -1e-12, s"alpha $alpha must be non-negative")
+    }
+    val rows = preds.select("label", "margin", "prediction").collect()
+    assert(rows.nonEmpty)
+    // prediction is exactly the margin sign
+    rows.foreach { r =>
+      assert(r.getDouble(2) === (if (r.getDouble(1) > 0.0) 1.0 else 0.0))
+    }
+    // the registered query is deterministic
+    val a = SparkEntry.queries("ml_adaboost")(spark, sf).collect().map(_.toSeq)
+    val b = SparkEntry.queries("ml_adaboost")(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "adaboost not deterministic")
+  }
+
   test("ml_impute_eval scores the masked hold-out consistently and above chance") {
     val r = SparkEntry.queries("ml_impute_eval")(spark, sf).head
     val nEval = r.getAs[Long]("n_eval")
@@ -470,8 +501,8 @@ class MlSpec extends SparkSpec {
     val a = MlC.modelPanelRows(spark, sf)
     val names = a.map(_._1)
     assert(names.contains("dummy"))
-    assert(names.size >= 8, s"family roster too thin: $names") // 7 + knn + dummy
-    Seq("gbt", "knn", "linear_svc", "logreg", "mlp", "naive_bayes",
+    assert(names.size >= 9, s"family roster too thin: $names") // 7+knn+adaboost+dummy
+    Seq("adaboost", "gbt", "knn", "linear_svc", "logreg", "mlp", "naive_bayes",
       "random_forest", "ridge").foreach(f =>
       assert(names.contains(f), s"missing family $f"))
     a.foreach { case (m, acc, f1, auc) =>
