@@ -77,8 +77,11 @@ object Exact {
     * land 1 ulp away (observed at Σz² ≈ 2.2e19, sf0.1, q90). Scaled
     * decimals (38,6/12) have the same trap internally (int128 cast
     * then ÷10^s) — route anything whose backing integer can reach
-    * ~2^63 through scale-0 + this split. Valid for non-negative
-    * integers < 2^85.
+    * ~2^63 through scale-0 + this split. Valid for integers of
+    * magnitude < 2^85, including NEGATIVE values: Spark decimal `%`
+    * and DuckDB `%`/`//` all truncate toward zero (verified), so hi =
+    * trunc(c/2^32) and lo carry the dividend's sign identically in
+    * both engines (ExactSpec pins a negative round-trip).
     */
   def dec2d(c: Column): Column = {
     val L = lit(4294967296L)

@@ -143,18 +143,22 @@ object PreprocessB extends Module {
     * integer-grid second moment (StandardScaler divides by n, unlike
     * pandas describe's n-1).
     */
+  // dec2d readouts: the price Σz² backs ~6e22 at sf1 — past 2^64,
+  // where the direct decimal→double cast is engine-divergent (SURVEY §5)
+  private def d2sql(e: String) = graft.Exact.sqlDec2d(s"CAST($e AS HUGEINT)")
+
   private def fitMeanStd(df: DataFrame, c: String): DataFrame =
     df.agg(
       (sumd(col(c)) / count(lit(1)).cast("double")).as("mu"),
       (sqrt(
-        (sum(qz(col(c)) * qz(col(c))).cast("double") -
-          (sum(qz(col(c))).cast("double") * sum(qz(col(c))).cast("double")) / count(lit(1)).cast("double")) /
+        (dec2d(sum(qz(col(c)) * qz(col(c)))) -
+          (dec2d(sum(qz(col(c)))) * dec2d(sum(qz(col(c))))) / count(lit(1)).cast("double")) /
           count(lit(1)).cast("double")) / lit(1000.0)).as("sigma"))
 
   private def fitMeanStdSql(table: String, c: String): String =
     s"""SELECT ${sqlSumd(c)} / CAST(COUNT(*) AS DOUBLE) AS mu,
-       |  SQRT((CAST(SUM(${qzSql(c)} * ${qzSql(c)}) AS DOUBLE) -
-       |    (CAST(SUM(${qzSql(c)}) AS DOUBLE) * CAST(SUM(${qzSql(c)}) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)) /
+       |  SQRT((${d2sql(s"SUM(${qzSql(c)} * ${qzSql(c)})")} -
+       |    (${d2sql(s"SUM(${qzSql(c)})")} * ${d2sql(s"SUM(${qzSql(c)})")}) / CAST(COUNT(*) AS DOUBLE)) /
        |    CAST(COUNT(*) AS DOUBLE)) / 1000.0 AS sigma
        |FROM $table""".stripMargin
 
@@ -243,16 +247,17 @@ object PreprocessB extends Module {
     (s, d) => {
       val l = Tables.lineitem(s, d)
       val (x1, x2, y) = ("l_quantity", "l_discount", "l_extendedprice")
+      // dec2d readouts: s1y/s2y back ~3e19 at sf1 — past 2^64 (SURVEY §5)
       val mom = l.agg(
         count(lit(1)).cast("double").as("n"),
-        sum(qz(col(x1))).cast("double").as("s1"),
-        sum(qz(col(x2))).cast("double").as("s2"),
-        sum(qz(col(y))).cast("double").as("sy"),
-        sum(qz(col(x1)) * qz(col(x1))).cast("double").as("s11"),
-        sum(qz(col(x2)) * qz(col(x2))).cast("double").as("s22"),
-        sum(qz(col(x1)) * qz(col(x2))).cast("double").as("s12"),
-        sum(qz(col(x1)) * qz(col(y))).cast("double").as("s1y"),
-        sum(qz(col(x2)) * qz(col(y))).cast("double").as("s2y"))
+        dec2d(sum(qz(col(x1)))).as("s1"),
+        dec2d(sum(qz(col(x2)))).as("s2"),
+        dec2d(sum(qz(col(y)))).as("sy"),
+        dec2d(sum(qz(col(x1)) * qz(col(x1)))).as("s11"),
+        dec2d(sum(qz(col(x2)) * qz(col(x2)))).as("s22"),
+        dec2d(sum(qz(col(x1)) * qz(col(x2)))).as("s12"),
+        dec2d(sum(qz(col(x1)) * qz(col(y)))).as("s1y"),
+        dec2d(sum(qz(col(x2)) * qz(col(y)))).as("s2y"))
       val fit = mom.select(
         // central moments on the grid (scale cancels in the weights)
         ((col("s11") - col("s1") * col("s1") / col("n")) / col("n")).as("v11"),
@@ -279,14 +284,14 @@ object PreprocessB extends Module {
       val (x1, x2, y) = ("l_quantity", "l_discount", "l_extendedprice")
       s"""WITH mom AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(${qzSql(x1)}) AS DOUBLE) AS s1,
-         |    CAST(SUM(${qzSql(x2)}) AS DOUBLE) AS s2,
-         |    CAST(SUM(${qzSql(y)}) AS DOUBLE) AS sy,
-         |    CAST(SUM(${qzSql(x1)} * ${qzSql(x1)}) AS DOUBLE) AS s11,
-         |    CAST(SUM(${qzSql(x2)} * ${qzSql(x2)}) AS DOUBLE) AS s22,
-         |    CAST(SUM(${qzSql(x1)} * ${qzSql(x2)}) AS DOUBLE) AS s12,
-         |    CAST(SUM(${qzSql(x1)} * ${qzSql(y)}) AS DOUBLE) AS s1y,
-         |    CAST(SUM(${qzSql(x2)} * ${qzSql(y)}) AS DOUBLE) AS s2y
+         |    ${d2sql(s"SUM(${qzSql(x1)})")} AS s1,
+         |    ${d2sql(s"SUM(${qzSql(x2)})")} AS s2,
+         |    ${d2sql(s"SUM(${qzSql(y)})")} AS sy,
+         |    ${d2sql(s"SUM(${qzSql(x1)} * ${qzSql(x1)})")} AS s11,
+         |    ${d2sql(s"SUM(${qzSql(x2)} * ${qzSql(x2)})")} AS s22,
+         |    ${d2sql(s"SUM(${qzSql(x1)} * ${qzSql(x2)})")} AS s12,
+         |    ${d2sql(s"SUM(${qzSql(x1)} * ${qzSql(y)})")} AS s1y,
+         |    ${d2sql(s"SUM(${qzSql(x2)} * ${qzSql(y)})")} AS s2y
          |  FROM lineitem),
          |cv AS (
          |  SELECT n, s1, s2,
@@ -365,13 +370,14 @@ object PreprocessB extends Module {
     (s, d) => {
       val l = Tables.lineitem(s, d)
       val (x1, x2) = ("l_quantity", "l_discount")
+      // dec2d readouts — uniform with q28's moment surface (SURVEY §5)
       val mom = l.agg(
         count(lit(1)).cast("double").as("n"),
-        sum(qz(col(x1))).cast("double").as("s1"),
-        sum(qz(col(x2))).cast("double").as("s2"),
-        sum(qz(col(x1)) * qz(col(x1))).cast("double").as("s11"),
-        sum(qz(col(x2)) * qz(col(x2))).cast("double").as("s22"),
-        sum(qz(col(x1)) * qz(col(x2))).cast("double").as("s12"))
+        dec2d(sum(qz(col(x1)))).as("s1"),
+        dec2d(sum(qz(col(x2)))).as("s2"),
+        dec2d(sum(qz(col(x1)) * qz(col(x1)))).as("s11"),
+        dec2d(sum(qz(col(x2)) * qz(col(x2)))).as("s22"),
+        dec2d(sum(qz(col(x1)) * qz(col(x2)))).as("s12"))
       val fit = mom.select(
           (col("s1") / col("n")).as("mu1"),
           (col("s2") / col("n")).as("mu2"),
@@ -396,11 +402,11 @@ object PreprocessB extends Module {
       val (x1, x2) = ("l_quantity", "l_discount")
       s"""WITH mom AS (
          |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         |    CAST(SUM(${qzSql(x1)}) AS DOUBLE) AS s1,
-         |    CAST(SUM(${qzSql(x2)}) AS DOUBLE) AS s2,
-         |    CAST(SUM(${qzSql(x1)} * ${qzSql(x1)}) AS DOUBLE) AS s11,
-         |    CAST(SUM(${qzSql(x2)} * ${qzSql(x2)}) AS DOUBLE) AS s22,
-         |    CAST(SUM(${qzSql(x1)} * ${qzSql(x2)}) AS DOUBLE) AS s12
+         |    ${d2sql(s"SUM(${qzSql(x1)})")} AS s1,
+         |    ${d2sql(s"SUM(${qzSql(x2)})")} AS s2,
+         |    ${d2sql(s"SUM(${qzSql(x1)} * ${qzSql(x1)})")} AS s11,
+         |    ${d2sql(s"SUM(${qzSql(x2)} * ${qzSql(x2)})")} AS s22,
+         |    ${d2sql(s"SUM(${qzSql(x1)} * ${qzSql(x2)})")} AS s12
          |  FROM lineitem),
          |fit AS (
          |  SELECT s1 / n AS mu1, s2 / n AS mu2,

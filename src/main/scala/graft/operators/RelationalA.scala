@@ -194,8 +194,11 @@ object RelationalA extends Module {
         Seq(
           count(lit(1)).as(s"${c}_cnt"),
           sumd(col(c)).as(s"${c}_sx"),
-          sum(qz(c)).cast("double").as(s"${c}_sxq"),
-          sum(qz(c) * qz(c)).cast("double").as(s"${c}_sxxq"),
+          // dec2d readouts: extendedprice's Σz² backs ~6e22 at sf1 —
+          // past 2^64, where the direct decimal→double cast is
+          // engine-divergent (SURVEY §5)
+          Exact.dec2d(sum(qz(c))).as(s"${c}_sxq"),
+          Exact.dec2d(sum(qz(c) * qz(c))).as(s"${c}_sxxq"),
           min(col(c)).as(s"${c}_min"),
           max(col(c)).as(s"${c}_max"))
       }
@@ -216,10 +219,11 @@ object RelationalA extends Module {
     },
     Some {
       def qz(c: String) = s"CAST(ROUND($c*1000.0) AS DECIMAL(19,0))"
+      def d2(e: String) = graft.Exact.sqlDec2d(s"CAST($e AS HUGEINT)")
       val parts = describeCols.map { c =>
         s"""SELECT '$c' AS col_name, COUNT(*) AS cnt,
            |  ${sqlSumd(c)} / CAST(COUNT(*) AS DOUBLE) AS mean,
-           |  SQRT((CAST(SUM(${qz(c)} * ${qz(c)}) AS DOUBLE) - (CAST(SUM(${qz(c)}) AS DOUBLE) * CAST(SUM(${qz(c)}) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000.0 AS std,
+           |  SQRT((${d2(s"SUM(${qz(c)} * ${qz(c)})")} - (${d2(s"SUM(${qz(c)})")} * ${d2(s"SUM(${qz(c)})")}) / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000.0 AS std,
            |  MIN($c) AS min_v, MAX($c) AS max_v FROM lineitem""".stripMargin
       }
       parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
@@ -358,7 +362,9 @@ object RelationalA extends Module {
         count(lit(1)).as("p_n")
       val l1 = l.groupBy(spark_partition_id().as("_pid"))
         .agg(l1aggs.head, l1aggs.tail: _*)
-      def m(a: String) = sum(col(a).cast(DecimalType(38, 0))).cast("double")
+      // dec2d readout: the merged Σz² reaches 2^64 around sf300 on
+      // these grids — route now so the shape holds (SURVEY §5)
+      def m(a: String) = Exact.dec2d(sum(col(a).cast(DecimalType(38, 0))))
       val l2aggs = corrCols.map(c => m(s"p_s_${c._1}").as(s"s_${c._1}")) ++
         corrCols.map(c => m(s"p_ss_${c._1}").as(s"ss_${c._1}")) ++
         pairs.map { case (a, b) => m(s"p_sp_${a._1}_${b._1}").as(s"sp_${a._1}_${b._1}") } :+
@@ -378,8 +384,8 @@ object RelationalA extends Module {
     Some {
       val g = corrCols.toMap
       def qz(c: String) = s"CAST(ROUND($c*${g(c)}) AS BIGINT)"
-      def sd(c: String) = s"CAST(SUM(${qz(c)}) AS DOUBLE)"
-      def sp(a: String, b: String) = s"CAST(SUM(${qz(a)} * ${qz(b)}) AS DOUBLE)"
+      def sd(c: String) = graft.Exact.sqlDec2d(s"SUM(${qz(c)})")
+      def sp(a: String, b: String) = graft.Exact.sqlDec2d(s"SUM(${qz(a)} * ${qz(b)})")
       val names = corrCols.map(_._1)
       val pairs = for {
         i <- names.indices; j <- names.indices if i < j
@@ -596,8 +602,10 @@ object RelationalA extends Module {
       val c = Tables.customer(s, d)
       val z = Exact.qzl(col("c_acctbal"), 1000.0)
       val fit = c.groupBy(col("c_mktsegment").as("seg"))
-        .agg(sum(z.cast(DecimalType(38, 0))).cast("double").as("sx"),
-          sum((z * z).cast(DecimalType(38, 0))).cast("double").as("sxx"),
+        // dec2d readouts: per-segment Σz² backs ~3e18 at sf1 and
+        // crosses 2^64 a decade later (SURVEY §5)
+        .agg(Exact.dec2d(sum(z.cast(DecimalType(38, 0)))).as("sx"),
+          Exact.dec2d(sum((z * z).cast(DecimalType(38, 0)))).as("sxx"),
           count(lit(1)).cast("double").as("n"))
         .select(col("seg"),
           (col("sx") / col("n") / lit(1000.0)).as("mu"),
@@ -607,10 +615,10 @@ object RelationalA extends Module {
           ((col("c_acctbal") - col("mu")) / col("sigma")).as("acctbal_z"))
         .orderBy("c_custkey")
     },
-    Some("""WITH g AS (
+    Some(s"""WITH g AS (
       |  SELECT c_custkey, c_mktsegment, c_acctbal,
-      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) OVER w AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT) * CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) OVER w AS DOUBLE) AS sxx,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) OVER w")} AS sx,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT) * CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) OVER w")} AS sxx,
       |    CAST(COUNT(*) OVER w AS DOUBLE) AS n
       |  FROM customer
       |  WINDOW w AS (PARTITION BY c_mktsegment))

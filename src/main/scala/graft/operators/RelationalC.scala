@@ -25,24 +25,31 @@ object RelationalC extends Module {
   // as one fixed IEEE expression per column, unpivoted from the single
   // aggregated row. Skew/kurt are scale-invariant, so the grid factor
   // cancels and never reappears.
-  private val momentCols = Seq("l_quantity", "l_discount", "l_tax")
+  // per-column grids sized to the value domain: quantity is INTEGRAL
+  // 1..50, so grid 1 keeps z⁴ ≤ 6.25e6 per row (a 1e3 grid put Σz⁴
+  // past 2^64 at sf1, where the direct decimal→double readout is
+  // engine-divergent — the skew/kurt formulas are scale-invariant so
+  // the grid choice cancels); discount/tax are ≤ 0.1 fixed-point.
+  // All readouts ride dec2d so the next decades stay engine-identical.
+  private val momentCols = Seq(("l_quantity", 1.0), ("l_discount", 1000.0),
+    ("l_tax", 1000.0))
   private val q57 = Q(
     "q57_skew_kurt",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      def zd(c: String): Column =
-        round(col(c) * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
-      val aggs = momentCols.flatMap { c =>
-        val z = zd(c)
+      def zd(c: String, g: Double): Column =
+        round(col(c) * lit(g)).cast("long").cast(DecimalType(38, 0))
+      val aggs = momentCols.flatMap { case (c, g) =>
+        val z = zd(c, g)
         Seq(
           count(lit(1)).as(s"${c}_n"),
-          sum(z).cast("double").as(s"${c}_s1"),
-          sum(z * z).cast("double").as(s"${c}_s2"),
-          sum(z * z * z).cast("double").as(s"${c}_s3"),
-          sum(z * z * z * z).cast("double").as(s"${c}_s4"))
+          Exact.dec2d(sum(z)).as(s"${c}_s1"),
+          Exact.dec2d(sum(z * z)).as(s"${c}_s2"),
+          Exact.dec2d(sum(z * z * z)).as(s"${c}_s3"),
+          Exact.dec2d(sum(z * z * z * z)).as(s"${c}_s4"))
       }
       val a = l.agg(aggs.head, aggs.tail: _*)
-      val rows = momentCols.map { c =>
+      val rows = momentCols.map(_._1).map { c =>
         val n = col(s"${c}_n").cast("double")
         val m1 = col(s"${c}_s1") / n
         val q2 = col(s"${c}_s2") / n
@@ -62,11 +69,11 @@ object RelationalC extends Module {
       a.select(inline(array(rows: _*))).orderBy("col_name")
     },
     Some {
-      val parts = momentCols.map { c =>
+      val parts = momentCols.map { case (c, g) =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(COUNT(*) AS DOUBLE) AS n,
-           |  CAST(SUM(z) AS DOUBLE) AS s1, CAST(SUM(z*z) AS DOUBLE) AS s2,
-           |  CAST(SUM(z*z*z) AS DOUBLE) AS s3, CAST(SUM(z*z*z*z) AS DOUBLE) AS s4
-           |FROM (SELECT CAST(CAST(ROUND($c * 1000.0) AS BIGINT) AS HUGEINT) AS z FROM lineitem)""".stripMargin
+           |  ${graft.Exact.sqlDec2d("SUM(z)")} AS s1, ${graft.Exact.sqlDec2d("SUM(z*z)")} AS s2,
+           |  ${graft.Exact.sqlDec2d("SUM(z*z*z)")} AS s3, ${graft.Exact.sqlDec2d("SUM(z*z*z*z)")} AS s4
+           |FROM (SELECT CAST(CAST(ROUND($c * $g) AS BIGINT) AS HUGEINT) AS z FROM lineitem)""".stripMargin
       }
       s"""WITH s AS (${parts.mkString("\nUNION ALL\n")}),
          |m AS (SELECT col_name, n_b, n, s1 / n AS m1, s2 / n AS q2, s3 / n AS q3, s4 / n AS q4 FROM s),
@@ -205,38 +212,40 @@ object RelationalC extends Module {
   // q61 — weighted mean / variance per group (quantity-weighted price —
   // the np.average(weights=...) step of any weighted EDA): one
   // partial-aggregable scan accumulating Σw, Σwx, Σwx² as exact
-  // DECIMAL(38,0) integer-grid sums (per-row product ≤ 5.5e20 — decimal,
-  // never long), then fixed IEEE expressions with the grid factors
-  // divided back out. Population variance (ddof=0, the np.average
-  // convention).
+  // DECIMAL(38,0) integer-grid sums, then fixed IEEE expressions with
+  // the grid factors divided back out. Grids sized to the value
+  // domains: quantity is INTEGRAL (grid 1), price is cent-exact (grid
+  // 100) — the old 1e3 grids put Σw·x² at ~1e26, past even the dec2d
+  // envelope; now the per-row product ≤ 5e15 and the sums ride dec2d
+  // safely for the next three decades. Population variance (ddof=0,
+  // the np.average convention).
   private val q61 = Q(
     "q61_weighted_stats",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      def dz(c: Column): Column = round(c * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
-      val zw = dz(col("l_quantity"))
-      val zx = dz(col("l_extendedprice"))
+      val zw = round(col("l_quantity")).cast("long").cast(DecimalType(38, 0))
+      val zx = round(col("l_extendedprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
       val a = l.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(zw).cast("double").as("sw"),
-          sum(zw * zx).cast("double").as("swx"),
-          sum(zw * zx * zx).cast("double").as("swxx"))
-      val wmean = col("swx") / col("sw") / lit(1000.0)
+          Exact.dec2d(sum(zw)).as("sw"),
+          Exact.dec2d(sum(zw * zx)).as("swx"),
+          Exact.dec2d(sum(zw * zx * zx)).as("swxx"))
+      val wmean = col("swx") / col("sw") / lit(100.0)
       a.select(col("l_returnflag"), col("n"),
           wmean.as("wmean"),
-          (col("swxx") / col("sw") / lit(1000000.0) - wmean * wmean).as("wvar"))
+          (col("swxx") / col("sw") / lit(10000.0) - wmean * wmean).as("wvar"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(zw * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000.0 AS wmean,
-      |  CAST(SUM(zw * zx * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000000.0
-      |    - (CAST(SUM(zw * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000.0)
-      |    * (CAST(SUM(zw * zx) AS DOUBLE) / CAST(SUM(zw) AS DOUBLE) / 1000.0) AS wvar
+    Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ${graft.Exact.sqlDec2d("SUM(zw * zx)")} / ${graft.Exact.sqlDec2d("SUM(zw)")} / 100.0 AS wmean,
+      |  ${graft.Exact.sqlDec2d("SUM(zw * zx * zx)")} / ${graft.Exact.sqlDec2d("SUM(zw)")} / 10000.0
+      |    - (${graft.Exact.sqlDec2d("SUM(zw * zx)")} / ${graft.Exact.sqlDec2d("SUM(zw)")} / 100.0)
+      |    * (${graft.Exact.sqlDec2d("SUM(zw * zx)")} / ${graft.Exact.sqlDec2d("SUM(zw)")} / 100.0) AS wvar
       |FROM (
       |  SELECT l_returnflag,
-      |    CAST(CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS HUGEINT) AS zw,
-      |    CAST(CAST(ROUND(l_extendedprice * 1000.0) AS BIGINT) AS HUGEINT) AS zx
+      |    CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT) AS zw,
+      |    CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS zx
       |  FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
@@ -344,37 +353,40 @@ object RelationalC extends Module {
     "q64_welch_ttest",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      val z = round(col("l_extendedprice") * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
+      // cent grid (price is cent-exact; the old 1e3 grid put Σz² past
+      // 2^64 at sf1) + dec2d readouts — t/df are scale-invariant and
+      // mean_diff divides the grid back out
+      val z = round(col("l_extendedprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
       def cond(status: String, e: Column): Column =
         sum(when(col("l_linestatus") === status, e).otherwise(lit(0).cast(DecimalType(38, 0))))
       val a = l.agg(
         sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("na_l"),
-        cond("O", z).cast("double").as("sa1"),
-        cond("O", z * z).cast("double").as("sa2"),
+        Exact.dec2d(cond("O", z)).as("sa1"),
+        Exact.dec2d(cond("O", z * z)).as("sa2"),
         sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("nb_l"),
-        cond("F", z).cast("double").as("sb1"),
-        cond("F", z * z).cast("double").as("sb2"))
+        Exact.dec2d(cond("F", z)).as("sb1"),
+        Exact.dec2d(cond("F", z * z)).as("sb2"))
       val na = col("na_l").cast("double"); val nb = col("nb_l").cast("double")
       val ma = col("sa1") / na; val mb = col("sb1") / nb
       val va = (col("sa2") / na - ma * ma) * na / (na - lit(1.0))
       val vb = (col("sb2") / nb - mb * mb) * nb / (nb - lit(1.0))
       val sea = va / na; val seb = vb / nb
       a.select(col("na_l").as("n_a"), col("nb_l").as("n_b"),
-        ((ma - mb) / lit(1000.0)).as("mean_diff"),
+        ((ma - mb) / lit(100.0)).as("mean_diff"),
         ((ma - mb) / sqrt(sea + seb)).as("t_stat"),
         ((sea + seb) * (sea + seb) /
           (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))).as("df"))
     },
-    Some("""WITH s AS (
+    Some(s"""WITH s AS (
       |  SELECT
       |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS na_l,
-      |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN z ELSE 0 END) AS DOUBLE) AS sa1,
-      |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN z * z ELSE 0 END) AS DOUBLE) AS sa2,
+      |    ${graft.Exact.sqlDec2d("SUM(CASE WHEN l_linestatus = 'O' THEN z ELSE 0 END)")} AS sa1,
+      |    ${graft.Exact.sqlDec2d("SUM(CASE WHEN l_linestatus = 'O' THEN z * z ELSE 0 END)")} AS sa2,
       |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nb_l,
-      |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN z ELSE 0 END) AS DOUBLE) AS sb1,
-      |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN z * z ELSE 0 END) AS DOUBLE) AS sb2
+      |    ${graft.Exact.sqlDec2d("SUM(CASE WHEN l_linestatus = 'F' THEN z ELSE 0 END)")} AS sb1,
+      |    ${graft.Exact.sqlDec2d("SUM(CASE WHEN l_linestatus = 'F' THEN z * z ELSE 0 END)")} AS sb2
       |  FROM (SELECT l_linestatus,
-      |          CAST(CAST(ROUND(l_extendedprice * 1000.0) AS BIGINT) AS HUGEINT) AS z
+      |          CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS z
       |        FROM lineitem)),
       |m AS (
       |  SELECT na_l, nb_l,
@@ -387,7 +399,7 @@ object RelationalC extends Module {
       |    (sb2 / nb - mb * mb) * nb / (nb - 1.0) / nb AS seb
       |  FROM m)
       |SELECT na_l AS n_a, nb_l AS n_b,
-      |  (ma - mb) / 1000.0 AS mean_diff,
+      |  (ma - mb) / 100.0 AS mean_diff,
       |  (ma - mb) / SQRT(sea + seb) AS t_stat,
       |  (sea + seb) * (sea + seb) / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS df
       |FROM v""".stripMargin)
@@ -611,19 +623,23 @@ object RelationalC extends Module {
   // sums per group; r is the standard IEEE expression over them —
   // group cardinality only ever shapes the |groups|-row output, never
   // a window.
+  // Grids sized to the domains (quantity INTEGRAL → 1, price
+  // cent-exact → 100) and every readout on dec2d: the old 1e3 grids
+  // put the per-group Σzy² past 2^64 at sf1, where the direct
+  // decimal→double cast is engine-divergent (SURVEY §5); r is
+  // scale-invariant so the grid change cancels.
   private val q69 = Q(
     "q69_grouped_corr",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      def z(c: String): Column =
-        round(col(c) * lit(1000.0)).cast("long").cast(DecimalType(38, 0))
-      val (zx, zy) = (z("l_quantity"), z("l_extendedprice"))
+      val zx = round(col("l_quantity")).cast("long").cast(DecimalType(38, 0))
+      val zy = round(col("l_extendedprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
       val a = l.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_l"),
-          sum(zx).cast("double").as("sx"), sum(zy).cast("double").as("sy"),
-          sum(zx * zx).cast("double").as("sxx"),
-          sum(zy * zy).cast("double").as("syy"),
-          sum(zx * zy).cast("double").as("sxy"))
+          Exact.dec2d(sum(zx)).as("sx"), Exact.dec2d(sum(zy)).as("sy"),
+          Exact.dec2d(sum(zx * zx)).as("sxx"),
+          Exact.dec2d(sum(zy * zy)).as("syy"),
+          Exact.dec2d(sum(zx * zy)).as("sxy"))
       val n = col("n_l").cast("double")
       val cov = col("sxy") - col("sx") * col("sy") / n
       val vx = col("sxx") - col("sx") * col("sx") / n
@@ -632,16 +648,19 @@ object RelationalC extends Module {
           (cov / (sqrt(vx) * sqrt(vy))).as("corr"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-      |  (CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |  / (SQRT(CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |     * SQRT(CAST(SUM(zy * zy) AS DOUBLE) - CAST(SUM(zy) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS corr
+    Some {
+      def d2(e: String) = graft.Exact.sqlDec2d(e)
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  (${d2("SUM(zx * zy)")} - ${d2("SUM(zx)")} * ${d2("SUM(zy)")} / CAST(COUNT(*) AS DOUBLE))
+      |  / (SQRT(${d2("SUM(zx * zx)")} - ${d2("SUM(zx)")} * ${d2("SUM(zx)")} / CAST(COUNT(*) AS DOUBLE))
+      |     * SQRT(${d2("SUM(zy * zy)")} - ${d2("SUM(zy)")} * ${d2("SUM(zy)")} / CAST(COUNT(*) AS DOUBLE))) AS corr
       |FROM (
       |  SELECT l_returnflag,
-      |    CAST(CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS HUGEINT) AS zx,
-      |    CAST(CAST(ROUND(l_extendedprice * 1000.0) AS BIGINT) AS HUGEINT) AS zy
+      |    CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT) AS zx,
+      |    CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS zy
       |  FROM lineitem)
-      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }
   )
 
   // q70 — day-of-week × hour activity profile (the weekly-seasonality
@@ -1097,20 +1116,22 @@ object RelationalC extends Module {
         .join(rankTable("x"), col("x") === col("x_v"))
         .join(rankTable("y"), col("y") === col("y_v"))
       val dz = (c: Column) => c.cast(DecimalType(38, 0))
+      // dec2d readouts: u·v ≈ 4n² per row makes Σuv cubic in n — past
+      // 2^64 at sf1 — and even the linear Σu is quadratic (SURVEY §5)
       val g = ranked.agg(
         count(lit(1)).as("n_l"),
-        sum(dz(col("x_u2"))).cast("double").as("su"),
-        sum(dz(col("y_u2"))).cast("double").as("sv"),
-        sum(dz(col("x_u2")) * dz(col("y_u2"))).cast("double").as("suv"),
-        sum(dz(col("x_u2")) * dz(col("x_u2"))).cast("double").as("suu"),
-        sum(dz(col("y_u2")) * dz(col("y_u2"))).cast("double").as("svv"))
+        Exact.dec2d(sum(dz(col("x_u2")))).as("su"),
+        Exact.dec2d(sum(dz(col("y_u2")))).as("sv"),
+        Exact.dec2d(sum(dz(col("x_u2")) * dz(col("y_u2")))).as("suv"),
+        Exact.dec2d(sum(dz(col("x_u2")) * dz(col("x_u2")))).as("suu"),
+        Exact.dec2d(sum(dz(col("y_u2")) * dz(col("y_u2")))).as("svv"))
       val n = col("n_l").cast("double")
       val cov = col("suv") - col("su") * col("sv") / n
       val vu = col("suu") - col("su") * col("su") / n
       val vv = col("svv") - col("sv") * col("sv") / n
       g.select(col("n_l").as("n"), (cov / (sqrt(vu) * sqrt(vv))).as("spearman_rho"))
     },
-    Some("""WITH r AS (
+    Some(s"""WITH r AS (
       |  SELECT
       |    CAST(2.0 * AVG(rx) OVER (PARTITION BY x) AS BIGINT) AS u,
       |    CAST(2.0 * AVG(ry) OVER (PARTITION BY y) AS BIGINT) AS v
@@ -1121,11 +1142,11 @@ object RelationalC extends Module {
       |    FROM lineitem)),
       |g AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(u AS HUGEINT)) AS DOUBLE) AS su,
-      |    CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS sv,
-      |    CAST(SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS suv,
-      |    CAST(SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS DOUBLE) AS suu,
-      |    CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS DOUBLE) AS svv
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(u AS HUGEINT))")} AS su,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(v AS HUGEINT))")} AS sv,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT))")} AS suv,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT))")} AS suu,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))")} AS svv
       |  FROM r)
       |SELECT n_l AS n,
       |  (suv - su * sv / n)

@@ -63,13 +63,15 @@ object RelationalD extends Module {
       val t = ((col("hm") - lit(lo)) / lit(3600000L)).cast("long")
         .cast(DecimalType(38, 0))
       val y = col("y").cast(DecimalType(38, 0))
+      // dec2d readouts: Σy² is tiny at local SFs but reaches ~7e20 at
+      // 100 TB event rates (y ~ 1e9/hour) — route now so the shape holds
       val a = series.agg(
         count(lit(1)).as("n"),
-        sum(t).cast("double").as("st"),
-        sum(t * t).cast("double").as("stt"),
-        sum(y).cast("double").as("sy"),
-        sum(t * y).cast("double").as("sty"),
-        sum(y * y).cast("double").as("syy"))
+        Exact.dec2d(sum(t)).as("st"),
+        Exact.dec2d(sum(t * t)).as("stt"),
+        Exact.dec2d(sum(y)).as("sy"),
+        Exact.dec2d(sum(t * y)).as("sty"),
+        Exact.dec2d(sum(y * y)).as("syy"))
       val n = col("n").cast("double")
       val cov = n * col("sty") - col("st") * col("sy")
       val vt = n * col("stt") - col("st") * col("st")
@@ -86,9 +88,9 @@ object RelationalD extends Module {
       |  FROM series),
       |g AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS stt,
-      |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(t * y) AS DOUBLE) AS sty,
-      |    CAST(SUM(y * y) AS DOUBLE) AS syy
+      |    ${graft.Exact.sqlDec2d("SUM(t)")} AS st, ${graft.Exact.sqlDec2d("SUM(t * t)")} AS stt,
+      |    ${graft.Exact.sqlDec2d("SUM(y)")} AS sy, ${graft.Exact.sqlDec2d("SUM(t * y)")} AS sty,
+      |    ${graft.Exact.sqlDec2d("SUM(y * y)")} AS syy
       |  FROM idx)
       |SELECT n,
       |  (CAST(n AS DOUBLE) * sty - st * sy) / (CAST(n AS DOUBLE) * stt - st * st) AS slope,
@@ -399,12 +401,14 @@ object RelationalD extends Module {
       def z(c: String, g: Double): Column =
         round(col(c) * lit(g)).cast("long").cast(DecimalType(38, 0))
       val (zx, zy) = (z("l_quantity", 1000.0), z("l_extendedprice", 100.0))
+      // dec2d readouts: the per-group Σzy² backs ~2e20 at sf1 — past
+      // 2^64, where the direct decimal→double cast is engine-divergent
       val a = l.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_l"),
-          sum(zx).cast("double").as("sx"), sum(zy).cast("double").as("sy"),
-          sum(zx * zx).cast("double").as("sxx"),
-          sum(zy * zy).cast("double").as("syy"),
-          sum(zx * zy).cast("double").as("sxy"))
+          Exact.dec2d(sum(zx)).as("sx"), Exact.dec2d(sum(zy)).as("sy"),
+          Exact.dec2d(sum(zx * zx)).as("sxx"),
+          Exact.dec2d(sum(zy * zy)).as("syy"),
+          Exact.dec2d(sum(zx * zy)).as("sxy"))
       val n = col("n_l").cast("double")
       val cov = n * col("sxy") - col("sx") * col("sy")
       val vx = n * col("sxx") - col("sx") * col("sx")
@@ -417,23 +421,28 @@ object RelationalD extends Module {
           (cov * cov / (vx * vy)).as("r2"))
         .orderBy("l_returnflag")
     },
-    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-      |  10.0 * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
-      |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE)) AS slope,
-      |  CAST(SUM(zy) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
-      |    - (10.0 * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
-      |      / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE)))
-      |      * (CAST(SUM(zx) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000.0) AS intercept,
-      |  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
-      |    * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zy) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))
-      |    / ((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zx * zx) AS DOUBLE) - CAST(SUM(zx) AS DOUBLE) * CAST(SUM(zx) AS DOUBLE))
-      |      * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(zy * zy) AS DOUBLE) - CAST(SUM(zy) AS DOUBLE) * CAST(SUM(zy) AS DOUBLE))) AS r2
+    Some {
+      def d2(e: String) = graft.Exact.sqlDec2d(e)
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = d2("SUM(zx)"); val sy = d2("SUM(zy)")
+      val sxx = d2("SUM(zx * zx)"); val syy = d2("SUM(zy * zy)")
+      val sxy = d2("SUM(zx * zy)")
+      val cov = s"($n * $sxy - $sx * $sy)"
+      val vx = s"($n * $sxx - $sx * $sx)"
+      val vy = s"($n * $syy - $sy * $sy)"
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  10.0 * $cov / $vx AS slope,
+      |  $sy / $n / 100.0
+      |    - (10.0 * $cov / $vx)
+      |      * ($sx / $n / 1000.0) AS intercept,
+      |  $cov * $cov / ($vx * $vy) AS r2
       |FROM (
       |  SELECT l_returnflag,
       |    CAST(CAST(ROUND(l_quantity * 1000.0) AS BIGINT) AS HUGEINT) AS zx,
       |    CAST(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS HUGEINT) AS zy
       |  FROM lineitem)
-      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }
   )
 
   // q89 — seasonal quantile bands: p10/p50/p90 of the hourly event
@@ -628,7 +637,7 @@ object RelationalD extends Module {
       val base = o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), z.as("z"))
         .withColumn("rn", row_number().over(wn).cast("long"))
         .withColumn("cs", sum(col("z")).over(w).cast("double"))
-        .withColumn("css", sum(col("z") * col("z")).over(w).cast("double"))
+        .withColumn("css", Exact.dec2d(sum(col("z") * col("z")).over(w)))
       val n = col("rn").cast("double")
       base.select(col("o_custkey"), col("o_orderkey"), col("rn").as("n"),
           ((col("cs") / n) / lit(100.0)).as("exp_mean"),
@@ -637,7 +646,7 @@ object RelationalD extends Module {
             .as("exp_std"))
         .orderBy("o_custkey", "o_orderkey")
     },
-    Some("""SELECT o_custkey, o_orderkey, rn AS n,
+    Some(s"""SELECT o_custkey, o_orderkey, rn AS n,
       |  (cs / CAST(rn AS DOUBLE)) / 100.0 AS exp_mean,
       |  CASE WHEN rn > 1 THEN
       |    SQRT((css - cs * cs / CAST(rn AS DOUBLE)) / (CAST(rn AS DOUBLE) - 1.0)) / 100.0
@@ -646,7 +655,7 @@ object RelationalD extends Module {
       |  SELECT o_custkey, o_orderkey,
       |    CAST(ROW_NUMBER() OVER win AS BIGINT) AS rn,
       |    CAST(SUM(z) OVER win AS DOUBLE) AS cs,
-      |    CAST(SUM(z * z) OVER win AS DOUBLE) AS css
+      |    ${graft.Exact.sqlDec2d("SUM(z * z) OVER win")} AS css
       |  FROM (
       |    SELECT o_custkey, o_orderkey, o_orderdate,
       |      CAST(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS HUGEINT) AS z
@@ -1757,10 +1766,12 @@ object RelationalD extends Module {
       val r = z(col("residual"))
       val tr = z(col("y").cast("double") - col("seasonal")) // trend + residual
       val sr = z(col("y").cast("double") - col("trend")) // seasonal + residual
+      // dec2d readouts: Σr² on the 1e-6 grid backs ~7e20 at sf1 — past
+      // 2^64, where the direct decimal→double cast is engine-divergent
       val a = dec.agg(count(lit(1)).as("n"),
-        sum(r).cast("double").as("s_r"), sum(r * r).cast("double").as("ss_r"),
-        sum(tr).cast("double").as("s_tr"), sum(tr * tr).cast("double").as("ss_tr"),
-        sum(sr).cast("double").as("s_sr"), sum(sr * sr).cast("double").as("ss_sr"))
+        Exact.dec2d(sum(r)).as("s_r"), Exact.dec2d(sum(r * r)).as("ss_r"),
+        Exact.dec2d(sum(tr)).as("s_tr"), Exact.dec2d(sum(tr * tr)).as("ss_tr"),
+        Exact.dec2d(sum(sr)).as("s_sr"), Exact.dec2d(sum(sr * sr)).as("ss_sr"))
       val n = col("n").cast("double")
       def v(sc: Column, ssc: Column): Column = ssc / n - (sc / n) * (sc / n)
       a.select(col("n"),
@@ -1778,9 +1789,9 @@ object RelationalD extends Module {
       |  FROM decomp),
       |a AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(r) AS DOUBLE) AS s_r, CAST(SUM(r * r) AS DOUBLE) AS ss_r,
-      |    CAST(SUM(tr) AS DOUBLE) AS s_tr, CAST(SUM(tr * tr) AS DOUBLE) AS ss_tr,
-      |    CAST(SUM(sr) AS DOUBLE) AS s_sr, CAST(SUM(sr * sr) AS DOUBLE) AS ss_sr
+      |    ${graft.Exact.sqlDec2d("SUM(r)")} AS s_r, ${graft.Exact.sqlDec2d("SUM(r * r)")} AS ss_r,
+      |    ${graft.Exact.sqlDec2d("SUM(tr)")} AS s_tr, ${graft.Exact.sqlDec2d("SUM(tr * tr)")} AS ss_tr,
+      |    ${graft.Exact.sqlDec2d("SUM(sr)")} AS s_sr, ${graft.Exact.sqlDec2d("SUM(sr * sr)")} AS ss_sr
       |  FROM q)
       |SELECT n,
       |  GREATEST(0.0, 1.0 - (ss_r / CAST(n AS DOUBLE) - (s_r / CAST(n AS DOUBLE)) * (s_r / CAST(n AS DOUBLE)))

@@ -564,8 +564,8 @@ object RelationalE extends Module {
       val z = col("y").cast(DecimalType(38, 0))
       series.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(z).cast("double").as("s1"),
-          sum(z * z).cast("double").as("s2"))
+          Exact.dec2d(sum(z)).as("s1"),
+          Exact.dec2d(sum(z * z)).as("s2"))
         .select(col("event_type"), col("n"),
           (col("s1") / col("n").cast("double")).as("mean_per_hour"),
           ((col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
@@ -576,7 +576,7 @@ object RelationalE extends Module {
             (sqrt(col("var_per_hour")) + col("mean_per_hour")))
         .orderBy("event_type")
     },
-    Some("""WITH counts AS (
+    Some(s"""WITH counts AS (
       |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2),
       |spine AS (
@@ -590,8 +590,8 @@ object RelationalE extends Module {
       |    ON spine.event_type = counts.event_type AND spine.h = counts.h),
       |g AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS s2
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(y AS HUGEINT))")} AS s1,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT))")} AS s2
       |  FROM series GROUP BY 1),
       |st AS (
       |  SELECT event_type, n, s1 / CAST(n AS DOUBLE) AS mean_per_hour,
@@ -897,8 +897,8 @@ object RelationalE extends Module {
       val m = Tables.customer(s, d)
         .groupBy(col("c_mktsegment").as("seg"))
         .agg(count(lit(1)).as("n"),
-          sum(z).cast("double").as("s1"),
-          sum(z * z).cast("double").as("s2"))
+          Exact.dec2d(sum(z)).as("s1"),
+          Exact.dec2d(sum(z * z)).as("s2"))
         .localCheckpoint(eager = true)
       val a = m.select(col("seg").as("seg_a"), col("n").as("n_a"),
         col("s1").as("s1_a"), col("s2").as("s2_a"))
@@ -915,10 +915,10 @@ object RelationalE extends Module {
           ((mA - mB) / pooled).as("cohens_d"))
         .orderBy("seg_a", "seg_b")
     },
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
       |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
-      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT) * CAST(ROUND(c_acctbal*1000.0) AS BIGINT)) AS DOUBLE) AS s2
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT))")} AS s1,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(ROUND(c_acctbal*1000.0) AS BIGINT) * CAST(ROUND(c_acctbal*1000.0) AS BIGINT))")} AS s2
       |  FROM customer GROUP BY 1)
       |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
       |  (a.s1 / CAST(a.n AS DOUBLE) - b.s1 / CAST(b.n AS DOUBLE)) / 1000.0 AS mean_diff,
@@ -1456,11 +1456,11 @@ object RelationalE extends Module {
       val g = a.join(b, col("wk") === col("wk_b") && col("pk_a") < col("pk_b"))
         .groupBy(col("pk_a"), col("pk_b"))
         .agg(count(lit(1)).as("n_weeks"),
-          sum(dz(col("x"))).cast("double").as("sx"),
-          sum(dz(col("y"))).cast("double").as("sy"),
-          sum(dz(col("x")) * dz(col("x"))).cast("double").as("sxx"),
-          sum(dz(col("y")) * dz(col("y"))).cast("double").as("syy"),
-          sum(dz(col("x")) * dz(col("y"))).cast("double").as("sxy"))
+          Exact.dec2d(sum(dz(col("x")))).as("sx"),
+          Exact.dec2d(sum(dz(col("y")))).as("sy"),
+          Exact.dec2d(sum(dz(col("x")) * dz(col("x")))).as("sxx"),
+          Exact.dec2d(sum(dz(col("y")) * dz(col("y")))).as("syy"),
+          Exact.dec2d(sum(dz(col("x")) * dz(col("y")))).as("sxy"))
       val nD = col("n_weeks").cast("double")
       val r = (nD * col("sxy") - col("sx") * col("sy")) /
         (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
@@ -1472,7 +1472,7 @@ object RelationalE extends Module {
             .otherwise(lit("independent")))
         .orderBy("pk_a", "pk_b")
     },
-    Some("""WITH li AS (
+    Some(s"""WITH li AS (
       |  SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
       |    CAST(ROUND(l_quantity) AS BIGINT) AS units
       |  FROM lineitem),
@@ -1492,11 +1492,11 @@ object RelationalE extends Module {
       |  FROM spine LEFT JOIN weekly ON spine.pk = weekly.pk AND spine.wk = weekly.wk),
       |g AS (
       |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_weeks,
-      |    CAST(SUM(CAST(a.u AS HUGEINT)) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(b.u AS HUGEINT)) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(a.u AS HUGEINT) * CAST(a.u AS HUGEINT)) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(b.u AS HUGEINT) * CAST(b.u AS HUGEINT)) AS DOUBLE) AS syy,
-      |    CAST(SUM(CAST(a.u AS HUGEINT) * CAST(b.u AS HUGEINT)) AS DOUBLE) AS sxy
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(a.u AS HUGEINT))")} AS sx,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(b.u AS HUGEINT))")} AS sy,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(a.u AS HUGEINT) * CAST(a.u AS HUGEINT))")} AS sxx,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(b.u AS HUGEINT) * CAST(b.u AS HUGEINT))")} AS syy,
+      |    ${graft.Exact.sqlDec2d("SUM(CAST(a.u AS HUGEINT) * CAST(b.u AS HUGEINT))")} AS sxy
       |  FROM series a JOIN series b ON a.wk = b.wk AND a.pk < b.pk
       |  GROUP BY 1, 2),
       |c AS (

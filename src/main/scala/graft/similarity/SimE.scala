@@ -289,15 +289,19 @@ object SimE extends Module {
         .select(col("vec_id"), col("label"), posexplode(col("qvec")).as(Seq("pos", "qv")))
       val cent = qv.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
         .agg(sum(col("qv")).as("cz"))
+      // dec2d readouts: centroid components grow with label size, so
+      // Σcz² crosses 2^64 near 1e6-member labels (SURVEY §5)
       val cnorm = cent.groupBy(col("c_label").as("n_label"))
-        .agg(sum(col("cz").cast(DecimalType(38, 0)) * col("cz").cast(DecimalType(38, 0)))
-          .cast("double").as("nc"))
+        .agg(graft.Exact.dec2d(
+          sum(col("cz").cast(DecimalType(38, 0)) * col("cz").cast(DecimalType(38, 0))))
+          .as("nc"))
       qv.join(broadcast(cent),
           col("label") === col("c_label") && col("pos") === col("c_pos"))
         .groupBy(col("vec_id"), col("label"))
         .agg(
-          sum(col("qv").cast(DecimalType(38, 0)) * col("cz").cast(DecimalType(38, 0)))
-            .cast("double").as("dot"),
+          graft.Exact.dec2d(
+            sum(col("qv").cast(DecimalType(38, 0)) * col("cz").cast(DecimalType(38, 0))))
+            .as("dot"),
           sum(col("qv") * col("qv")).cast("double").as("nv"))
         .join(broadcast(cnorm), col("label") === col("n_label"))
         .select(col("vec_id"), col("label"),
@@ -305,16 +309,16 @@ object SimE extends Module {
         .withColumn("flagged", col("centroid_cos") < lit(0.1))
         .orderBy("vec_id")
     },
-    Some("""WITH q AS (
+    Some(s"""WITH q AS (
       |  SELECT vec_id, label,
       |    unnest(list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
       |    unnest(generate_series(1, len(embedding))) AS pos
       |  FROM embeddings),
       |cent AS (SELECT label AS c_label, pos AS c_pos, SUM(qv) AS cz FROM q GROUP BY 1, 2),
-      |cnorm AS (SELECT c_label AS n_label, CAST(SUM(cz * cz) AS DOUBLE) AS nc FROM cent GROUP BY 1),
+      |cnorm AS (SELECT c_label AS n_label, ${graft.Exact.sqlDec2d("SUM(cz * cz)")} AS nc FROM cent GROUP BY 1),
       |dots AS (
       |  SELECT q.vec_id, q.label,
-      |    CAST(SUM(q.qv * c.cz) AS DOUBLE) AS dot,
+      |    ${graft.Exact.sqlDec2d("SUM(q.qv * c.cz)")} AS dot,
       |    CAST(SUM(q.qv * q.qv) AS DOUBLE) AS nv
       |  FROM q JOIN cent c ON q.label = c.c_label AND q.pos = c.c_pos
       |  GROUP BY 1, 2)
@@ -338,10 +342,12 @@ object SimE extends Module {
       val qv = Similarity.withQuantized(Tables.embeddings(s, d), "embedding")
         .select(posexplode(col("qvec")).as(Seq("pos", "qv")))
       val z = col("qv").cast(DecimalType(38, 0))
+      // dec2d readouts: the per-dimension Σz² crosses 2^64 near 2e7
+      // corpus vectors (SURVEY §5)
       qv.groupBy((col("pos") + 1).cast("long").as("pos"))
         .agg(count(lit(1)).as("n"),
-          sum(z).cast("double").as("s1"),
-          sum(z * z).cast("double").as("s2"),
+          graft.Exact.dec2d(sum(z)).as("s1"),
+          graft.Exact.dec2d(sum(z * z)).as("s2"),
           min(col("qv")).as("minq"), max(col("qv")).as("maxq"))
         .select(col("pos"), col("n"),
           (col("s1") / col("n").cast("double") / lit(1000000.0)).as("mean"),
@@ -351,14 +357,14 @@ object SimE extends Module {
           (col("maxq").cast("double") / lit(1000000.0)).as("max_v"))
         .orderBy("pos")
     },
-    Some("""WITH q AS (
+    Some(s"""WITH q AS (
       |  SELECT
       |    unnest(list_transform(embedding, x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS HUGEINT))) AS qv,
       |    unnest(generate_series(1, len(embedding))) AS pos
       |  FROM embeddings)
       |SELECT CAST(pos AS BIGINT) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean,
-      |  SQRT((CAST(SUM(qv * qv) AS DOUBLE) - CAST(SUM(qv) AS DOUBLE) * CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |  ${graft.Exact.sqlDec2d("SUM(qv)")} / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean,
+      |  SQRT((${graft.Exact.sqlDec2d("SUM(qv * qv)")} - ${graft.Exact.sqlDec2d("SUM(qv)")} * ${graft.Exact.sqlDec2d("SUM(qv)")} / CAST(COUNT(*) AS DOUBLE))
       |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)) / 1000000.0 AS std,
       |  CAST(MIN(qv) AS DOUBLE) / 1000000.0 AS min_v,
       |  CAST(MAX(qv) AS DOUBLE) / 1000000.0 AS max_v

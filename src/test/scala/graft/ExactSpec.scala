@@ -18,7 +18,10 @@ class ExactSpec extends SparkSpec {
       BigInt(9007199254740993L), BigInt("9223372036854775807"),
       BigInt("9223372036854775809"), BigInt("18446744073709551616"),
       BigInt("18446744073709551617"), BigInt("22240711483861231690"),
-      BigInt("7401464119466217487"), BigInt("999999999999999999999999"))
+      BigInt("7401464119466217487"), BigInt("999999999999999999999999"),
+      // negatives: Spark decimal % and DuckDB % / // all truncate
+      // toward zero, so the hi/lo split carries the sign identically
+      BigInt(-1), BigInt("-9007199254740993"), BigInt("-22240711483861231690"))
     val df = values.map(_.toString).toDF("s")
       .select(col("s").cast(DecimalType(38, 0)).as("d"))
     val got = df.select(Exact.dec2d(col("d"))).collect().map(_.getDouble(0))
@@ -31,7 +34,7 @@ class ExactSpec extends SparkSpec {
       val lo = (v mod l).toDouble
       val want = hi * 4294967296.0 + lo
       assert(g === want, s"dec2d($v)")
-      if (v < BigInt(2).pow(53))
+      if (v.abs < BigInt(2).pow(53))
         assert(g === v.toDouble, s"sub-2^53 value must convert exactly: $v")
       else
         // twice-rounded result stays within 1 ulp of correct
