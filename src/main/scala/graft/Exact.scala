@@ -117,6 +117,30 @@ object Exact {
   def sqlDec2d(e: String): String =
     s"(CAST(($e) // 4294967296 AS DOUBLE) * CAST(4294967296 AS DOUBLE) + CAST(($e) % 4294967296 AS DOUBLE))"
 
+  /** Two-level split — [[dec2d]]'s big sibling for integers whose
+    * magnitude can pass 2^85 (quartic power sums, cubic rank moments):
+    * c = hi·2^64 + mid·2^32 + lo with every part < 2^53 for |c| <
+    * 2^117 ≈ 1.7e35, converted by THREE exact casts and four IEEE ops
+    * replayed identically by [[sqlDec2d2]]. NOT interchangeable with
+    * dec2d above 2^64 (a different rounding sequence lands differently
+    * by a ulp) — switch both engine sides together. Same trunc
+    * semantics as dec2d, so negatives carry through.
+    */
+  def dec2d2(c: Column): Column = {
+    val L = lit(4294967296L)
+    val lo = c % L
+    val rest = (c - lo) / L
+    val mid = rest % L
+    val hi = (rest - mid) / L
+    hi.cast("double") * lit(1.8446744073709552E19) +
+      mid.cast("double") * lit(4294967296.0) + lo.cast("double")
+  }
+
+  def sqlDec2d2(e: String): String =
+    s"(CAST((($e) // 4294967296) // 4294967296 AS DOUBLE) * CAST(18446744073709551616 AS DOUBLE)" +
+      s" + CAST((($e) // 4294967296) % 4294967296 AS DOUBLE) * CAST(4294967296 AS DOUBLE)" +
+      s" + CAST(($e) % 4294967296 AS DOUBLE))"
+
   /** Ditto for product-magnitude inputs. */
   def sumdw(c: Column): Column = sum(d6w(c)).cast("double")
 

@@ -45,8 +45,10 @@ object RelationalC extends Module {
           count(lit(1)).as(s"${c}_n"),
           Exact.dec2d(sum(z)).as(s"${c}_s1"),
           Exact.dec2d(sum(z * z)).as(s"${c}_s2"),
-          Exact.dec2d(sum(z * z * z)).as(s"${c}_s3"),
-          Exact.dec2d(sum(z * z * z * z)).as(s"${c}_s4"))
+          // cubic/quartic sums outgrow even dec2d's 2^85 envelope two
+          // decades out — the two-level split holds to 2^117
+          Exact.dec2d2(sum(z * z * z)).as(s"${c}_s3"),
+          Exact.dec2d2(sum(z * z * z * z)).as(s"${c}_s4"))
       }
       val a = l.agg(aggs.head, aggs.tail: _*)
       val rows = momentCols.map(_._1).map { c =>
@@ -72,7 +74,7 @@ object RelationalC extends Module {
       val parts = momentCols.map { case (c, g) =>
         s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(COUNT(*) AS DOUBLE) AS n,
            |  ${graft.Exact.sqlDec2d("SUM(z)")} AS s1, ${graft.Exact.sqlDec2d("SUM(z*z)")} AS s2,
-           |  ${graft.Exact.sqlDec2d("SUM(z*z*z)")} AS s3, ${graft.Exact.sqlDec2d("SUM(z*z*z*z)")} AS s4
+           |  ${graft.Exact.sqlDec2d2("SUM(z*z*z)")} AS s3, ${graft.Exact.sqlDec2d2("SUM(z*z*z*z)")} AS s4
            |FROM (SELECT CAST(CAST(ROUND($c * $g) AS BIGINT) AS HUGEINT) AS z FROM lineitem)""".stripMargin
       }
       s"""WITH s AS (${parts.mkString("\nUNION ALL\n")}),
@@ -1116,15 +1118,17 @@ object RelationalC extends Module {
         .join(rankTable("x"), col("x") === col("x_v"))
         .join(rankTable("y"), col("y") === col("y_v"))
       val dz = (c: Column) => c.cast(DecimalType(38, 0))
-      // dec2d readouts: u·v ≈ 4n² per row makes Σuv cubic in n — past
-      // 2^64 at sf1 — and even the linear Σu is quadratic (SURVEY §5)
+      // split readouts: u·v ≈ 4n² per row makes Σuv CUBIC in n — past
+      // 2^64 at sf1 and past dec2d's 2^85 at ~6e8 rows, so the
+      // quadratic moments ride the two-level dec2d2 split; the linear
+      // Σu (quadratic in n) stays on dec2d (SURVEY §5)
       val g = ranked.agg(
         count(lit(1)).as("n_l"),
         Exact.dec2d(sum(dz(col("x_u2")))).as("su"),
         Exact.dec2d(sum(dz(col("y_u2")))).as("sv"),
-        Exact.dec2d(sum(dz(col("x_u2")) * dz(col("y_u2")))).as("suv"),
-        Exact.dec2d(sum(dz(col("x_u2")) * dz(col("x_u2")))).as("suu"),
-        Exact.dec2d(sum(dz(col("y_u2")) * dz(col("y_u2")))).as("svv"))
+        Exact.dec2d2(sum(dz(col("x_u2")) * dz(col("y_u2")))).as("suv"),
+        Exact.dec2d2(sum(dz(col("x_u2")) * dz(col("x_u2")))).as("suu"),
+        Exact.dec2d2(sum(dz(col("y_u2")) * dz(col("y_u2")))).as("svv"))
       val n = col("n_l").cast("double")
       val cov = col("suv") - col("su") * col("sv") / n
       val vu = col("suu") - col("su") * col("su") / n
@@ -1144,9 +1148,9 @@ object RelationalC extends Module {
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_l, CAST(COUNT(*) AS DOUBLE) AS n,
       |    ${graft.Exact.sqlDec2d("SUM(CAST(u AS HUGEINT))")} AS su,
       |    ${graft.Exact.sqlDec2d("SUM(CAST(v AS HUGEINT))")} AS sv,
-      |    ${graft.Exact.sqlDec2d("SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT))")} AS suv,
-      |    ${graft.Exact.sqlDec2d("SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT))")} AS suu,
-      |    ${graft.Exact.sqlDec2d("SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))")} AS svv
+      |    ${graft.Exact.sqlDec2d2("SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT))")} AS suv,
+      |    ${graft.Exact.sqlDec2d2("SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT))")} AS suu,
+      |    ${graft.Exact.sqlDec2d2("SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT))")} AS svv
       |  FROM r)
       |SELECT n_l AS n,
       |  (suv - su * sv / n)

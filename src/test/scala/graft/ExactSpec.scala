@@ -43,6 +43,37 @@ class ExactSpec extends SparkSpec {
     }
   }
 
+  test("dec2d2 reproduces the three-part split across magnitudes to 2^117") {
+    import spark.implicits._
+    val values = Seq(
+      BigInt(0), BigInt(1), BigInt("9007199254740993"),
+      BigInt("18446744073709551617"),                      // 2^64+1
+      BigInt("22240711483861231690"),                      // the q90 value
+      BigInt("38685626227668133590597631"),                // 2^85-ish
+      BigInt("99999999999999999999999999999999"),          // 1e32 (Σz⁴ class)
+      BigInt("166153499473114484112975882535043072"),      // 2^117
+      BigInt("-22240711483861231690"),
+      BigInt("-99999999999999999999999999999999"))
+    val df = values.map(_.toString).toDF("s")
+      .select(col("s").cast(DecimalType(38, 0)).as("d"))
+    val got = df.select(Exact.dec2d2(col("d"))).collect().map(_.getDouble(0))
+    val L = BigInt(4294967296L)
+    def trunc(a: BigInt, b: BigInt): BigInt = // trunc-toward-zero division
+      if (a.signum < 0) -((-a) / b) else a / b
+    values.zip(got).foreach { case (v, g) =>
+      val lo = v - trunc(v, L) * L
+      val rest = trunc(v, L)
+      val mid = rest - trunc(rest, L) * L
+      val hi = trunc(rest, L)
+      val want = hi.toDouble * 1.8446744073709552E19 +
+        mid.toDouble * 4294967296.0 + lo.toDouble
+      assert(g === want, s"dec2d2($v)")
+      // thrice-rounded result stays within 2 ulp of correct
+      assert(math.abs(g - BigDecimal(v).toDouble)
+        <= 2 * math.ulp(BigDecimal(v).toDouble), s"dec2d2($v) off by >2 ulp")
+    }
+  }
+
   test("dec2d agrees with DuckDB's sqlDec2d shape by construction") {
     // the SQL fragment must be the literal same expression tree the
     // Column recipe builds: hi = (c - c%2^32)/2^32, then
