@@ -93,20 +93,23 @@ object Exact {
     // that, split twice.
   }
 
-  /** Exact ⌊a/n⌋ for a non-negative DECIMAL(38,0) `a` and an integral
-    * `n`, computed entirely in decimal arithmetic — no double ever
-    * enters the path. (Imaging the double quotient looked equivalent
-    * and was not: Spark's double→decimal cast takes the SHORTEST
-    * STRING while DuckDB's double→hugeint takes the exact binary
-    * integer, and past ~1e17 those are different integers — the q91
-    * divergence the sf1 sweep caught.) a − a%n is an exact multiple of
-    * n, so the decimal division has a zero fraction at any result
-    * scale and the scale-0 recast is the identity. Valid for quotients
+  /** Exact truncating integer division a ÷ n for a DECIMAL(38,0) `a`
+    * and an integral `n`, computed entirely in decimal arithmetic — no
+    * double ever enters the path. (Imaging the double quotient looked
+    * equivalent and was not: Spark's double→decimal cast takes the
+    * SHORTEST STRING while DuckDB's double→hugeint takes the exact
+    * binary integer, and past ~1e17 those are different integers — the
+    * q91 divergence the sf1 sweep caught.) a − a%n is an exact multiple
+    * of n, so the decimal division has a zero fraction at any result
+    * scale and the scale-0 recast is the identity. Uses `%` (truncation
+    * toward zero, same as Spark decimal `%`, DuckDB `%` and HUGEINT
+    * `//` — dec2d's verified semantics), so negative dividends agree
+    * engine-for-engine; equals ⌊a/n⌋ for a ≥ 0. Valid for quotients
     * < 1e32 (Spark's division result lands at scale 6 under the
     * 38-precision cap). SQL twin: `(a // n)` on HUGEINT.
     */
   def floorDiv(a: Column, n: Column): Column =
-    ((a - pmod(a, n)) / n).cast(DecimalType(38, 0))
+    ((a - a % n) / n).cast(DecimalType(38, 0))
 
   /** lcm(1..25) — every count a centered ±12h hourly window can take
     * divides it, so L·(y − S/n) = L·y − (L div n)·S is an exact BIGINT
@@ -190,6 +193,43 @@ object Exact {
     if (df.queryExecution.toRdd.getNumPartitions < sc.defaultParallelism)
       df.repartition(sc.defaultParallelism, keys: _*)
     else df
+  }
+
+  /** Lineage-truncation / materialization point for iterative and
+    * multi-branch plans. On local[32] this is `localCheckpoint` (blocks
+    * on executors — fast, no HDFS round-trip). That is NOT
+    * executor-loss-safe: localCheckpoint truncates lineage, so on a
+    * real cluster losing one executor (preemption is routine at 100 TB)
+    * fails the job unrecoverably mid-iteration. When
+    * `spark.graft.checkpoint.dir` (conf) or `SPARK_GRAFT_CHECKPOINT_DIR`
+    * (env) names a reliable store (HDFS/S3), every site routes through
+    * reliable `checkpoint()` instead — recomputable from durable storage
+    * after executor loss. Both modes produce identical results
+    * (CheckpointModeSpec pins connectedComponents + pagerank).
+    */
+  def checkpoint(df: org.apache.spark.sql.DataFrame,
+      eager: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")).filter(_.nonEmpty)
+    dir match {
+      case Some(d) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a UUID subdir, so compare by prefix;
+        // re-set when the configured root changes mid-session
+        if (!sc.getCheckpointDir.exists(_.startsWith(d))) sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
+  /** Chained-call syntax for [[checkpoint]] so operator pipelines read
+    * like the `.localCheckpoint` they replace.
+    */
+  implicit class GraftCheckpoint(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def graftCheckpoint(eager: Boolean = true): org.apache.spark.sql.DataFrame =
+      Exact.checkpoint(df, eager)
   }
 
   // ---- SQL fragments (DuckDB side of the same recipe) ----

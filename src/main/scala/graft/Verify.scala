@@ -11,9 +11,13 @@ object Verify {
     val outDir = args(1)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples the shuffle fan-out from the core
+    // count so tools/shape_sweep.py can prove results are identical on
+    // ANY cluster shape (partitions ∈ {7,32,257}, local[4] vs local[32])
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -23,13 +27,22 @@ object Verify {
     // run queries on a small thread pool: Spark's scheduler interleaves
     // the jobs and the long ML fits overlap the cheap relational dumps
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // per-query wall seconds (build + execute + dump) → timings.json.
+    // NOT a certified benchmark (queries run 4-way concurrent, one
+    // sample) — a COVERAGE gauge: Bench times 10 headliners, this
+    // surfaces a 10x regression in any of the other ~244 in a diff.
+    val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            timings.put(name, (System.nanoTime() - t0) / 1e9)
+          }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
@@ -37,6 +50,12 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    locally {
+      import scala.jdk.CollectionConverters._
+      val body = timings.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/timings.json"), body)
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

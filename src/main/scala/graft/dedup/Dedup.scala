@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Exact.GraftCheckpoint
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -269,7 +270,7 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -280,7 +281,7 @@ object Dedup {
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       // (b) shortcut: l(v) ← l(l(v)) — halves remaining chain depth
       val parents = prop.select(col("id").as("pid"), col("label").as("plabel"))
       val next = prop.join(parents, col("label") === col("pid"), "left")
@@ -288,7 +289,7 @@ object Dedup {
           coalesce(col("plabel"), col("label")).as("label"),
           when(coalesce(col("plabel"), col("label")) < col("old_label"), 1L)
             .otherwise(0L).as("ch"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       changed = next.agg(coalesce(sum(col("ch")), lit(0L))).head().getLong(0)
       labels = next.select("id", "label")
       iter += 1

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Exact.GraftCheckpoint
 import graft.{Q, Tables, Module}
 import org.apache.spark.sql.functions._
 
@@ -480,7 +481,7 @@ object DedupD extends Module {
       val fps = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val usable = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= 50)
         .select("fp")
@@ -582,7 +583,7 @@ object DedupD extends Module {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .filter(length(col("t")) > 0)
       val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val tot = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("tot"))
       val a = tf.select(col("doc_id").as("id_a"), col("t"), col("tf").as("tf_a"))
       val b = tf.select(col("doc_id").as("id_b"), col("t").as("t_b"), col("tf").as("tf_b"))

@@ -131,7 +131,7 @@ object MlC extends Module {
       rounds: Int, seed: Long): (DataFrame, Seq[(Double, Double)]) = {
     import org.apache.spark.ml.classification.DecisionTreeClassifier
     val cols = train.columns
-    var w = train.withColumn("w", lit(1.0)).localCheckpoint(eager = true)
+    var w = train.withColumn("w", lit(1.0)).graftCheckpoint()
     val models = scala.collection.mutable.ArrayBuffer[
       (org.apache.spark.ml.classification.DecisionTreeClassificationModel, Double)]()
     val audit = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
@@ -148,7 +148,7 @@ object MlC extends Module {
       w = scored
         .withColumn("w", col("w") * exp(lit(alpha) * (lit(2.0) * col("miss") - lit(1.0))))
         .select(cols.map(col) :+ col("w"): _*)
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
     }
     var scoredTest = test
     models.zipWithIndex.foreach { case ((m, _), i) =>
@@ -306,9 +306,16 @@ object MlC extends Module {
       ev.evaluate(m.transform(df.filter(col("fold") === 0)))
     }
     def fullCv(t: Trial): Double = (0 until 3).map { f =>
-      val m = t.est.fit(df.filter(col("fold") =!= f))
-        .asInstanceOf[org.apache.spark.ml.Transformer]
-      ev.evaluate(m.transform(df.filter(col("fold") === f)))
+      // same starved-fold convention as the rungs (r8 ADVICE): a
+      // single-class training fold at a tiny SF scores 0.5 flat instead
+      // of throwing inside fit — degradation stays deterministic
+      val train = df.filter(col("fold") =!= f)
+      if (train.select(col("label")).distinct().count() < 2) 0.5
+      else {
+        val m = t.est.fit(train)
+          .asInstanceOf[org.apache.spark.ml.Transformer]
+        ev.evaluate(m.transform(df.filter(col("fold") === f)))
+      }
     }.sum / 3.0
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Double],
       Option[Double], Option[Long], Long, Double, Double, Boolean)]()
@@ -504,19 +511,70 @@ object MlC extends Module {
 
   // ml_mlp — the reference's Keras binary classifier (modeling.py Keras
   // section) as MLlib's MultilayerPerceptronClassifier: same role, Spark's
-  // distributed L-BFGS instead of a single-node TF session.
+  // distributed L-BFGS instead of a single-node TF session. Round 9
+  // adds the reference's CONVERGENCE CONTROL (modeling.py:237-245,
+  // `EarlyStopping(patience=...)` + restore-best-weights): training
+  // runs in fixed 5-iteration rounds, each round WARM-STARTED from the
+  // previous round's weights (setInitialWeights — the epoch-checkpoint
+  // analog), scored on a held-out validation split cut by the
+  // deterministic Z-mod-p gate (25%, no RNG); training stops after
+  // `patience` rounds without validation-AUC improvement and the BEST
+  // round's model scores the test set (restore_best_weights=True).
+  // Fully deterministic: seeded init, hash split, L-BFGS on fixed data.
+  // A starved split (single-class at tiny SF) scores 0.5 flat so the
+  // schedule degrades deterministically instead of throwing.
+  // Rows-only (seeded iterative fit); MlSpec pins that the selected
+  // round is validation-optimal among evaluated rounds, that stopping
+  // respects patience, and that the whole curve is bit-deterministic.
+
+  /** (round_iters, val_auc, selected) training curve + best-model test
+    * predictions. Exposed for MlSpec.
+    */
+  private[graft] def mlpEarlyStopCurve(s: SparkSession, d: String)
+      : (Seq[(Long, Double, Boolean)], DataFrame) = {
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    val (train, test) = split(customerFeatures(s, d))
+    val assembled = assembler.transform(train)
+    val bkt = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
+      lit(1000000007L) % lit(1000L)
+    val fitDf = assembled.filter(bkt >= 250).cache()
+    val valDf = assembled.filter(bkt < 250).cache()
+    val starved = fitDf.select(col("label")).distinct().count() < 2 ||
+      valDf.select(col("label")).distinct().count() < 2
+    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+    val step = 5
+    val maxRounds = 6 // cap == the fixed 30 iters the panel row uses
+    val patience = 2
+    var weights: org.apache.spark.ml.linalg.Vector = null
+    var bestModel: org.apache.spark.ml.Transformer = null
+    var bestAuc = Double.NegativeInfinity
+    var bestRound = 0L
+    var sinceBest = 0
+    val curve = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    var r = 1
+    while (r <= maxRounds && sinceBest < patience) {
+      val est = new MultilayerPerceptronClassifier()
+        .setLayers(Array(featCols.length, 8, 2)).setMaxIter(step).setSeed(42L)
+      if (weights != null) est.setInitialWeights(weights)
+      val m = est.fit(fitDf)
+      weights = m.weights
+      val auc = if (starved) 0.5 else ev.evaluate(m.transform(valDf))
+      curve += ((r.toLong * step, auc))
+      if (auc > bestAuc) {
+        bestAuc = auc; bestModel = m; bestRound = r.toLong * step; sinceBest = 0
+      } else sinceBest += 1
+      r += 1
+    }
+    fitDf.unpersist(); valDf.unpersist()
+    val preds = bestModel.transform(assembler.transform(test))
+      .select(col("c_custkey"), col("label"), col("prediction"))
+      .orderBy("c_custkey")
+    (curve.toSeq.map { case (it, auc) => (it, auc, it == bestRound) }, preds)
+  }
+
   private val mlMlp = Q(
     "ml_mlp",
-    (s, d) => {
-      val (train, test) = split(customerFeatures(s, d))
-      val mlp = new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
-        .setLayers(Array(featCols.length, 8, 2))
-        .setMaxIter(30).setSeed(42L)
-      val model = new Pipeline().setStages(Array(assembler, mlp)).fit(train)
-      model.transform(test)
-        .select(col("c_custkey"), col("label"), col("prediction"))
-        .orderBy("c_custkey")
-    },
+    (s, d) => mlpEarlyStopCurve(s, d)._2,
     None
   )
 
@@ -1148,11 +1206,11 @@ object MlC extends Module {
     (s, d) => {
       val preds = logregPredictions(s, d)
         .withColumn("bin", least(floor(col("prob_1") * 10.0).cast("long"), lit(9L)))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val bins = preds.groupBy(col("bin"))
         .agg(count(lit(1)).as("nb"), sum(col("prob_1")).as("sp"),
           sum(col("label")).as("sy"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val tot = preds.agg(count(lit(1)).as("n"),
         sum((col("prob_1") - col("label")) * (col("prob_1") - col("label"))).as("sse"),
         sum(col("label")).as("pos"))
@@ -1219,7 +1277,7 @@ object MlC extends Module {
       val preds = logregPredictions(s, d)
         .join(customerFeatures(s, d).select(col("c_custkey"), col("total_spend")),
           "c_custkey")
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val fences = graft.operators.Quantiles.exactQuantiles(
           preds, Seq("total_spend"), (1 to 9).map(_ * 0.1).toSeq)
         .sortBy(_._2).map(_._3)
@@ -1382,7 +1440,9 @@ object MlC extends Module {
   // (modeling.py:12 over ~12 classifier families vs DummyClassifier):
   // SEVEN MLlib families + a kNN row (the roster's KNeighborsClassifier,
   // backed by graft's own neighbor-join machinery since MLlib lacks
-  // kNN) + the most-frequent dummy baseline, each
+  // kNN) + a kernel-SVC row (seeded random-Fourier-features +
+  // LinearSVC — the roster's RBF SVC import) + the most-frequent
+  // dummy baseline, each
   // scored by the same seeded hash-fold 3-fold CV as ml_search (fold
   // membership identical on any cluster shape), reporting fold-mean
   // accuracy / f1 / AUC per family. Fits are MLlib's distributed
@@ -1488,6 +1548,52 @@ object MlC extends Module {
       ("knn", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
         folds.map(_._3).sum / 3.0)
     }
+    // Kernel-SVC family (the roster's `from sklearn.svm import SVC`,
+    // modeling_validation.ipynb — MLlib has no kernel SVM): seeded
+    // RANDOM FOURIER FEATURES + LinearSVC. Rahimi & Recht 2007: with
+    // W ~ N(0, 2γI) and b ~ U[0, 2π), z(x) = sqrt(2/D)·cos(Wx + b)
+    // satisfies E[z(x)ᵀz(y)] = exp(−γ‖x−y‖²) — the RBF kernel the
+    // reference's SVC defaults to — so a linear fit on z matches the
+    // kernel machine's capability class while staying a distributed
+    // MLlib primal solve. W/b come from one fixed-seed driver RNG (a
+    // few KB, closure-shipped like the GBT trees); features z-scale by
+    // TRAIN-fold stats (no leakage) and γ = 1/nf mirrors sklearn's
+    // gamma='scale' on standardized features. Deterministic: seeded
+    // draw + hash folds, zero RNG in the schedule.
+    val svcRff = {
+      val nf = featCols.length
+      val dRff = 32
+      val rng = new java.util.Random(42L)
+      val gamma = 1.0 / nf
+      val wMat = Array.fill(dRff, nf)(rng.nextGaussian() * math.sqrt(2.0 * gamma))
+      val bVec = Array.fill(dRff)(rng.nextDouble() * 2.0 * math.Pi)
+      val xs = org.apache.spark.ml.functions.vector_to_array(col("features"))
+      val folds = (0 until 3).map { f =>
+        val tr = df.filter(col("fold") =!= f)
+        val te = df.filter(col("fold") === f)
+        val stats = tr.select(posexplode(xs).as(Seq("pos", "v")))
+          .groupBy("pos").agg(avg("v").as("mu"), stddev_samp("v").as("sd"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val mus = stats.map(_._2)
+        val sds = stats.map(t => if (!t._3.isNaN && t._3 > 0.0) t._3 else 1.0)
+        def scaled(i: Int) = (xs.getItem(i) - lit(mus(i))) / lit(sds(i))
+        def phi = array((0 until dRff).map { j =>
+          cos((0 until nf).map(i => scaled(i) * lit(wMat(j)(i))).reduce(_ + _)
+            + lit(bVec(j))) * lit(math.sqrt(2.0 / dRff))
+        }: _*)
+        def mapped(frame: DataFrame) = frame.withColumn("rff",
+          org.apache.spark.ml.functions.array_to_vector(phi))
+        val svc = new LinearSVC().setMaxIter(20).setRegParam(0.01)
+          .setFeaturesCol("rff")
+        val m = svc.fit(mapped(tr))
+        val preds = m.transform(mapped(te))
+        val (acc, f1) = countMetrics(preds)
+        (acc, f1, ev.evaluate(preds))
+      }
+      ("svc_rff", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
+        folds.map(_._3).sum / 3.0)
+    }
     // AdaBoost family (the roster's AdaBoostClassifier; MLlib lacks it
     // — graft's own weighted-stump boosting backs the row, margin as
     // the AUC ranking score)
@@ -1521,7 +1627,7 @@ object MlC extends Module {
         folds.map(_._3).sum / 3.0)
     }
     df.unpersist()
-    (fitted :+ knn :+ adaboost :+ dummy).sortBy(_._1)
+    (fitted :+ knn :+ svcRff :+ adaboost :+ dummy).sortBy(_._1)
   }
 
   private val mlModelPanel = Q(

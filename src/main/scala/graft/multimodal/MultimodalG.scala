@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.Exact.GraftCheckpoint
 import graft.{Q, Tables, Module}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -224,7 +225,10 @@ object MultimodalG extends Module {
     (s, d) => {
       // fanout: the testdata parquet is a single row group, which would
       // run the 66-point sampling + 60-bit fold on ONE task (>10 min at
-      // sf1); checkpoint so the join's two branches share one pass
+      // sf1); checkpoint so the join's two branches share one pass.
+      // Lazy (eager = false): the hash pass runs at first ACTION, so
+      // merely constructing the DataFrame (plan inspection, explain)
+      // stays side-effect-free; branch sharing is identical either way.
       val hashed = graft.Exact.fanout(Tables.documents(s, d))
         .withColumn("stride", expr("greatest((length(text) - 1) div 66, 1)"))
         .withColumn("bs", expr(
@@ -235,7 +239,7 @@ object MultimodalG extends Module {
             |           < element_at(bs, CAST((j div 10) * 11 + (j % 10) + 2 AS INT)),
             |        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
         .select(col("doc_id"), col("phash"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint(eager = false)
       val bands = hashed.select(col("doc_id"), col("phash"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> shiftrightunsigned(phash, b * 15) & 32767)")))

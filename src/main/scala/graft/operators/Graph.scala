@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Exact.GraftCheckpoint
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,11 +43,11 @@ object Graph {
   def pagerank(edges: DataFrame, damping: Double = 0.85, iters: Int = 15): DataFrame = {
     val both = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
     val degrees = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val adj = both.join(degrees, "src").localCheckpoint(eager = true)
+    val adj = both.join(degrees, "src").graftCheckpoint()
     val nodes = both.select(col("src").as("id")).distinct()
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
     val n = nodes.count()
     val base = (1.0 - damping) / n.toDouble
     var ranks = nodes.withColumn("rank", lit(1.0 / n.toDouble))
@@ -59,7 +60,7 @@ object Graph {
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
     }
     ranks
   }
@@ -87,7 +88,7 @@ object Graph {
     */
   def kcoreWithRounds(edges: DataFrame, k: Int,
       maxRounds: Int = 50): (DataFrame, Int) = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = true)
+    var e = edges.select(col("src"), col("dst")).graftCheckpoint()
     var done = false
     var rounds = 0
     while (!done && rounds < maxRounds) {
@@ -95,12 +96,12 @@ object Graph {
       val both = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id")))
       val degrees = both.groupBy(col("id")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val keep = degrees.filter(col("deg") >= k).select(col("id"))
       val e2 = e.join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       if (e2.count() == e.count()) done = true
       e = e2
     }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Exact.GraftCheckpoint
 import graft.{Exact, Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -567,7 +568,7 @@ object RelationalC extends Module {
       val counts = Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("y"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 HOUR"))).as("h"))
@@ -767,7 +768,7 @@ object RelationalC extends Module {
     val counts = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("y"))
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
     val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("h"))
@@ -853,7 +854,7 @@ object RelationalC extends Module {
       val counts = Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("y"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val t0 = counts.agg(min(unix_millis(col("h")))).head().getLong(0)
       // hour index: the division is exact (date_trunc multiples), cast
       // back to long to mirror the oracle's integer `//`

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Exact.GraftCheckpoint
 import graft.{Exact, Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -27,7 +28,7 @@ object RelationalD extends Module {
     val counts = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("y"))
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
     counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("h"))
@@ -685,7 +686,7 @@ object RelationalD extends Module {
             to_date(lit("1970-01-01"))).cast("long").as("recency_days"),
           count(lit(1)).as("frequency"),
           sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("monetary_cents"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val metrics = Seq("recency_days", "frequency", "monetary_cents")
       val fences = Quantiles.exactQuantiles(perCust, metrics, Seq(0.2, 0.4, 0.6, 0.8))
         .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
@@ -750,7 +751,7 @@ object RelationalD extends Module {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val nOrders = items.select(col("ok")).distinct().count()
       val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
       val a = items.select(col("ok"), col("pk").as("pk_a"))
@@ -1114,7 +1115,7 @@ object RelationalD extends Module {
       // bucket-sum metadata and the final pass reuse one reduction
       val perPart = l.groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val fit = perPart.agg(min(col("cents")), max(col("cents"))).head()
       val (blo, bhi) = (fit.getLong(0), fit.getLong(1))
       val bCol = if (blo == bhi) lit(1L)
@@ -1362,7 +1363,7 @@ object RelationalD extends Module {
   private val q103 = Q(
     "q103_forecast_eval",
     (s, d) => {
-      val series = hourlySeries(s, d).localCheckpoint(eager = true)
+      val series = hourlySeries(s, d).graftCheckpoint()
       val hi = series.agg(max(col("hm"))).head().getLong(0)
       val holdoutStart = hi - 7L * 24L * 3600000L
       val lagged = series.select(col("hm"), col("y"))
@@ -1663,7 +1664,7 @@ object RelationalD extends Module {
   private val q108 = Q(
     "q108_anomaly_seasonal",
     (s, d) => {
-      val dec = RelationalC.decomposed(s, d).localCheckpoint(eager = true)
+      val dec = RelationalC.decomposed(s, d).graftCheckpoint()
       val med = Quantiles.exactQuantiles(
         dec.select(col("residual")), Seq("residual"), Seq(0.5)).head._3
       val devs = dec.select(abs(col("residual") - lit(med)).as("dev"))
@@ -1715,7 +1716,7 @@ object RelationalD extends Module {
           datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
             .cast("long").as("day"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val cohorts = userDays.groupBy(col("user_id"))
         .agg(min(col("day")).as("cohort_day"))
       val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_n"))

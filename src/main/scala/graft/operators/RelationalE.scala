@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Exact.GraftCheckpoint
 import graft.{Exact, Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -119,7 +120,7 @@ object RelationalE extends Module {
 
   def weightedQuantiles(facts0: DataFrame,
       ps: Seq[(Long, Long, Double)]): Seq[(String, Double, Double)] = {
-    val facts = facts0.localCheckpoint(eager = true)
+    val facts = facts0.graftCheckpoint()
     val stats = facts.groupBy(col("g"))
         .agg(sum(col("w")).as("tw"), min(col("x")).as("lo"), max(col("x")).as("hi"))
         .collect()
@@ -215,7 +216,7 @@ object RelationalE extends Module {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
       val a = items.select(col("ok"), col("pk").as("pk_a"))
       val b = items.select(col("ok").as("ok_b"), col("pk").as("pk_b"))
@@ -270,11 +271,11 @@ object RelationalE extends Module {
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2L)
         .select(col("u"), col("v"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val deg = edges.select(col("u").as("pk"))
         .union(edges.select(col("v").as("pk")))
         .groupBy(col("pk")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       // orient: src = (deg, pk)-smaller endpoint (deg is dim-sized here;
       // at scale the join keys on pk and AQE plans it — no collect)
       val du = deg.select(col("pk").as("u"), col("deg").as("du"))
@@ -290,7 +291,7 @@ object RelationalE extends Module {
           when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")), col("dv"))
             .otherwise(col("du")).as("ddeg"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val x = or.select(col("src"), col("dst").as("v1"), col("ddeg").as("deg1"))
       val y = or.select(col("src").as("src2"), col("dst").as("v2"), col("ddeg").as("deg2"))
       val wedges = x.join(y, col("src") === col("src2") &&
@@ -517,13 +518,13 @@ object RelationalE extends Module {
     val counts = Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("y"))
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
     counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("h"))
       .join(counts, Seq("h"), "left")
       .select(col("h"), coalesce(col("y"), lit(0L)).as("y"))
-      .localCheckpoint(eager = true)
+      .graftCheckpoint()
   }
 
   private val hourlySql =
@@ -554,7 +555,7 @@ object RelationalE extends Module {
       val counts = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("y"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val spine = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 HOUR"))).as("h"))
@@ -899,7 +900,7 @@ object RelationalE extends Module {
         .agg(count(lit(1)).as("n"),
           Exact.dec2d(sum(z)).as("s1"),
           Exact.dec2d(sum(z * z)).as("s2"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val a = m.select(col("seg").as("seg_a"), col("n").as("n_a"),
         col("s1").as("s1_a"), col("s2").as("s2_a"))
       val b = m.select(col("seg").as("seg_b"), col("n").as("n_b"),
@@ -945,7 +946,7 @@ object RelationalE extends Module {
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val series = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 HOUR"))).as("h"))
@@ -1013,7 +1014,7 @@ object RelationalE extends Module {
         .select(col("o_custkey"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long").as("day"),
           Exact.qzl(col("o_totalprice"), 100.0).as("cents"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val refDay = li.agg(max(col("day"))).head().getLong(0)
       li.withColumn("k",
           least((lit(refDay) - col("day")) / lit(30L), lit(20L)).cast("int"))
@@ -1107,13 +1108,13 @@ object RelationalE extends Module {
       val daily = Tables.orders(s, d)
         .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
         .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val series = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 DAY"))).as("day"))
         .join(daily, Seq("day"), "left")
         .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val tot = series.agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).head()
       val (n, sTot) = (tot.getLong(0), tot.getLong(1))
       import org.apache.spark.sql.types.DecimalType
@@ -1215,7 +1216,7 @@ object RelationalE extends Module {
       val days = Tables.events(s, d)
         .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
       val classed = days
         .withColumn("prev", lag(col("day"), 1).over(byUser))
@@ -1228,7 +1229,7 @@ object RelationalE extends Module {
           sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
           sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
           count(lit(1)).as("dau"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val spine = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"))).as("day"))
       val w = Window.orderBy(col("day"))
@@ -1297,7 +1298,7 @@ object RelationalE extends Module {
       val days = Tables.events(s, d)
         .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
         .distinct()
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val span = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi")).head()
       val (lo, hi) = (span.getDate(0), span.getDate(1))
       val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
@@ -1352,7 +1353,7 @@ object RelationalE extends Module {
         .withColumn("half", when(col("day") <= mid, "prev").otherwise("cur"))
         .groupBy(col("half"), col("o_custkey"))
         .agg(sum(col("cents")).cast("double").as("spend"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val fences = Quantiles.groupedExactQuantiles(
           perCust, "half", "spend", Seq(0.25, 0.5, 0.75))
         .groupBy(_._1).map { case (h, rows) =>
@@ -1437,13 +1438,13 @@ object RelationalE extends Module {
         .select(col("l_partkey").as("pk"),
           date_trunc("week", col("l_shipdate")).as("wk"),
           round(col("l_quantity")).cast("long").as("units"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val top = li.groupBy(col("pk")).agg(sum(col("units")).as("tot"))
         .orderBy(col("tot").desc, col("pk")).limit(20)
         .collect().map(_.getLong(0)).sorted
       val weekly = li.filter(col("pk").isin(top: _*))
         .groupBy(col("pk"), col("wk")).agg(sum(col("units")).as("units"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val spine = weekly.agg(min(col("wk")).as("lo"), max(col("wk")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 WEEK"))).as("wk"))
@@ -1528,7 +1529,7 @@ object RelationalE extends Module {
         .agg(count(lit(1)).as("n_lines"),
           countDistinct(col("l_partkey")).as("n_parts"),
           sum(Exact.qzl(col("l_extendedprice"), 100.0)).as("cents"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val tot = perOrder.agg(count(lit(1)).as("n"), sum(col("cents")).as("c")).head()
       val (nOrders, totCents) = (tot.getLong(0), tot.getLong(1))
       perOrder.groupBy(col("n_parts"))

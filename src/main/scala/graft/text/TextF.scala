@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Exact.GraftCheckpoint
 import graft.{Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -891,7 +892,7 @@ object TextF extends Module {
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val scored = langScored(s, d).select(col("lang"), col("pred_lang"))
-        .localCheckpoint(eager = true)
+        .graftCheckpoint()
       val tot = scored.agg(count(lit(1)).as("n"),
         sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("agree"))
       val rows = scored.groupBy(col("lang").as("l")).agg(count(lit(1)).as("nr"))

@@ -85,7 +85,7 @@ class ExactSpec extends SparkSpec {
     assert(sql.contains("CAST(4294967296 AS DOUBLE)"), "exact 2^32 factor")
   }
 
-  test("floorDiv equals BigInt floor division at 100TB-like magnitudes") {
+  test("floorDiv equals BigInt truncating division at 100TB-like magnitudes") {
     import spark.implicits._
     // (a, n) pairs spanning the ANOVA term path: sd² up to ~1e34 over
     // group counts from tiny to fact-scale — the exact range where the
@@ -97,7 +97,14 @@ class ExactSpec extends SparkSpec {
       (BigInt("18446744073709551616"), 7L),                // 2^64
       (BigInt("9223372036854775807"), 25L),                // 2^63-1
       (BigInt("12345678901234567890123456789012"), 2000000L),
-      (BigInt(0), 5L), (BigInt(24), 25L))
+      (BigInt(0), 5L), (BigInt(24), 25L),
+      // negative dividends: floorDiv TRUNCATES toward zero (BigInt `/`
+      // semantics == DuckDB HUGEINT `//` == Spark decimal `%`-derived
+      // quotient) — pins the r8 ADVICE contract so a future negative
+      // call site can't reintroduce the pmod/trunc engine split
+      (BigInt("-152415787532388352"), 3L),                 // -1.5e17 / k
+      (BigInt("-99999999999999999999999999999999"), 24L),  // -1e32
+      (BigInt(-24), 25L), (BigInt(-7), 3L))
     val df = cases.map { case (a, n) => (a.toString, n) }.toDF("s", "n")
       .select(col("s").cast(DecimalType(38, 0)).as("a"), col("n"))
     val got = df.select(Exact.floorDiv(col("a"), col("n"))).collect()

@@ -501,9 +501,9 @@ class MlSpec extends SparkSpec {
     val a = MlC.modelPanelRows(spark, sf)
     val names = a.map(_._1)
     assert(names.contains("dummy"))
-    assert(names.size >= 9, s"family roster too thin: $names") // 7+knn+adaboost+dummy
+    assert(names.size >= 10, s"family roster too thin: $names") // 7+knn+svc_rff+adaboost+dummy
     Seq("adaboost", "gbt", "knn", "linear_svc", "logreg", "mlp", "naive_bayes",
-      "random_forest", "ridge").foreach(f =>
+      "random_forest", "ridge", "svc_rff").foreach(f =>
       assert(names.contains(f), s"missing family $f"))
     a.foreach { case (m, acc, f1, auc) =>
       assert(acc >= 0.0 && acc <= 1.0, s"$m accuracy")
@@ -608,5 +608,34 @@ class MlSpec extends SparkSpec {
     val again = SparkEntry.queries("ml_vif")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
     assert(real.toSeq === again.toSeq)
+  }
+
+  test("ml_mlp early stopping: selected round validation-optimal, patience respected, deterministic") {
+    val (curve, preds) = MlC.mlpEarlyStopCurve(spark, sf)
+    // round budgets are the fixed 5-iteration grid, at most 6 rounds
+    assert(curve.nonEmpty && curve.size <= 6)
+    assert(curve.map(_._1) === curve.indices.map(i => (i + 1) * 5L))
+    // exactly one selected round, and it carries the max validation AUC
+    // (ties break to the EARLIEST best round — restore_best_weights)
+    val sel = curve.filter(_._3)
+    assert(sel.size === 1, s"one selected round, got $curve")
+    val bestAuc = curve.map(_._2).max
+    assert(sel.head._2 === bestAuc)
+    assert(curve.takeWhile(_._1 < sel.head._1).forall(_._2 < bestAuc),
+      "selection must be the earliest best round")
+    // patience=2: after the selected round, at most 2 non-improving
+    // rounds were evaluated before stopping (unless the cap hit first)
+    val after = curve.dropWhile(_._1 <= sel.head._1)
+    assert(after.size <= 2, s"patience violated: $curve")
+    if (curve.size < 6) assert(after.size === 2,
+      "stopped early without exhausting patience")
+    // the prediction surface is the driver contract: non-empty, and the
+    // whole (curve, preds) pair is bit-deterministic on a re-run
+    val rows = preds.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val (curve2, preds2) = MlC.mlpEarlyStopCurve(spark, sf)
+    assert(curve === curve2, "training curve not deterministic")
+    val rows2 = preds2.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq === rows2.toSeq, "predictions not deterministic")
   }
 }

@@ -249,6 +249,44 @@ class PlanAuditSpec extends SparkSpec {
     // q128: the gap lag keys on user_id
     assert("windowspecdefinition\\(user_id".r.findFirstIn(plan("q128_interarrival")).isDefined)
   }
+  test("global allowlist: partition-less windows only on bounded surfaces") {
+    // Every individual shape above pins one operator; this pins the
+    // GLOBAL property the r8 verdict asked for: a WindowExec with an
+    // EMPTY partition spec funnels its whole input through one task, so
+    // it is only ever legal over pre-aggregated bounded metadata
+    // (|hours|/|days|/|months| spines, decile/threshold sweeps, k-row
+    // panel surfaces). The allowlist below is that audited set — a new
+    // world window in ANY registered query fails here instead of
+    // logging a WindowExec warning. (Windows behind a checkpoint
+    // boundary are invisible to this scan; those sites are covered by
+    // the per-operator tests above.)
+    val allowed = Set(
+      // hourly/daily spine surfaces (≤ |hours| ≈ 2200 rows at sf1; the
+      // span grows with TIME, not data volume)
+      "q72_seasonal", "q87_cusum", "q110_seasonal_strength", "q118_peaks",
+      "q124_rolling_corr", "q127_drawdown", "q129_growth_accounting",
+      // bounded decile/threshold sweeps (≤ deciles or |thresholds| rows)
+      "q78_lorenz", "ml_lift", "ml_ks_separation", "ml_cost_threshold",
+      // contingency-table / fixed-arm readouts (≤ categories² or 2 arms
+      // or 9 leading digits — cardinality fixed by the schema, not data)
+      "q67_chi2", "q81_chi2_residuals", "q84_cramers_v", "q85_benford",
+      "q96_share_of_total", "q97_growth", "q107_ab_proportions")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.toSet.subsetOf(allowed),
+      s"NEW partition-less window (bounded-surface audit required): " +
+        s"${offenders.toSet -- allowed}")
+    // the list is exact, not just an upper bound: an entry whose plan
+    // no longer needs the exemption should be removed
+    assert((allowed -- offenders.toSet).isEmpty,
+      s"stale allowlist entries: ${allowed -- offenders.toSet}")
+  }
+
   test("q99 abc cumulative pass is bucket-offset, not a world window") {
     // the cumulative-share window must partition on the 65536-bucket id
     // (each task sorts ~|parts|/65536 rows) — an empty partition spec

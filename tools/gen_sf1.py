@@ -1,45 +1,75 @@
 #!/usr/bin/env python3
-"""Local sf1 testdata: a 10x key-remapped upsample of the driver's sf0.1.
+"""Local sf1/sf10 testdata: a key-remapped upsample of the driver's sf0.1.
 
 The driver only ships sf{0.001,0.01,0.1} and gates correctness at
 sf0.01; the round-7 sweep showed that exact-sum overflow classes
 surface exactly one SF later (2^53 dec2d drift appeared at sf0.1
-only), so the local verify loop wants one more decade. This script
-replicates every sf0.1 table 10x with disjoint key ranges:
+only), so the local verify loop wants more decades. This script
+replicates every sf0.1 table N times with disjoint key ranges:
 
-- all BIGINT entity keys shift by k*10_000_000 per copy k in 0..9 —
+- all BIGINT entity keys shift by k*10_000_000 per copy k in 0..N-1 —
   one shared offset, so every FK edge (orders->customer,
   lineitem->{orders,part,supplier}, events.user_id->customer) stays
-  intact within its copy and the copies never collide;
+  intact within its copy and the copies never collide. After
+  generation every shifted source key column is asserted < OFF so an
+  out-of-range key cannot silently collide across copies;
 - region/nation are fixed dims and stay as-is;
 - document text gets a per-copy ' d<k>' suffix (k>0) so the upsample
-  creates NEAR-duplicate families rather than 10-way exact-duplicate
+  creates NEAR-duplicate families rather than N-way exact-duplicate
   degeneracy (n_chars recomputed to stay == LENGTH(text));
 - embeddings/labels/props/timestamps copy verbatim: the time span is
-  unchanged (hourly surfaces get 10x the mass — exactly the overflow
+  unchanged (hourly surfaces get Nx the mass — exactly the overflow
   pressure the sweep exists to apply).
 
-Usage: tools/gen_sf1.py [out_dir]   (default target/testdata/sf1)
+Usage: tools/gen_sf1.py [out_dir] [copies]
+  default: target/testdata/sf1, 10 copies (sf1)
+  sf10:    tools/gen_sf1.py target/testdata/sf10 100
 """
 import os, sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/testdata/sf1"
+COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 OFF = 10_000_000
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
-con.execute(f"CREATE VIEW ks AS SELECT unnest(generate_series(0, 9)) AS k")
+con.execute(
+    f"CREATE VIEW ks AS SELECT unnest(generate_series(0, {COPIES - 1})) AS k")
+
+# Shifted key columns per table; each is asserted < OFF in the SOURCE so
+# copy ranges are provably disjoint (ADVICE r8: nothing previously
+# checked this — an oversized key would silently corrupt FK edges).
+SHIFTED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def src(t):
+    return f"'{SRC}/{t}.parquet'"
+
+
+for t, cols in SHIFTED.items():
+    for c in cols:
+        mx = con.execute(f"SELECT MAX({c}) FROM {src(t)}").fetchone()[0]
+        assert mx is not None and mx < OFF, (
+            f"{t}.{c} max={mx} >= OFF={OFF}: copies would collide")
+
 
 def gen(table, sql):
     out = f"{OUT}/{table}.parquet"
     con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
-    print(f"{table}: {n} rows")
+    print(f"{table}: {n} rows", flush=True)
 
-def src(t):
-    return f"'{SRC}/{t}.parquet'"
 
 # fixed dims: verbatim
 for t in ("region", "nation"):
