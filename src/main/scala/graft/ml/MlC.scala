@@ -1394,11 +1394,16 @@ object MlC extends Module {
            |    label FROM cf, f""".stripMargin)
       val discArms = ("nation" +: segs.map(v => s"seg_$v")).map(c =>
         s"SELECT '$c' AS feature, CAST($c AS BIGINT) AS bin, label FROM cf")
-      s"""WITH bc AS (
+      // Every CTE carries DuckDB's MATERIALIZED hint: without it the
+      // oracle engine inlines this chain (g referenced by t/pb/py/mi)
+      // into a plan that spilled >100 GB at sf10 on 159 groups — a
+      // pure planner pathology; semantics are identical either way
+      // and graft's side is unaffected (sf10 sweep, round 9).
+      s"""WITH bc AS MATERIALIZED (
          |  SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS n_orders,
          |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
          |  FROM orders GROUP BY 1),
-         |cf AS (
+         |cf AS MATERIALIZED (
          |  SELECT c_custkey,
          |    CAST(c_nationkey AS DOUBLE) AS nation,
          |    COALESCE(n_orders, 0.0) AS n_orders,
@@ -1407,14 +1412,14 @@ object MlC extends Module {
          |    CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS label,
          |    $segCols
          |  FROM customer LEFT JOIN bc ON c_custkey = o_custkey),
-         |f AS (SELECT $fences FROM cf),
-         |cells AS (
+         |f AS MATERIALIZED (SELECT $fences FROM cf),
+         |cells AS MATERIALIZED (
          |  ${(contArms ++ discArms).mkString("\n  |  UNION ALL\n  |  ")}),
-         |g AS (SELECT feature, bin, label, COUNT(*) AS n FROM cells GROUP BY 1, 2, 3),
-         |t AS (SELECT feature, CAST(SUM(n) AS DOUBLE) AS ntot FROM g GROUP BY 1),
-         |pb AS (SELECT feature, bin, CAST(SUM(n) AS DOUBLE) AS nb FROM g GROUP BY 1, 2),
-         |py AS (SELECT feature, label, CAST(SUM(n) AS DOUBLE) AS ny FROM g GROUP BY 1, 2),
-         |mi AS (
+         |g AS MATERIALIZED (SELECT feature, bin, label, COUNT(*) AS n FROM cells GROUP BY 1, 2, 3),
+         |t AS MATERIALIZED (SELECT feature, CAST(SUM(n) AS DOUBLE) AS ntot FROM g GROUP BY 1),
+         |pb AS MATERIALIZED (SELECT feature, bin, CAST(SUM(n) AS DOUBLE) AS nb FROM g GROUP BY 1, 2),
+         |py AS MATERIALIZED (SELECT feature, label, CAST(SUM(n) AS DOUBLE) AS ny FROM g GROUP BY 1, 2),
+         |mi AS MATERIALIZED (
          |  SELECT g.feature,
          |    ROUND(GREATEST(SUM((g.n / t.ntot)
          |      * ln((g.n / t.ntot) / ((pb.nb / t.ntot) * (py.ny / t.ntot)))), 0.0), 9) AS mi_nats
@@ -1423,10 +1428,10 @@ object MlC extends Module {
          |  JOIN pb ON g.feature = pb.feature AND g.bin = pb.bin
          |  JOIN py ON g.feature = py.feature AND g.label = py.label
          |  GROUP BY g.feature),
-         |hx AS (
+         |hx AS MATERIALIZED (
          |  SELECT p.feature, ROUND(-SUM((p.nb / t.ntot) * ln(p.nb / t.ntot)), 9) AS h_feature
          |  FROM pb p JOIN t ON p.feature = t.feature GROUP BY p.feature),
-         |hy AS (
+         |hy AS MATERIALIZED (
          |  SELECT p.feature, ROUND(-SUM((p.ny / t.ntot) * ln(p.ny / t.ntot)), 9) AS h_label
          |  FROM py p JOIN t ON p.feature = t.feature GROUP BY p.feature)
          |SELECT m.feature, m.mi_nats, hx.h_feature, hy.h_label,

@@ -316,17 +316,17 @@ object RelationalE extends Module {
         java.util.Arrays.asList(Row(nNodes, nEdges, wedgeTotal, tri, clustering)),
         schema)
     },
-    Some("""WITH items AS (
+    Some("""WITH items AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT a.pk AS u, b.pk AS v
       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-      |deg AS (
+      |deg AS MATERIALIZED (
       |  SELECT pk, CAST(COUNT(*) AS BIGINT) AS deg FROM (
       |    SELECT u AS pk FROM edges UNION ALL SELECT v FROM edges)
       |  GROUP BY pk),
-      |oriented AS (
+      |oriented AS MATERIALIZED (
       |  SELECT
       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
       |      THEN e.u ELSE e.v END AS src,
@@ -335,11 +335,11 @@ object RelationalE extends Module {
       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
       |      THEN dv.deg ELSE du.deg END AS ddeg
       |  FROM edges e JOIN deg du ON e.u = du.pk JOIN deg dv ON e.v = dv.pk),
-      |wedges AS (
+      |wedges AS MATERIALIZED (
       |  SELECT x.dst AS v1, y.dst AS v2
       |  FROM oriented x JOIN oriented y ON x.src = y.src
       |    AND (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
-      |tri AS (
+      |tri AS MATERIALIZED (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
       |  FROM wedges w WHERE EXISTS (
       |    SELECT 1 FROM oriented o WHERE o.src = w.v1 AND o.dst = w.v2))

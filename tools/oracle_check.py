@@ -63,6 +63,20 @@ def main():
     out = argv[1] if len(argv) > 1 else "target/verify"
     only = set(argv[2:])
     con = duckdb.connect()
+    # big-SF knobs: a spill-heavy oracle query (pagerank's unrolled CTE
+    # chain, triangle self-joins) can exceed free disk at sf10 when a
+    # concurrent JVM squeezes DuckDB's default 80%-of-RAM limit down.
+    # preserve_insertion_order=false lets DuckDB stream instead of
+    # buffering (the compare sorts anyway); the env knobs let a re-run
+    # pick an explicit limit / temp location.
+    con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("ORACLE_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['ORACLE_DUCKDB_THREADS'])}")
+    if os.environ.get("ORACLE_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['ORACLE_DUCKDB_MEM']}'")
+    if os.environ.get("ORACLE_DUCKDB_TMP"):
+        os.makedirs(os.environ["ORACLE_DUCKDB_TMP"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['ORACLE_DUCKDB_TMP']}'")
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
