@@ -1457,14 +1457,30 @@ object MlC extends Module {
   // (seeded iterative fits); MlSpec pins determinism, the family
   // roster, and that the dummy sits at the bottom of the AUC column.
 
-  /** Per-family fold-mean metrics. Exposed for the determinism spec. */
+  /** Per-family fold-mean metrics. Exposed for the determinism spec.
+    *
+    * Every (family, fold) fit is an independent seeded job, so they run
+    * through a bounded driver-side pool (the CrossValidator
+    * `parallelism` discipline): the panel's wall time is dominated by
+    * driver-synchronized MLlib iteration round-trips, not executor
+    * compute, and 33 sequential fits left the 32-core scheduler idle
+    * most of the panel (~19 min at sf1). Results are assembled in
+    * (family, fold) order after all futures resolve, so the output is
+    * bit-identical to the sequential run on any cluster shape.
+    */
   private[graft] def modelPanelRows(s: SparkSession, d: String)
       : Seq[(String, Double, Double, Double)] = {
     import org.apache.spark.ml.classification._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val df = assembler.transform(customerFeatures(s, d))
       .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
       .select("c_custkey", "features", "label", "fold")
       .cache()
+    df.count() // materialize once, before concurrent first access
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
     val families: Seq[(String, org.apache.spark.ml.Estimator[_])] = Seq(
       "gbt" -> new GBTClassifier().setMaxIter(5).setMaxDepth(3).setSeed(42L),
       "linear_svc" -> new LinearSVC().setMaxIter(20).setRegParam(0.01),
@@ -1490,17 +1506,15 @@ object MlC extends Module {
       val f1 = if (prec + rec > 0) 2.0 * prec * rec / (prec + rec) else 0.0
       (acc, f1)
     }
-    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
+    def areaEv = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
     val fitted = families.map { case (name, est) =>
-      val folds = (0 until 3).map { f =>
+      name -> (0 until 3).map { f => Future {
         val m = est.fit(df.filter(col("fold") =!= f))
           .asInstanceOf[org.apache.spark.ml.Transformer]
         val preds = m.transform(df.filter(col("fold") === f))
         val (acc, f1) = countMetrics(preds)
-        (acc, f1, ev.evaluate(preds))
-      }
-      (name, folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
-        folds.map(_._3).sum / 3.0)
+        (acc, f1, areaEv.evaluate(preds))
+      } }
     }
     // kNN family (the reference roster's KNeighborsClassifier; MLlib has
     // no kNN, so graft's own neighbor-join machinery backs the row):
@@ -1517,7 +1531,7 @@ object MlC extends Module {
       val bkt = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
         lit(1000000007L) % lit(1000L)
       val xs = org.apache.spark.ml.functions.vector_to_array(col("features"))
-      val folds = (0 until 3).map { f =>
+      val folds = (0 until 3).map { f => Future {
         val tr = df.filter(col("fold") =!= f)
         val te = df.filter(col("fold") === f)
         val stats = tr.select(posexplode(xs).as(Seq("pos", "v")))
@@ -1549,9 +1563,8 @@ object MlC extends Module {
           .setMetricName("areaUnderROC").setRawPredictionCol("score")
           .evaluate(preds)
         (acc, f1, auc)
-      }
-      ("knn", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
-        folds.map(_._3).sum / 3.0)
+      } }
+      "knn" -> folds
     }
     // Kernel-SVC family (the roster's `from sklearn.svm import SVC`,
     // modeling_validation.ipynb — MLlib has no kernel SVM): seeded
@@ -1573,7 +1586,7 @@ object MlC extends Module {
       val wMat = Array.fill(dRff, nf)(rng.nextGaussian() * math.sqrt(2.0 * gamma))
       val bVec = Array.fill(dRff)(rng.nextDouble() * 2.0 * math.Pi)
       val xs = org.apache.spark.ml.functions.vector_to_array(col("features"))
-      val folds = (0 until 3).map { f =>
+      val folds = (0 until 3).map { f => Future {
         val tr = df.filter(col("fold") =!= f)
         val te = df.filter(col("fold") === f)
         val stats = tr.select(posexplode(xs).as(Seq("pos", "v")))
@@ -1594,16 +1607,15 @@ object MlC extends Module {
         val m = svc.fit(mapped(tr))
         val preds = m.transform(mapped(te))
         val (acc, f1) = countMetrics(preds)
-        (acc, f1, ev.evaluate(preds))
-      }
-      ("svc_rff", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
-        folds.map(_._3).sum / 3.0)
+        (acc, f1, areaEv.evaluate(preds))
+      } }
+      "svc_rff" -> folds
     }
     // AdaBoost family (the roster's AdaBoostClassifier; MLlib lacks it
     // — graft's own weighted-stump boosting backs the row, margin as
     // the AUC ranking score)
     val adaboost = {
-      val folds = (0 until 3).map { f =>
+      val folds = (0 until 3).map { f => Future {
         val (preds, _) = adaboostFit(df.filter(col("fold") =!= f),
           df.filter(col("fold") === f), rounds = 6, seed = 42L)
         val pr = preds.select(col("label"), col("prediction"), col("margin").as("score"))
@@ -1612,14 +1624,13 @@ object MlC extends Module {
           .setMetricName("areaUnderROC").setRawPredictionCol("score")
           .evaluate(pr)
         (acc, f1, auc)
-      }
-      ("adaboost", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
-        folds.map(_._3).sum / 3.0)
+      } }
+      "adaboost" -> folds
     }
     // DummyClassifier(most_frequent): constant majority-of-train-folds
     // prediction; binarized AUC degenerates to (recall1 + recall0)/2
     val dummy = {
-      val folds = (0 until 3).map { f =>
+      val folds = (0 until 3).map { f => Future {
         val maj = df.filter(col("fold") =!= f)
           .agg(sum(col("label")), count(lit(1))).head() match {
           case r0 => if (r0.getDouble(0) * 2.0 > r0.getLong(1)) 1.0 else 0.0
@@ -1627,12 +1638,18 @@ object MlC extends Module {
         val preds = df.filter(col("fold") === f).withColumn("prediction", lit(maj))
         val (acc, f1) = countMetrics(preds)
         (acc, f1, 0.5)
-      }
-      ("dummy", folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
-        folds.map(_._3).sum / 3.0)
+      } }
+      "dummy" -> folds
+    }
+    val rows = (fitted :+ knn :+ svcRff :+ adaboost :+ dummy).map {
+      case (name, foldFs) =>
+        val folds = foldFs.map(Await.result(_, Duration.Inf))
+        (name, folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,
+          folds.map(_._3).sum / 3.0)
     }
     df.unpersist()
-    (fitted :+ knn :+ svcRff :+ adaboost :+ dummy).sortBy(_._1)
+    rows.sortBy(_._1)
+    } finally pool.shutdown()
   }
 
   private val mlModelPanel = Q(
