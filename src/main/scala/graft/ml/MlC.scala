@@ -48,6 +48,26 @@ object MlC extends Module {
   private def assembler = new VectorAssembler()
     .setInputCols(featCols).setOutputCol("features")
 
+  /** Map `xs` through `f` on a bounded driver thread pool (the
+    * CrossValidator `parallelism` discipline): the ML operators'
+    * wall time is dominated by driver-synchronized MLlib job
+    * round-trips, and independent seeded fits/scoring passes can
+    * overlap without changing any result — outputs are collected in
+    * input order, so callers stay bit-identical to the sequential
+    * form on any cluster shape. Only use for element computations
+    * that are independent (no cross-element mutable state).
+    */
+  private def inPool[A, B](xs: Seq[A], threads: Int = 6)(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = xs.map(x => Future(f(x)))
+      fs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Deterministic 80/20 hash split (same overflow-free Z-mod-p recipe
     * as q18 — a raw key*2654435761 would wrap Long at key ≈ 3.5e9).
     */
@@ -103,6 +123,7 @@ object MlC extends Module {
         .setEstimator(lr)
         .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
         .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42L)
+        .setParallelism(4) // fold x param fits are independent; avgMetrics unchanged
       val model = cv.fit(df)
       val rows = grid.zip(model.avgMetrics).map { case (pm, m) =>
         (pm.get(lr.regParam).getOrElse(-1.0), m)
@@ -224,9 +245,9 @@ object MlC extends Module {
       .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
       .cache()
     val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
-    var fits = 0
+    val fits = new java.util.concurrent.atomic.AtomicInteger(0)
     def foldScore(est: org.apache.spark.ml.Estimator[_], f: Int): Double = {
-      fits += 1
+      fits.incrementAndGet()
       val m = est.fit(df.filter(col("fold") =!= f))
         .asInstanceOf[org.apache.spark.ml.Transformer]
       ev.evaluate(m.transform(df.filter(col("fold") === f)))
@@ -237,19 +258,28 @@ object MlC extends Module {
       if (ss.size % 2 == 1) ss(ss.size / 2)
       else (ss(ss.size / 2 - 1) + ss(ss.size / 2)) / 2.0
     }
+    // fold-0 stays a SEQUENTIAL chain — trial i's prune decision reads
+    // the median of fold-0 scores of trials < i (the intermediate-value
+    // rule). Folds 1/2 of the surviving trials are independent of that
+    // chain and of each other, so they overlap through the pool.
     val fold0s = scala.collection.mutable.ArrayBuffer[Double]()
-    val rows = trials.map { t =>
+    val phase0 = trials.map { t =>
       val s0 = foldScore(t.est, 0)
       val pruneThis = prune && fold0s.size >= 3 && s0 < median(fold0s.toSeq)
       fold0s += s0
+      (t, s0, pruneThis)
+    }
+    val restKeys = phase0.filter(!_._3).flatMap { case (t, _, _) => Seq((t, 1), (t, 2)) }
+    val rest = inPool(restKeys) { case (t, f) => (t.id, f) -> foldScore(t.est, f) }.toMap
+    val rows = phase0.map { case (t, s0, pruneThis) =>
       if (pruneThis) (t.id, t.model, t.reg, t.en, t.depth, s0, true)
       else {
-        val mean = (s0 + foldScore(t.est, 1) + foldScore(t.est, 2)) / 3.0
+        val mean = (s0 + rest((t.id, 1)) + rest((t.id, 2))) / 3.0
         (t.id, t.model, t.reg, t.en, t.depth, mean, false)
       }
     }
     df.unpersist()
-    (rows, fits)
+    (rows, fits.get())
   }
 
   private val mlSearch = Q(
@@ -326,7 +356,9 @@ object MlC extends Module {
       // deterministically (the ml_learning_curve NaN convention, made
       // selection-safe)
       val starved = rungTrain(frac).select(col("label")).distinct().count() < 2
-      val scored = alive.map(t => t -> (if (starved) 0.5 else rungScore(t, frac)))
+      // trials within one rung are independent (the sequencing is
+      // BETWEEN rungs); overlap their fits through the pool
+      val scored = inPool(alive)(t => t -> (if (starved) 0.5 else rungScore(t, frac)))
       val keep = scored.sortBy { case (t, sc) => (-sc, t.id) }
         .take((alive.size + 1) / 2).map(_._1.id).toSet
       scored.foreach { case (t, sc) =>
@@ -334,8 +366,8 @@ object MlC extends Module {
       }
       alive = alive.filter(t => keep(t.id))
     }
-    alive.foreach { t =>
-      out += ((t.id, t.model, t.reg, t.en, t.depth, 2L, 1.0, fullCv(t), true))
+    inPool(alive)(t => t -> fullCv(t)).foreach { case (t, sc) =>
+      out += ((t.id, t.model, t.reg, t.en, t.depth, 2L, 1.0, sc, true))
     }
     df.unpersist()
     out.toSeq
@@ -962,7 +994,9 @@ object MlC extends Module {
         lit(1000000007L) % 64
       val hashOrd = (col("c_custkey") % lit(998244353L)) * lit(3L) % lit(998244353L)
       val base = auc(test)
-      val rows = featCols.map { f =>
+      // one trained model, one independent scoring pass per feature —
+      // the passes overlap through the pool
+      val rows = inPool(featCols.toSeq) { f =>
         val w = Window.partitionBy(bucket).orderBy(hashOrd, col("c_custkey"))
         val wAll = Window.partitionBy(bucket)
         val shifted = coalesce(lag(col(f), 1).over(w),
@@ -1142,7 +1176,9 @@ object MlC extends Module {
         lit(1000000007L) % 1000
       val test = df.filter(bucket >= 800)
       val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
-      val rows = Seq(160, 320, 480, 640, 800).map { cut =>
+      // the five nested-prefix fits score the same fixed hold-out and
+      // share nothing — overlap them through the pool
+      val rows = inPool(Seq(160, 320, 480, 640, 800)) { cut =>
         val train = df.filter(bucket < cut)
         val n = train.count()
         // a class-starved prefix (tiny SF) fits a degenerate single-class
