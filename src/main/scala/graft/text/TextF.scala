@@ -293,7 +293,10 @@ object TextF extends Module {
         sequence(lit(1), greatest(size(words) - 1, lit(1))),
         i => concat_ws(" ", slice(words, i, lit(2))))
       def flag(c: Column): Column = when(c, 1L).otherwise(0L)
-      Tables.documents(s, d)
+      // fanout: the per-row bigram array + distinct is the same heavy
+      // per-row class as tx_repetition — don't let the testdata
+      // parquet's row-group count cap the scan's parallelism
+      graft.Exact.fanout(Tables.documents(s, d))
         .withColumn("n_w", size(words).cast("long"))
         .withColumn("n_punct",
           (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
