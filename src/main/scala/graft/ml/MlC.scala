@@ -4,7 +4,7 @@ import graft.{Q, Tables, Module}
 import graft.Exact._
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression}
-import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+
 import org.apache.spark.ml.feature.{IndexToString, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.param.ParamMap
 import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
@@ -68,6 +68,76 @@ object MlC extends Module {
     } finally pool.shutdown()
   }
 
+  /** EXACT ROC-AUC of a scored frame — ml_auc's Mann–Whitney
+    * average-tie-rank machinery (distinct-score counts → bounded
+    * bucket-offset metadata → within-bucket cumulative window, tie
+    * terms integral via doubling, DECIMAL(38,0) sum) as a reusable
+    * readout. Returns (n_pos, n_neg, auc); 0.5 on a one-class frame.
+    *
+    * Every seeded-fit operator's AUC routes through THIS, not MLlib's
+    * BinaryClassificationEvaluator: the evaluator downsamples the ROC
+    * curve to 1000 bins over a sortByKey whose RangePartitioner draws
+    * its sample seed from rdd.id — a global allocation counter that
+    * varies with concurrent query scheduling — so above ~1000 hold-out
+    * rows its AUC wobbles at the 1e-5 level run to run (first seen in
+    * the round-9 sf10 determinism A/B; invisible at sf0.01..sf1 where
+    * the curve fits in the bins and binning is exact). The rank
+    * statistic is binning-free and order-independent, so it is
+    * bit-deterministic on any cluster shape and any scheduling, at any
+    * scale — and equals sklearn's roc_auc_score semantics exactly.
+    */
+  private[graft] def exactAucParts(preds: DataFrame, score: Column,
+      label: Column): (Long, Long, Double) = {
+    import preds.sparkSession.implicits._
+    val c = preds.select(score.cast("double").as("x"), label.cast("double").as("y"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("ct"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("cp"))
+    val r = c.agg(min(col("x")), max(col("x")), sum(col("ct")), sum(col("cp"))).head()
+    val (lo, hi, nTot, nPos) = (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+    val nNeg = nTot - nPos
+    if (nPos == 0L || nNeg == 0L) return (nPos, nNeg, 0.5)
+    val bCol =
+      if (lo == hi) lit(1L)
+      else least(width_bucket(col("x"), lit(lo), lit(hi), lit(65536)), lit(65536L))
+    val perBucket = c.groupBy(bCol.as("bk")).agg(sum(col("ct")).as("t"))
+      .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = perBucket.map { case (bk, t) => val o = (bk, acc); acc += t; o }
+    val offDf = broadcast(offsets.toSeq.toDF("ob", "off"))
+    val w = Window.partitionBy(col("bk")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val doubledRankSum = c.withColumn("bk", bCol)
+      .join(offDf, col("bk") === col("ob"))
+      .withColumn("below", col("off") + sum(col("ct")).over(w) - col("ct"))
+      .agg(sum((col("cp") * (col("below") * 2L + col("ct") + 1L))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double"))
+      .head().getDouble(0)
+    val auc = (doubledRankSum / 2.0 - nPos.toDouble * (nPos + 1).toDouble / 2.0) /
+      (nPos.toDouble * nNeg.toDouble)
+    (nPos, nNeg, auc)
+  }
+
+  /** exactAucParts with the margin of an MLlib rawPrediction vector as
+    * the ranking score (rawPrediction[1] orders identically to the
+    * positive-class probability).
+    */
+  private[graft] def exactAucRaw(preds: DataFrame): Double =
+    exactAucParts(preds,
+      org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")).getItem(1),
+      col("label"))._3
+
+  /** Evaluator facade over exactAucParts for MLlib's CrossValidator. */
+  private class ExactAucEvaluator(override val uid: String)
+      extends org.apache.spark.ml.evaluation.Evaluator {
+    def this() = this(org.apache.spark.ml.util.Identifiable.randomUID("exactAucEval"))
+    override def evaluate(ds: org.apache.spark.sql.Dataset[_]): Double =
+      exactAucRaw(ds.toDF)
+    override def isLargerBetter: Boolean = true
+    override def copy(extra: org.apache.spark.ml.param.ParamMap): ExactAucEvaluator =
+      new ExactAucEvaluator(uid)
+  }
+
   /** Deterministic 80/20 hash split (same overflow-free Z-mod-p recipe
     * as q18 — a raw key*2654435761 would wrap Long at key ≈ 3.5e9).
     */
@@ -121,7 +191,7 @@ object MlC extends Module {
         .addGrid(lr.regParam, Array(0.0, 0.1)).build()
       val cv = new CrossValidator()
         .setEstimator(lr)
-        .setEvaluator(new BinaryClassificationEvaluator().setMetricName("areaUnderROC"))
+        .setEvaluator(new ExactAucEvaluator())
         .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42L)
         .setParallelism(4) // fold x param fits are independent; avgMetrics unchanged
       val model = cv.fit(df)
@@ -244,13 +314,12 @@ object MlC extends Module {
     val df = assembler.transform(customerFeatures(s, d))
       .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
       .cache()
-    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
     val fits = new java.util.concurrent.atomic.AtomicInteger(0)
     def foldScore(est: org.apache.spark.ml.Estimator[_], f: Int): Double = {
       fits.incrementAndGet()
       val m = est.fit(df.filter(col("fold") =!= f))
         .asInstanceOf[org.apache.spark.ml.Transformer]
-      ev.evaluate(m.transform(df.filter(col("fold") === f)))
+      exactAucRaw(m.transform(df.filter(col("fold") === f)))
     }
     val trials = searchTrialSet()
     def median(v: Seq[Double]): Double = {
@@ -327,13 +396,12 @@ object MlC extends Module {
       .withColumn("bkt", (col("c_custkey") % lit(1000000007L)) * lit(654435747L)
         % lit(1000000007L) % lit(1000L))
       .cache()
-    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
     def rungTrain(frac: Double) =
       df.filter(col("fold") =!= 0 && col("bkt") < lit((frac * 1000).toLong))
     def rungScore(t: Trial, frac: Double): Double = {
       val m = t.est.fit(rungTrain(frac))
         .asInstanceOf[org.apache.spark.ml.Transformer]
-      ev.evaluate(m.transform(df.filter(col("fold") === 0)))
+      exactAucRaw(m.transform(df.filter(col("fold") === 0)))
     }
     def fullCv(t: Trial): Double = (0 until 3).map { f =>
       // same starved-fold convention as the rungs (r8 ADVICE): a
@@ -344,7 +412,7 @@ object MlC extends Module {
       else {
         val m = t.est.fit(train)
           .asInstanceOf[org.apache.spark.ml.Transformer]
-        ev.evaluate(m.transform(df.filter(col("fold") === f)))
+        exactAucRaw(m.transform(df.filter(col("fold") === f)))
       }
     }.sum / 3.0
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Double],
@@ -573,7 +641,6 @@ object MlC extends Module {
     val valDf = assembled.filter(bkt < 250).cache()
     val starved = fitDf.select(col("label")).distinct().count() < 2 ||
       valDf.select(col("label")).distinct().count() < 2
-    val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
     val step = 5
     val maxRounds = 6 // cap == the fixed 30 iters the panel row uses
     val patience = 2
@@ -590,7 +657,7 @@ object MlC extends Module {
       if (weights != null) est.setInitialWeights(weights)
       val m = est.fit(fitDf)
       weights = m.weights
-      val auc = if (starved) 0.5 else ev.evaluate(m.transform(valDf))
+      val auc = if (starved) 0.5 else exactAucRaw(m.transform(valDf))
       curve += ((r.toLong * step, auc))
       if (auc > bestAuc) {
         bestAuc = auc; bestModel = m; bestRound = r.toLong * step; sinceBest = 0
@@ -941,31 +1008,8 @@ object MlC extends Module {
     "ml_auc",
     (s, d) => {
       import s.implicits._
-      val preds = logregPredictions(s, d)
-      val c = preds.groupBy(col("prob_1").as("x"))
-        .agg(count(lit(1)).as("ct"),
-          sum(when(col("label") === 1.0, 1L).otherwise(0L)).as("cp"))
-      val r = c.agg(min(col("x")), max(col("x")), sum(col("ct")), sum(col("cp"))).head()
-      val (lo, hi, nTot, nPos) = (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
-      val nNeg = nTot - nPos
-      val bCol =
-        if (lo == hi) lit(1L)
-        else least(width_bucket(col("x"), lit(lo), lit(hi), lit(65536)), lit(65536L))
-      val perBucket = c.groupBy(bCol.as("bk")).agg(sum(col("ct")).as("t"))
-        .collect().map(row => (row.getLong(0), row.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offsets = perBucket.map { case (bk, t) => val o = (bk, acc); acc += t; o }
-      val offDf = broadcast(offsets.toSeq.toDF("ob", "off"))
-      val w = Window.partitionBy(col("bk")).orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val doubledRankSum = c.withColumn("bk", bCol)
-        .join(offDf, col("bk") === col("ob"))
-        .withColumn("below", col("off") + sum(col("ct")).over(w) - col("ct"))
-        .agg(sum((col("cp") * (col("below") * 2L + col("ct") + 1L))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double"))
-        .head().getDouble(0)
-      val auc = (doubledRankSum / 2.0 - nPos.toDouble * (nPos + 1).toDouble / 2.0) /
-        (nPos.toDouble * nNeg.toDouble)
+      val (nPos, nNeg, auc) =
+        exactAucParts(logregPredictions(s, d), col("prob_1"), col("label"))
       Seq((nPos, nNeg, auc)).toDF("n_pos", "n_neg", "auc")
     },
     None
@@ -987,9 +1031,7 @@ object MlC extends Module {
       val (train, test) = split(customerFeatures(s, d))
       val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
       val model = new Pipeline().setStages(Array(assembler, lr)).fit(train)
-      val evaluator = new BinaryClassificationEvaluator()
-        .setRawPredictionCol("rawPrediction").setMetricName("areaUnderROC")
-      def auc(df: DataFrame): Double = evaluator.evaluate(model.transform(df))
+      def auc(df: DataFrame): Double = exactAucRaw(model.transform(df))
       val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
         lit(1000000007L) % 64
       val hashOrd = (col("c_custkey") % lit(998244353L)) * lit(3L) % lit(998244353L)
@@ -1175,7 +1217,6 @@ object MlC extends Module {
       val bucket = (col("c_custkey") % lit(1000000007L)) * lit(654435747L) %
         lit(1000000007L) % 1000
       val test = df.filter(bucket >= 800)
-      val ev = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
       // the five nested-prefix fits score the same fixed hold-out and
       // share nothing — overlap them through the pool
       val rows = inPool(Seq(160, 320, 480, 640, 800)) { cut =>
@@ -1189,7 +1230,7 @@ object MlC extends Module {
           else {
             val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
             val model = new Pipeline().setStages(Array(assembler, lr)).fit(train)
-            ev.evaluate(model.transform(test))
+            exactAucRaw(model.transform(test))
           }
         (cut.toDouble / 800.0, n, auc)
       }
@@ -1542,14 +1583,13 @@ object MlC extends Module {
       val f1 = if (prec + rec > 0) 2.0 * prec * rec / (prec + rec) else 0.0
       (acc, f1)
     }
-    def areaEv = new BinaryClassificationEvaluator().setMetricName("areaUnderROC")
     val fitted = families.map { case (name, est) =>
       name -> (0 until 3).map { f => Future {
         val m = est.fit(df.filter(col("fold") =!= f))
           .asInstanceOf[org.apache.spark.ml.Transformer]
         val preds = m.transform(df.filter(col("fold") === f))
         val (acc, f1) = countMetrics(preds)
-        (acc, f1, areaEv.evaluate(preds))
+        (acc, f1, exactAucRaw(preds))
       } }
     }
     // kNN family (the reference roster's KNeighborsClassifier; MLlib has
@@ -1595,9 +1635,7 @@ object MlC extends Module {
           .agg((sum(col("rlabel")) / count(lit(1))).as("score"))
           .withColumn("prediction", when(col("score") > 0.5, 1.0).otherwise(0.0))
         val (acc, f1) = countMetrics(preds)
-        val auc = new BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC").setRawPredictionCol("score")
-          .evaluate(preds)
+        val auc = exactAucParts(preds, col("score"), col("label"))._3
         (acc, f1, auc)
       } }
       "knn" -> folds
@@ -1643,7 +1681,7 @@ object MlC extends Module {
         val m = svc.fit(mapped(tr))
         val preds = m.transform(mapped(te))
         val (acc, f1) = countMetrics(preds)
-        (acc, f1, areaEv.evaluate(preds))
+        (acc, f1, exactAucRaw(preds))
       } }
       "svc_rff" -> folds
     }
@@ -1656,9 +1694,7 @@ object MlC extends Module {
           df.filter(col("fold") === f), rounds = 6, seed = 42L)
         val pr = preds.select(col("label"), col("prediction"), col("margin").as("score"))
         val (acc, f1) = countMetrics(pr)
-        val auc = new BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC").setRawPredictionCol("score")
-          .evaluate(pr)
+        val auc = exactAucParts(pr, col("score"), col("label"))._3
         (acc, f1, auc)
       } }
       "adaboost" -> folds
