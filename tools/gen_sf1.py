@@ -21,9 +21,11 @@ replicates every sf0.1 table N times with disjoint key ranges:
   unchanged (hourly surfaces get Nx the mass — exactly the overflow
   pressure the sweep exists to apply).
 
-Usage: tools/gen_sf1.py [out_dir] [copies]
-  default: target/testdata/sf1, 10 copies (sf1)
+Usage: tools/gen_sf1.py [out_dir] [copies] [tables]
+  default: target/testdata/sf1, 10 copies (sf1), all tables
   sf10:    tools/gen_sf1.py target/testdata/sf10 100
+  sf100 magnitude probe (r9): tools/gen_sf1.py target/testdata/sf100 1000 \
+    region,nation,customer,supplier,part,orders,lineitem,events
 """
 import os, sys
 import duckdb
@@ -31,6 +33,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "target/testdata/sf1"
 COPIES = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 OFF = 10_000_000
 
 os.makedirs(OUT, exist_ok=True)
@@ -65,6 +68,8 @@ for t, cols in SHIFTED.items():
 
 
 def gen(table, sql):
+    if ONLY is not None and table not in ONLY:
+        return
     out = f"{OUT}/{table}.parquet"
     con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT COUNT(*) FROM '{out}'").fetchone()[0]
