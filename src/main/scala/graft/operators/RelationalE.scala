@@ -798,7 +798,10 @@ object RelationalE extends Module {
             .otherwise(lit("flat")).as("status"))
         .orderBy("pk")
     },
-    Some("""WITH li AS (
+    // li NOT MATERIALIZED: fact-width multi-use CTE — DuckDB's default
+    // would buffer every projected fact row to temp (the q132 sf100
+    // spill class); inlined it is streaming scan+agg per use.
+    Some("""WITH li AS NOT MATERIALIZED (
       |  SELECT l_partkey AS pk,
       |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS days,
       |    CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS cents
@@ -1027,7 +1030,10 @@ object RelationalE extends Module {
             .as("decayed_value"))
         .orderBy("o_custkey")
     },
-    Some("""WITH li AS (
+    // li NOT MATERIALIZED: fact-width multi-use CTE — DuckDB's default
+    // would buffer every projected fact row to temp (the q132 sf100
+    // spill class); inlined it is streaming scan+agg per use.
+    Some("""WITH li AS NOT MATERIALIZED (
       |  SELECT o_custkey,
       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
       |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
@@ -1375,7 +1381,10 @@ object RelationalE extends Module {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("seg_prev", "seg_cur")
     },
-    Some("""WITH li AS (
+    // li NOT MATERIALIZED: fact-width multi-use CTE — DuckDB's default
+    // would buffer every projected fact row to temp (the q132 sf100
+    // spill class); inlined it is streaming scan+agg per use.
+    Some("""WITH li AS NOT MATERIALIZED (
       |  SELECT o_custkey,
       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
       |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
@@ -1473,7 +1482,14 @@ object RelationalE extends Module {
             .otherwise(lit("independent")))
         .orderBy("pk_a", "pk_b")
     },
-    Some(s"""WITH li AS (
+    // li is NOT MATERIALIZED: it projects every fact row and is
+    // referenced twice, so DuckDB's default (materialize multi-use
+    // CTEs) buffers the whole fact table to temp — >40 GB of spill at
+    // the sf100 probe where the inlined form is two streaming
+    // scan+agg passes with tiny state. The inverse of the r9
+    // AS MATERIALIZED rule: hint small multi-use CTEs MATERIALIZED,
+    // fact-width ones NOT MATERIALIZED.
+    Some(s"""WITH li AS NOT MATERIALIZED (
       |  SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
       |    CAST(ROUND(l_quantity) AS BIGINT) AS units
       |  FROM lineitem),
