@@ -86,25 +86,27 @@ object RelationalA extends Module {
   private val q03 = Q(
     "q03_join_agg",
     (s, d) => {
-      // fanoutBy(l_orderkey): the local-parallelism shuffle is keyed on
-      // the order id, so it doubles as the (segment, orderkey) level-1
-      // aggregation's distribution (orderkey is a subset of the grouping
-      // key ⇒ no second exchange of the joined rows); the dims broadcast.
-      val l = Exact.fanoutBy(Tables.lineitem(s, d), col("l_orderkey"))
+      val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      // countDistinct(orderkey) forces a (segment, orderkey) expansion
-      // anyway, so make it explicit: level 1 groups by (segment, orderkey)
-      // with LONG grid partial sums (≤7 lineitems/order ⇒ no overflow at
-      // any scale), level 2 merges exactly in decimal and the distinct
-      // count degenerates to a plain count. Same shuffle count as the
-      // implicit expand, but primitive-add partials.
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("l_orderkey"))
+      // Aggregation pushed BELOW the join: level 1 groups the fact side
+      // by l_orderkey alone with LONG grid partial sums (≤7 lineitems/
+      // order ⇒ no overflow at any scale). No fanout pre-shuffle —
+      // lineitems of an order are contiguous in the scan, so map-side
+      // combine collapses 600M rows to ~order-count partials BEFORE the
+      // exchange (the r4 q01 lesson; a fanoutBy here would shuffle the
+      // full fact width instead). The join then carries one row per
+      // ORDER (150M at sf100), not one per lineitem (600M), and the
+      // equivalence is exact because l_orderkey→orders is an inner FK
+      // join (whole orders survive or drop together; q105 audits the
+      // integrity). countDistinct(orderkey) degenerates to a plain
+      // count of the per-order rows; level 2 merges exactly in decimal.
+      l.groupBy(col("l_orderkey"))
         .agg(
           sum(Exact.qzl(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000.0)).as("p_rev"),
           count(lit(1)).as("p_n"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           Exact.mergeGrid(col("p_rev"), 1000000.0).as("revenue"),

@@ -46,11 +46,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
   }
 
-  test("q03's fanout shuffle doubles as the aggregation distribution") {
+  test("q03 aggregates the fact side below the join") {
     val p = plan("q03_join_agg")
-    // keyed fanout, not round-robin — so the level-1 (segment, orderkey)
-    // aggregate reuses the orderkey partitioning instead of re-exchanging
-    // the joined rows
+    // per-order partial aggregation sits BELOW the orders join (600M
+    // lineitems collapse to ~order-count partials via map-side combine
+    // before any exchange; the join then carries one row per order),
+    // and no round-robin pre-shuffle defeats that combine
     assert(!p.contains("RoundRobinPartitioning"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       "q03 regained an exchange:\n" + p)
