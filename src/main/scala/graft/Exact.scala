@@ -49,8 +49,20 @@ object Exact {
     * merges partials in DECIMAL(38,0), unconditionally overflow-safe. If a
     * future caller feeds a pre-shuffled (not scan-split) frame with wider
     * values, use [[sumd]]'s decimal accumulator instead.
+    *
+    * Rounding is floor(x+0.5), NOT Spark's round(): Spark rounds doubles
+    * through a per-row BigDecimal (shortest-string HALF_UP) — measured
+    * ~8.6 s of q01's 11.9 s at sf100 for three images over 600M rows —
+    * while Floor codegens to one primitive Math.floor and yields LONG
+    * directly. Under this function's fixed-point precondition the image
+    * double sits within ~grid·ulp of an integer, never near a .5
+    * boundary, so floor(x+0.5), Spark round() and the oracle's ROUND()
+    * agree exactly (for either sign: floor(n±ε+0.5)=n). A caller whose
+    * fraction can approach .5 is outside the contract for round-identity
+    * reasons anyway — Spark's decimal-string HALF_UP and DuckDB's binary
+    * std::round already disagree there.
     */
-  def qzl(c: Column, grid: Double): Column = round(c * lit(grid)).cast("long")
+  def qzl(c: Column, grid: Double): Column = floor(c * lit(grid) + lit(0.5))
 
   /** Merge a partial long-sum column exactly (decimal accumulator) and
     * rescale to double: CAST(SUM AS DOUBLE)/grid is one correctly-rounded
