@@ -140,4 +140,31 @@ class ExactSpec extends SparkSpec {
     val got = df.select(Exact.qzl(col("x"), 1000.0)).collect().map(_.getLong(0))
     assert(got.toSeq === Seq(12340L, 1L, 99999999L, -5500L))
   }
+
+  test("qzl floor(x+0.5) == BigDecimal HALF_UP round across fixed-point sweep") {
+    import spark.implicits._
+    // qzl images via primitive floor(x·grid + 0.5) (r9); under the
+    // fixed-point precondition this must equal Spark's old
+    // round()-then-cast (BigDecimal shortest-string HALF_UP) — the
+    // semantics every oracle's ROUND() was verified against — for
+    // either sign and up to the documented |image| ≤ 1e11 envelope.
+    val grids = Seq(100.0, 1000.0, 1000000.0)
+    val vals = (-2500 to 2500).map(_ / 100.0) ++ // dense 2-decimal lattice
+      Seq(99999.99, -99999.99, 12345.678, -12345.678, 0.01, -0.01) ++
+      Seq(99999.99999, -99999.99999) // 5 decimals near the 1e11 bound @1e6
+    for (g <- grids) {
+      val df = vals.toDF("x")
+      val got = df.select(Exact.qzl(col("x"), g)).as[Long].collect()
+      val want = vals.map { v =>
+        new java.math.BigDecimal(java.lang.Double.toString(v * g))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      }
+      got.toSeq.zip(want).zip(vals).foreach { case ((a, b), v) =>
+        assert(a === b, s"qzl($v, $g)")
+      }
+      // the image stays LONG — primitive codegen, no decimal column
+      assert(df.select(Exact.qzl(col("x"), g)).schema.head.dataType ===
+        org.apache.spark.sql.types.LongType)
+    }
+  }
 }
