@@ -1070,7 +1070,7 @@ object MlC extends Module {
       import s.implicits._
       val l = Tables.lineitem(s, d)
       def z(c: String, g: Double) =
-        round(col(c) * lit(g)).cast("long").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        qzl(col(c), g).cast(org.apache.spark.sql.types.DecimalType(38, 0))
       val (zq, zd, zt, zy) =
         (z("l_quantity", 1000.0), z("l_discount", 1000.0),
           z("l_tax", 1000.0), z("l_extendedprice", 100.0))

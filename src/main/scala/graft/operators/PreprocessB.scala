@@ -19,7 +19,7 @@ object PreprocessB extends Module {
   /** 1e-3 integer grid (see RelationalA.q10): makes second-moment sums
     * exact integers, eliminating cross-engine double→decimal rounding.
     */
-  private def qz(c: Column): Column = round(c * lit(1000.0)).cast(DecimalType(19, 0))
+  private def qz(c: Column): Column = qzl(c, 1000.0).cast(DecimalType(19, 0))
   private def qzSql(e: String) = s"CAST(ROUND(($e)*1000.0) AS DECIMAL(19,0))"
 
   // q20 — ordinal encoder with preserved level order (EducationEncoder,

@@ -191,7 +191,7 @@ object RelationalA extends Module {
       // std goes through the same 1e-3 integer-grid quantization as q10
       // (exact integer sums, no double→decimal ambiguity, cancellation-safe);
       // the grid factor divides back out of the final IEEE expression.
-      def qz(c: String): Column = round(col(c) * lit(1000.0)).cast(DecimalType(19, 0))
+      def qz(c: String): Column = Exact.qzl(col(c), 1000.0).cast(DecimalType(19, 0))
       val aggs = describeCols.flatMap { c =>
         Seq(
           count(lit(1)).as(s"${c}_cnt"),

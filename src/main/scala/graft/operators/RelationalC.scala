@@ -39,7 +39,7 @@ object RelationalC extends Module {
     (s, d) => {
       val l = Tables.lineitem(s, d)
       def zd(c: String, g: Double): Column =
-        round(col(c) * lit(g)).cast("long").cast(DecimalType(38, 0))
+        Exact.qzl(col(c), g).cast(DecimalType(38, 0))
       val aggs = momentCols.flatMap { case (c, g) =>
         val z = zd(c, g)
         Seq(
@@ -105,7 +105,7 @@ object RelationalC extends Module {
     (s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val cz = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val cz = Exact.qzl(col("o_totalprice"), 100.0)
       val terms = (0 to 7).map { j =>
         val v = if (j == 0) cz else lag(cz, j).over(w)
         (v, 1L << (7 - j))
@@ -226,8 +226,8 @@ object RelationalC extends Module {
     "q61_weighted_stats",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      val zw = round(col("l_quantity")).cast("long").cast(DecimalType(38, 0))
-      val zx = round(col("l_extendedprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
+      val zw = Exact.qzl(col("l_quantity"), 1.0).cast(DecimalType(38, 0))
+      val zx = Exact.qzl(col("l_extendedprice"), 100.0).cast(DecimalType(38, 0))
       val a = l.groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
@@ -359,7 +359,7 @@ object RelationalC extends Module {
       // cent grid (price is cent-exact; the old 1e3 grid put Σz² past
       // 2^64 at sf1) + dec2d readouts — t/df are scale-invariant and
       // mean_diff divides the grid back out
-      val z = round(col("l_extendedprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
+      val z = Exact.qzl(col("l_extendedprice"), 100.0).cast(DecimalType(38, 0))
       def cond(status: String, e: Column): Column =
         sum(when(col("l_linestatus") === status, e).otherwise(lit(0).cast(DecimalType(38, 0))))
       val a = l.agg(
@@ -635,8 +635,8 @@ object RelationalC extends Module {
     "q69_grouped_corr",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      val zx = round(col("l_quantity")).cast("long").cast(DecimalType(38, 0))
-      val zy = round(col("l_extendedprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
+      val zx = Exact.qzl(col("l_quantity"), 1.0).cast(DecimalType(38, 0))
+      val zy = Exact.qzl(col("l_extendedprice"), 100.0).cast(DecimalType(38, 0))
       val a = l.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_l"),
           Exact.dec2d(sum(zx)).as("sx"), Exact.dec2d(sum(zy)).as("sy"),
@@ -701,7 +701,7 @@ object RelationalC extends Module {
     (s, d) => {
       val rep = ((col("o_orderkey") % lit(1000000007L)) * lit(654435747L)
         % lit(1000000007L) % 32).cast("long")
-      val z = round(col("o_totalprice") * lit(100.0)).cast("long").cast(DecimalType(38, 0))
+      val z = Exact.qzl(col("o_totalprice"), 100.0).cast(DecimalType(38, 0))
       val perRep = Tables.orders(s, d)
         .groupBy(rep.as("rep"))
         .agg(count(lit(1)).as("n"), sum(z).cast("double").as("szd"))
@@ -1036,7 +1036,7 @@ object RelationalC extends Module {
     (s, d) => {
       import s.implicits._
       val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("z"))
+        .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("z"))
         .select(col("z").cast("double").as("x"))
       val r = spend.agg(min(col("x")), max(col("x")), count(lit(1))).head()
       val (lo, hi, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
@@ -1170,7 +1170,7 @@ object RelationalC extends Module {
     (s, d) => {
       import s.implicits._
       val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("z"))
+        .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("z"))
         .select(col("z").cast("double").as("x"))
       val fences = Quantiles.exactQuantiles(spend, Seq("x"), (1 to 9).map(_ / 10.0)).map(_._3)
       val decile = fences.foldLeft(lit(1L)) { (acc, f) =>

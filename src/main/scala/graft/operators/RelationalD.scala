@@ -126,7 +126,7 @@ object RelationalD extends Module {
     val s = df0.sparkSession
     import s.implicits._
     val l = df0.filter(col(v).isNotNull)
-    val zc = round(col(v) * lit(100.0)).cast("long")
+    val zc = Exact.qzl(col(v), 100.0)
     val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
         count(lit(1)).as("ng"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
@@ -266,8 +266,8 @@ object RelationalD extends Module {
     "q85_benford",
     (s, d) => {
       val o = Tables.orders(s, d).filter(col("o_totalprice") > 0)
-      val digit = substring(round(col("o_totalprice") * lit(100.0))
-        .cast("long").cast("string"), 1, 1).cast("long")
+      val digit = substring(Exact.qzl(col("o_totalprice"), 100.0)
+        .cast("string"), 1, 1).cast("long")
       val counts = o.groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
       val expected = (1 to 9).map(dd => (dd.toLong, math.log10(1.0 + 1.0 / dd)))
       import o.sparkSession.implicits._
@@ -315,7 +315,7 @@ object RelationalD extends Module {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val spend = o.groupBy(col("o_custkey"))
-        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+        .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
         .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
       val z = col("cents").cast(DecimalType(38, 0))
@@ -400,7 +400,7 @@ object RelationalD extends Module {
     (s, d) => {
       val l = Tables.lineitem(s, d)
       def z(c: String, g: Double): Column =
-        round(col(c) * lit(g)).cast("long").cast(DecimalType(38, 0))
+        Exact.qzl(col(c), g).cast(DecimalType(38, 0))
       val (zx, zy) = (z("l_quantity", 1000.0), z("l_extendedprice", 100.0))
       // dec2d readouts: the per-group Σzy² backs ~2e20 at sf1 — past
       // 2^64, where the direct decimal→double cast is engine-divergent
@@ -552,7 +552,7 @@ object RelationalD extends Module {
     "q90_anova",
     (s, d) => {
       val l = Tables.lineitem(s, d)
-      val z = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val z = Exact.qzl(col("l_extendedprice"), 100.0)
         .cast(DecimalType(38, 0))
       anovaOn(l.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_l"),
@@ -586,8 +586,10 @@ object RelationalD extends Module {
       val devs = l.join(broadcast(meds.toDF("mg", "med")),
           col("l_returnflag") === col("mg"))
         .select(col("l_returnflag").as("g"),
-          round(abs(col("l_extendedprice") - col("med")) * lit(200.0))
-            .cast("long").cast(DecimalType(38, 0)).as("z"))
+          // image = (k/1000)·200 = k/5: fraction ∈ {0,.2,.4,.6,.8}, never
+          // near .5, so the primitive qzl image is tie-safe here too
+          Exact.qzl(abs(col("l_extendedprice") - col("med")), 200.0)
+            .cast(DecimalType(38, 0)).as("z"))
       anovaOn(devs.groupBy(col("g"))
         .agg(count(lit(1)).as("n_l"),
           sum(col("z")).as("sd"),
@@ -628,7 +630,7 @@ object RelationalD extends Module {
     "q92_expanding",
     (s, d) => {
       val o = Tables.orders(s, d)
-      val z = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val z = Exact.qzl(col("o_totalprice"), 100.0)
         .cast(DecimalType(38, 0))
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -685,7 +687,7 @@ object RelationalD extends Module {
           datediff(max(col("o_orderdate")).cast("date"),
             to_date(lit("1970-01-01"))).cast("long").as("recency_days"),
           count(lit(1)).as("frequency"),
-          sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("monetary_cents"))
+          sum(Exact.qzl(col("o_totalprice"), 100.0)).as("monetary_cents"))
         .graftCheckpoint()
       val metrics = Seq("recency_days", "frequency", "monetary_cents")
       val fences = Quantiles.exactQuantiles(perCust, metrics, Seq(0.2, 0.4, 0.6, 0.8))
@@ -896,7 +898,7 @@ object RelationalD extends Module {
       val cents = o.join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
-        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+        .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
       val surface = cents
         .join(broadcast(n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
           col("c_nationkey") === col("n_nationkey"))
@@ -942,7 +944,7 @@ object RelationalD extends Module {
       val monthly = o.groupBy(
           year(col("o_orderdate")).cast("long").as("y"),
           month(col("o_orderdate")).cast("long").as("m"))
-        .agg(sum(round(col("o_totalprice") * lit(100.0)).cast("long")).as("cents"))
+        .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
       val w = Window.orderBy(col("y"), col("m"))
       // MoM = previous observed month (lag over the surface); YoY joins
       // (y−1, m) explicitly so a gap month can't shift the comparison
@@ -1114,7 +1116,7 @@ object RelationalD extends Module {
       // checkpointed |parts| surface: the bucket fit, the bounded
       // bucket-sum metadata and the final pass reuse one reduction
       val perPart = l.groupBy(col("l_partkey"))
-        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+        .agg(sum(Exact.qzl(col("l_extendedprice"), 100.0)).as("cents"))
         .graftCheckpoint()
       val fit = perPart.agg(min(col("cents")), max(col("cents"))).head()
       val (blo, bhi) = (fit.getLong(0), fit.getLong(1))
@@ -1187,7 +1189,7 @@ object RelationalD extends Module {
     "q100_bollinger",
     (s, d) => {
       val o = Tables.orders(s, d)
-      val z = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val z = Exact.qzl(col("o_totalprice"), 100.0)
         .cast(DecimalType(38, 0))
       val ord = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1514,7 +1516,7 @@ object RelationalD extends Module {
         % lit(1000000007L) * lit(2654435761L % 1000000007L), lit(1000000007L)) % lit(10L)
       val withSplit = l.select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
         gate.as("g"))
-      def z(c: Column, f: Double) = round(c * lit(f)).cast("long").cast(DecimalType(38, 0))
+      def z(c: Column, f: Double) = Exact.qzl(c, f).cast(DecimalType(38, 0))
       val tr = withSplit.filter(col("g") < 6)
       // sxx/sxy back ~1e11 per row: past 2^64 around sf~35 DuckDB's
       // hugeint→double cast double-rounds its 64-bit halves while
@@ -1763,7 +1765,7 @@ object RelationalD extends Module {
     (s, d) => {
       val dec = RelationalC.decomposed(s, d)
       def z(c: Column): Column =
-        round(c * lit(1000000.0)).cast("long").cast(DecimalType(38, 0))
+        Exact.qzl(c, 1000000.0).cast(DecimalType(38, 0))
       val r = z(col("residual"))
       val tr = z(col("y").cast("double") - col("seasonal")) // trend + residual
       val sr = z(col("y").cast("double") - col("trend")) // seasonal + residual

@@ -176,7 +176,7 @@ object RelationalE extends Module {
       val facts = Tables.lineitem(s, d).select(
         col("l_returnflag").as("g"),
         col("l_extendedprice").cast("double").as("x"),
-        round(col("l_quantity")).cast("long").as("w"))
+        Exact.qzl(col("l_quantity"), 1.0).as("w"))
       weightedQuantiles(facts, Seq((1L, 4L, 0.25), (1L, 2L, 0.5), (3L, 4L, 0.75)))
         .toDF("l_returnflag", "p", "value")
         .orderBy("l_returnflag", "p")
@@ -378,7 +378,7 @@ object RelationalE extends Module {
       val l = Tables.lineitem(s, d).agg(
         count(lit(1)).as("n"),
         fails(col("l_discount") < 0.0 || col("l_discount") > 0.05).as("f_disc"),
-        fails(col("l_quantity") =!= round(col("l_quantity"))).as("f_int"))
+        fails(col("l_quantity") =!= Exact.qzl(col("l_quantity"), 1.0)).as("f_int"))
       val e = Tables.events(s, d).agg(
         count(lit(1)).as("n"),
         fails(col("props").isNull || !(col("props").startsWith("{") &&
@@ -1446,7 +1446,7 @@ object RelationalE extends Module {
       val li = Tables.lineitem(s, d)
         .select(col("l_partkey").as("pk"),
           date_trunc("week", col("l_shipdate")).as("wk"),
-          round(col("l_quantity")).cast("long").as("units"))
+          Exact.qzl(col("l_quantity"), 1.0).as("units"))
         .graftCheckpoint()
       val top = li.groupBy(col("pk")).agg(sum(col("units")).as("tot"))
         .orderBy(col("tot").desc, col("pk")).limit(20)

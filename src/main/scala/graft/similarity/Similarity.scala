@@ -18,7 +18,7 @@ object Similarity {
 
   /** Exact integer image of an embedding on the 1e-6 grid. */
   def quantized(embCol: Column): Column =
-    transform(embCol, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    transform(embCol, x => graft.Exact.qzl(x.cast("double"), 1000000.0))
 
   /** Exact long dot product via the custom codegen expression
     * [[graft.functions.DotLong]] (tight primitive loop, no intermediate
