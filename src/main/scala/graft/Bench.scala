@@ -29,7 +29,15 @@ object Bench {
     // (the driver's per-round contract); certification semantics are
     // unchanged within whatever set runs.
     val headline: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(s) => Bench.headline.filter(s.split(",").map(_.trim).toSet)
+      case Some(s) =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- Bench.headline.toSet
+        // a typo must not silently shrink the measured set — the bench
+        // would "pass" while measuring nothing
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names no headline query: ${unknown.mkString(", ")} " +
+          s"(valid: ${Bench.headline.mkString(", ")})")
+        Bench.headline.filter(want)
       case None    => Bench.headline
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

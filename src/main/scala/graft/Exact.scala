@@ -207,6 +207,29 @@ object Exact {
     else df
   }
 
+  /** Fact-to-dimension join with a SIZE-GATED broadcast hint: the dim
+    * side is broadcast only when Catalyst's size estimate (file-size
+    * statistics — computed on the driver, no job) is under
+    * `spark.graft.dim.broadcast.bytes` (default 2 GiB, generous for a
+    * 24 GiB driver); above it the hint is omitted and AQE picks the
+    * strategy at runtime. nation/region are fixed-size and always
+    * qualify; customer/part/supplier scale linearly with SF — proven
+    * broadcastable through sf100 (15M/20M/1M rows), but at a true
+    * 100 TB an unconditional `broadcast()` OOMs instead of demoting,
+    * so the hint must be a measurement, not an assumption
+    * (DimJoinSpec pins both regimes on the physical plan).
+    */
+  def dimJoin(fact: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame, cond: Column,
+      joinType: String = "inner"): org.apache.spark.sql.DataFrame = {
+    val thresh = fact.sparkSession.conf
+      .getOption("spark.graft.dim.broadcast.bytes")
+      .map(_.toLong).getOrElse(2L * 1024 * 1024 * 1024)
+    val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(thresh)) fact.join(broadcast(dim), cond, joinType)
+    else fact.join(dim, cond, joinType)
+  }
+
   /** Lineage-truncation / materialization point for iterative and
     * multi-branch plans. On local[32] this is `localCheckpoint` (blocks
     * on executors — fast, no HDFS round-trip). That is NOT
@@ -218,6 +241,15 @@ object Exact {
     * reliable `checkpoint()` instead — recomputable from durable storage
     * after executor loss. Both modes produce identical results
     * (CheckpointModeSpec pins connectedComponents + pagerank).
+    *
+    * Retention: reliable checkpoints persist for the SparkContext
+    * lifetime by default, and the iterative operators (pagerank ×15,
+    * connectedComponents, kcore) write one dataset copy per
+    * materialization point. On long cluster runs set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * context-construction conf — it cannot be flipped here at call
+    * time) so out-of-scope checkpoint data is GC-reclaimed, or size
+    * the durable store for iterations × dataset copies.
     */
   def checkpoint(df: org.apache.spark.sql.DataFrame,
       eager: Boolean = true): org.apache.spark.sql.DataFrame = {
@@ -227,9 +259,16 @@ object Exact {
     dir match {
       case Some(d) =>
         val sc = spark.sparkContext
-        // setCheckpointDir appends a UUID subdir, so compare by prefix;
-        // re-set when the configured root changes mid-session
-        if (!sc.getCheckpointDir.exists(_.startsWith(d))) sc.setCheckpointDir(d)
+        // setCheckpointDir appends a UUID subdir, so compare the
+        // configured root against the CURRENT dir's parent — exact
+        // path equality, not a string prefix (a prefix check treats
+        // sibling roots like /x/ckpt vs /x/ckpt2 as equal and a
+        // mid-session root change would silently not take effect)
+        val want = new org.apache.hadoop.fs.Path(d).toString
+        val cur = sc.getCheckpointDir
+          .map(p => new org.apache.hadoop.fs.Path(p).getParent)
+          .map(p => if (p == null) "" else p.toString)
+        if (!cur.contains(want)) sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
@@ -242,6 +281,16 @@ object Exact {
       extends AnyVal {
     def graftCheckpoint(eager: Boolean = true): org.apache.spark.sql.DataFrame =
       Exact.checkpoint(df, eager)
+  }
+
+  /** Chained-call syntax for [[dimJoin]] so it drops in where
+    * `.join(broadcast(dim), cond)` used to sit.
+    */
+  implicit class GraftDimJoin(private val fact: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def dimJoin(dim: org.apache.spark.sql.DataFrame, cond: Column,
+        joinType: String = "inner"): org.apache.spark.sql.DataFrame =
+      Exact.dimJoin(fact, dim, cond, joinType)
   }
 
   // ---- SQL fragments (DuckDB side of the same recipe) ----

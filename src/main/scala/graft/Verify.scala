@@ -53,7 +53,11 @@ object Verify {
     locally {
       import scala.jdk.CollectionConverters._
       val body = timings.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        // Locale.ROOT: the f-interpolator honors the JVM default
+        // locale, and a comma decimal separator would emit invalid JSON
+        .map { case (k, v) =>
+          s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
+        }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/timings.json"), body)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -94,6 +94,10 @@ object MlC extends Module {
       .agg(count(lit(1)).as("ct"),
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("cp"))
     val r = c.agg(min(col("x")), max(col("x")), sum(col("ct")), sum(col("cp"))).head()
+    // empty scored frame → all-NULL aggregate row (CrossValidator can
+    // hand an empty validation fold at tiny SFs); bail before any
+    // primitive dereference
+    if (r.isNullAt(0)) return (0L, 0L, 0.5)
     val (lo, hi, nTot, nPos) = (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3))
     val nNeg = nTot - nPos
     if (nPos == 0L || nNeg == 0L) return (nPos, nNeg, 0.5)
@@ -317,7 +321,11 @@ object MlC extends Module {
     val fits = new java.util.concurrent.atomic.AtomicInteger(0)
     def foldScore(est: org.apache.spark.ml.Estimator[_], f: Int): Double = {
       fits.incrementAndGet()
-      val m = est.fit(df.filter(col("fold") =!= f))
+      // fit a per-call copy: folds 1/2 of one trial overlap in the
+      // pool, and Estimator.fit is not documented thread-safe on a
+      // shared instance (CrossValidator also fits per-copy)
+      val m = est.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .fit(df.filter(col("fold") =!= f))
         .asInstanceOf[org.apache.spark.ml.Transformer]
       exactAucRaw(m.transform(df.filter(col("fold") === f)))
     }
@@ -1585,7 +1593,10 @@ object MlC extends Module {
     }
     val fitted = families.map { case (name, est) =>
       name -> (0 until 3).map { f => Future {
-        val m = est.fit(df.filter(col("fold") =!= f))
+        // per-Future copy — the 3 folds of one family fit concurrently
+        // and must not share an Estimator instance (see foldScore)
+        val m = est.copy(org.apache.spark.ml.param.ParamMap.empty)
+          .fit(df.filter(col("fold") =!= f))
           .asInstanceOf[org.apache.spark.ml.Transformer]
         val preds = m.transform(df.filter(col("fold") === f))
         val (acc, f1) = countMetrics(preds)

@@ -106,7 +106,7 @@ object RelationalA extends Module {
           sum(Exact.qzl(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000.0)).as("p_rev"),
           count(lit(1)).as("p_n"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .dimJoin(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           Exact.mergeGrid(col("p_rev"), 1000000.0).as("revenue"),
@@ -131,7 +131,7 @@ object RelationalA extends Module {
     (s, d) => {
       val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      Exact.dimJoin(l, p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), spark_partition_id().as("_pid"))
         .agg(
           sum(Exact.qzl(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 1000000.0)).as("p_rev"),
@@ -410,7 +410,7 @@ object RelationalA extends Module {
     (s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      Exact.dimJoin(o, c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
@@ -835,7 +835,7 @@ object RelationalA extends Module {
     (s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      val counts = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val counts = Exact.dimJoin(o, c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
@@ -1434,7 +1434,7 @@ object RelationalA extends Module {
     "q56_mode",
     (s, d) => {
       val counts = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+        .dimJoin(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))

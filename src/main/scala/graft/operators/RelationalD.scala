@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Exact.GraftCheckpoint
+import graft.Exact.{GraftCheckpoint, GraftDimJoin}
 import graft.{Exact, Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -316,7 +316,7 @@ object RelationalD extends Module {
       val c = Tables.customer(s, d)
       val spend = o.groupBy(col("o_custkey"))
         .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
-        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+        .dimJoin(c.select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
       val z = col("cents").cast(DecimalType(38, 0))
       // Σc² crosses 2^64 at sf1 (per-customer cents² ~1e14 × 1e5+
@@ -895,7 +895,7 @@ object RelationalD extends Module {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
-      val cents = o.join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+      val cents = o.dimJoin(c.select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
         .agg(sum(Exact.qzl(col("o_totalprice"), 100.0)).as("cents"))
@@ -1441,31 +1441,51 @@ object RelationalD extends Module {
 
   // q105 — referential-integrity audit across the star schema (the
   // data-quality gate of any warehouse load): orphan counts and rates
-  // for every foreign-key edge, each computed as a left-anti join
-  // (dim side broadcast) + a 1-row count — one row per edge, unioned
-  // on the tiny result surface.
+  // for every foreign-key edge, computed in ONE lazy plan with ONE
+  // scan per fact table. Each fact stacks its FK edges into
+  // (edge, key) rows, a partial-aggregable count collapses that to
+  // the distinct-key surface BEFORE the exchange (shuffle volume is
+  // |distinct keys|, not |fact|), the dim primary-key sets union into
+  // the same (edge, key) space, and one co-partitioned left join +
+  // rollup yields every edge's total and orphan count. No broadcast
+  // of SF-scaling dims (lineitem->orders joins two fact-sized key
+  // sets — a hash hint there would OOM at a true 100 TB), no driver
+  // actions: the returned frame is an unexecuted plan.
   private val q105 = Q(
     "q105_ref_integrity",
     (s, d) => {
-      import s.implicits._
       val o = Tables.orders(s, d); val c = Tables.customer(s, d)
       val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
       val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
-      def edge(name: String, fact: DataFrame, fk: String,
-          dim: DataFrame, pk: String): (String, Long, Long) = {
-        val total = fact.count()
-        val orphans = fact.select(col(fk))
-          .join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left_anti")
-          .count()
-        (name, total, orphans)
-      }
-      val edges = Seq(
-        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
-        edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
-        edge("lineitem->part", l, "l_partkey", p, "p_partkey"),
-        edge("lineitem->supplier", l, "l_suppkey", sup, "s_suppkey"),
-        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
-      edges.toDF("edge", "n_rows", "n_orphans")
+      val factKeys = l.select(expr(
+          "stack(3, 'lineitem->orders', CAST(l_orderkey AS BIGINT), " +
+          "'lineitem->part', CAST(l_partkey AS BIGINT), " +
+          "'lineitem->supplier', CAST(l_suppkey AS BIGINT)) AS (edge, fk)"))
+        .unionByName(o.select(lit("orders->customer").as("edge"),
+          col("o_custkey").cast("long").as("fk")))
+        .unionByName(c.select(lit("customer->nation").as("edge"),
+          col("c_nationkey").cast("long").as("fk")))
+        .groupBy(col("edge"), col("fk")).agg(count(lit(1)).as("cnt"))
+      // PKs are unique by contract; distinct() keeps the rollup exact
+      // even on a dim that violates it (the audit shouldn't trust the
+      // property it exists to check)
+      val dimKeys = o.select(lit("lineitem->orders").as("edge"),
+          col("o_orderkey").cast("long").as("pk"))
+        .unionByName(p.select(lit("lineitem->part").as("edge"),
+          col("p_partkey").cast("long").as("pk")))
+        .unionByName(sup.select(lit("lineitem->supplier").as("edge"),
+          col("s_suppkey").cast("long").as("pk")))
+        .unionByName(c.select(lit("orders->customer").as("edge"),
+          col("c_custkey").cast("long").as("pk")))
+        .unionByName(n.select(lit("customer->nation").as("edge"),
+          col("n_nationkey").cast("long").as("pk")))
+        .distinct()
+      factKeys.join(dimKeys,
+          factKeys("edge") === dimKeys("edge") && col("fk") === col("pk"),
+          "left")
+        .groupBy(factKeys("edge").as("edge"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          sum(when(col("pk").isNull, col("cnt")).otherwise(0L)).as("n_orphans"))
         .select(col("edge"), col("n_rows"), col("n_orphans"),
           (col("n_orphans").cast("double") / col("n_rows").cast("double"))
             .as("orphan_rate"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Exact.GraftCheckpoint
+import graft.Exact.{GraftCheckpoint, GraftDimJoin}
 import graft.{Exact, Q, Tables, Module}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -32,9 +32,9 @@ object RelationalE extends Module {
       import s.implicits._
       val segs = Seq("BUILDING", "MACHINERY")
       val src = Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)
+        .dimJoin(Tables.customer(s, d)
           .filter(col("c_mktsegment").isin(segs: _*))
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
           col("o_custkey") === col("c_custkey"))
         .select(col("seg"), col("o_totalprice").as("x"))
       val ps = (1 to 19).map(k => k.toDouble * 0.05)
