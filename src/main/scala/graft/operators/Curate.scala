@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{SparkEntry, Tables}
+import graft.Exact.GraftCheckpoint
 import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,42 +30,69 @@ object Curate {
 
   /** Runs the full pipeline on `d`'s documents table.
     * Returns (kept docs, funnel of (stage, surviving rows)).
+    *
+    * Each stage's output is materialized ONCE at the stage boundary
+    * (`graftCheckpoint` — executor-loss-safe on clusters when the
+    * reliable dir is set): the funnel count and every downstream stage
+    * read the materialization, so the composition costs Σ stages, not
+    * the O(stages²) prefix-recompute a chain of lazy counts would pay
+    * at sf10+. `onStage` observes (stage, surviving rows, seconds) —
+    * CurateBench's per-stage split; the default is a no-op.
     */
   def pipeline(s: SparkSession, d: String, budgetFrac: Double = 0.5,
-      tau: Double = 0.7): (DataFrame, Seq[(String, Long)]) = {
+      tau: Double = 0.7,
+      onStage: (String, Long, Double) => Unit = (_, _, _) => ())
+      : (DataFrame, Seq[(String, Long)]) = {
     val docs = Tables.documents(s, d)
     val funnel = Seq.newBuilder[(String, Long)]
-    funnel += ("input" -> docs.count())
+    def stage(name: String)(df: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = df.graftCheckpoint()
+      val n = out.count()
+      funnel += (name -> n)
+      onStage(name, n, (System.nanoTime() - t0) / 1e9)
+      out
+    }
+    locally {
+      val t0 = System.nanoTime()
+      val n = docs.count()
+      funnel += ("input" -> n)
+      onStage("input", n, (System.nanoTime() - t0) / 1e9)
+    }
 
     // 1. quality gate (reuses the oracle-checked flags query)
-    val keepIds = SparkEntry.queries("tx_filter_flags")(s, d)
-      .filter(col("keep") === 1L).select("doc_id")
-    val quality = docs.join(keepIds, Seq("doc_id"), "left_semi")
-    funnel += ("quality_gate" -> quality.count())
+    val quality = stage("quality_gate") {
+      val keepIds = SparkEntry.queries("tx_filter_flags")(s, d)
+        .filter(col("keep") === 1L).select("doc_id")
+      docs.join(keepIds, Seq("doc_id"), "left_semi")
+    }
 
     // 2. exact dedup: md5 representative
-    val tagged = Dedup.withRepresentative(quality, "doc_id", md5(col("text")))
-    val exact = tagged.filter(col("doc_id") === col("__rep")).drop("__rep")
-    funnel += ("exact_dedup" -> exact.count())
+    val exact = stage("exact_dedup") {
+      Dedup.withRepresentative(quality, "doc_id", md5(col("text")))
+        .filter(col("doc_id") === col("__rep")).drop("__rep")
+    }
 
     // 3. near-dup dedup: verified MinHash pairs → components → min-id
-    val pairs = Dedup.minhashNearDups(exact, "text", "doc_id", threshold = tau)
-      .select("id_a", "id_b")
-    val clusters = Dedup.connectedComponents(exact.select("doc_id"), "doc_id", pairs)
-    val near = exact.join(clusters, "doc_id")
-      .filter(col("cluster_id") === col("doc_id")).drop("cluster_id")
-    funnel += ("near_dedup" -> near.count())
+    val near = stage("near_dedup") {
+      val pairs = Dedup.minhashNearDups(exact, "text", "doc_id", threshold = tau)
+        .select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(exact.select("doc_id"), "doc_id", pairs)
+      exact.join(clusters, "doc_id")
+        .filter(col("cluster_id") === col("doc_id")).drop("cluster_id")
+    }
 
     // 4. token budget: longest docs first until budgetFrac of tokens
-    val scored = near
-      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("score", col("n_chars").cast("double"))
-    val keptIds = BudgetSelect
-      .selectToBudget(scored, "doc_id", "score", "n_tok", budgetFrac)
-      .select("doc_id")
-    val kept = near.join(keptIds, Seq("doc_id"), "left_semi")
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    funnel += ("token_budget" -> kept.count())
+    val kept = stage("token_budget") {
+      val scored = near
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("score", col("n_chars").cast("double"))
+      val keptIds = BudgetSelect
+        .selectToBudget(scored, "doc_id", "score", "n_tok", budgetFrac)
+        .select("doc_id")
+      near.join(keptIds, Seq("doc_id"), "left_semi")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
 
     (kept, funnel.result())
   }
