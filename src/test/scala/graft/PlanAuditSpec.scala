@@ -299,4 +299,27 @@ class PlanAuditSpec extends SparkSpec {
       "cum window not keyed on the bucket id:\n" + p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q105 ref-integrity is one lazy plan, one scan per fact") {
+    // r10 rewrite: the returned frame must carry the WORK in its plan —
+    // the old shape ran 10 driver actions at construction and returned
+    // a LocalRelation of collected results (its physical signature: a
+    // LocalTableScan and zero fact scans) — and lineitem must be
+    // scanned once (it was scanned 6x)
+    val df = SparkEntry.queries("q105_ref_integrity")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("LocalTableScan"),
+      "q105 returned pre-collected results (eager plan):\n" + p.take(3000))
+    val liScans = p.split("\n").count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans === 1, "lineitem scanned " + liScans + "x:\n" +
+      p.split("\n").filter(_.contains("lineitem")).mkString("\n"))
+    // no broadcast HINT on SF-scaling key sets (Catalyst may still
+    // auto-broadcast at tiny SF — that's size-based and fine; a forced
+    // hint would OOM at a true 100 TB where the dim key union is ~16B
+    // rows)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.contains("ResolvedHint"),
+      "q105 regained a forced broadcast hint:\n" + lp.take(3000))
+  }
 }
