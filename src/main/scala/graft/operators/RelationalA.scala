@@ -998,8 +998,19 @@ object RelationalA extends Module {
         .select(col("c_mktsegment"), col("c_custkey"), h.cast("double").as("h"))
       val thr = Quantiles.groupedNth(c, "c_mktsegment", "h", 100L)
       val thrDf = broadcast(thr.toSeq.toDF("seg", "thr"))
+      // h <= thr keeps n + tie-multiplicity rows per group. Below ~1e9
+      // keys h is collision-free (h is a bijection mod p = 1e9+7), but
+      // once keys exceed p distinct keys CAN collide (first seen at
+      // sf100: keys b and b+7 one hundred copies apart), and a tie
+      // straddling the threshold would over-keep. The exact-n tiebreak
+      // (h, then key — the oracle's ROW_NUMBER order) ranks only the
+      // ALREADY-FILTERED surface: ≤ n + ties rows per group, bounded
+      // metadata, never a fact-scale window.
       c.join(thrDf, col("c_mktsegment") === col("seg"))
         .filter(col("h") <= col("thr"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("h"), col("c_custkey"))))
+        .filter(col("rn") <= 100)
         .select(col("c_mktsegment"), col("c_custkey"))
         .orderBy("c_mktsegment", "c_custkey")
     },
