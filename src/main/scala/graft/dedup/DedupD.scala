@@ -79,6 +79,21 @@ object DedupD extends Module {
   // 30-bit halves are poly hashes of each token forward and reversed,
   // which DuckDB reproduces as Horner power sums. Planted-dup recovery in
   // DedupSpec.
+  //
+  // The twin's vote stage is 60 SUM(CASE) columns in ONE aggregate over
+  // the per-token hash surface — algebraically identical to a
+  // cross-join with generate_series(0,59) + two-level aggregate, but
+  // without multiplying |doc×token| rows by 60: the cross-join form
+  // exhausted DuckDB at sf100 (>53 GB temp spill / 80 GB memory on a
+  // 250M-token corpus — an oracle-ENGINE resource pathology, r9 class;
+  // the restructured twin was validated equal at sf1 before adoption).
+  private val simhashVoteCols: String = (0 until 60).map { k =>
+    val h = if (k < 30) "h1" else "h2"
+    s"    SUM(CASE WHEN (($h >> ${k % 30}) & 1) = 1 THEN 1 ELSE -1 END) AS v$k"
+  }.mkString(",\n")
+  private val simhashBitSum: String = (0 until 60).map { k =>
+    s"    (CASE WHEN v$k >= 0 THEN (CAST(1 AS BIGINT) << $k) ELSE 0 END)"
+  }.mkString(" +\n")
   private val ddSimhash = Q(
     "dd_simhash",
     (s, d) => {
@@ -115,22 +130,23 @@ object DedupD extends Module {
       |  JOIN pows pf ON pf.e = c.n - c.i
       |  JOIN pows pr ON pr.e = c.i - 1
       |  GROUP BY c.doc_id, c.tp),
-      |votes AS (
-      |  SELECT doc_id, k.k,
-      |    SUM(CASE WHEN ((CASE WHEN k.k < 30 THEN h1 ELSE h2 END >> (k.k % 30)) & 1) = 1
-      |             THEN 1 ELSE -1 END) AS v
-      |  FROM th, (SELECT unnest(generate_series(0, 59)) AS k) k
-      |  GROUP BY doc_id, k.k),
-      |sh AS (
+      |sig AS (
       |  SELECT doc_id,
-      |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM votes GROUP BY doc_id)
+      |SIMHASH_VOTE_COLS
+      |  FROM th GROUP BY doc_id),
+      |sh AS (
+      |  SELECT doc_id, CAST(
+      |SIMHASH_BIT_SUM
+      |  AS BIGINT) AS simhash
+      |  FROM sig)
       |SELECT doc_id, simhash,
       |  (simhash >> 0) & 32767 AS band0,
       |  (simhash >> 15) & 32767 AS band1,
       |  (simhash >> 30) & 32767 AS band2,
       |  (simhash >> 45) & 32767 AS band3
-      |FROM sh ORDER BY doc_id""".stripMargin)
+      |FROM sh ORDER BY doc_id""".stripMargin
+      .replace("SIMHASH_VOTE_COLS", simhashVoteCols)
+      .replace("SIMHASH_BIT_SUM", simhashBitSum))
   )
 
   // dd_ngram_jaccard — exact word-3-gram Jaccard on a bounded candidate
