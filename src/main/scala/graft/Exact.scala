@@ -210,11 +210,15 @@ object Exact {
   /** Fact-to-dimension join with a SIZE-GATED broadcast hint: the dim
     * side is broadcast only when Catalyst's size estimate (file-size
     * statistics — computed on the driver, no job) is under
-    * `spark.graft.dim.broadcast.bytes` (default 2 GiB, generous for a
-    * 24 GiB driver); above it the hint is omitted and AQE picks the
-    * strategy at runtime. nation/region are fixed-size and always
-    * qualify; customer/part/supplier scale linearly with SF — proven
-    * broadcastable through sf100 (15M/20M/1M rows), but at a true
+    * `spark.graft.dim.broadcast.bytes` (default 512 MiB; accepts unit
+    * suffixes like `256m`/`2g`); above it the hint is omitted and AQE
+    * picks the strategy at runtime. The estimate is COMPRESSED on-disk
+    * size — an in-memory HashedRelation is typically several times
+    * larger, which is why the default leaves most of a 24 GiB driver
+    * free rather than sitting next to the heap limit. nation/region are
+    * fixed-size and always qualify; customer/part/supplier scale
+    * linearly with SF — proven broadcastable through sf100
+    * (135/146 MB compressed, still under the gate), but at a true
     * 100 TB an unconditional `broadcast()` OOMs instead of demoting,
     * so the hint must be a measurement, not an assumption
     * (DimJoinSpec pins both regimes on the physical plan).
@@ -224,7 +228,8 @@ object Exact {
       joinType: String = "inner"): org.apache.spark.sql.DataFrame = {
     val thresh = fact.sparkSession.conf
       .getOption("spark.graft.dim.broadcast.bytes")
-      .map(_.toLong).getOrElse(2L * 1024 * 1024 * 1024)
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(512L * 1024 * 1024)
     val est = dim.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= BigInt(thresh)) fact.join(broadcast(dim), cond, joinType)
     else fact.join(dim, cond, joinType)
@@ -263,11 +268,19 @@ object Exact {
         // configured root against the CURRENT dir's parent — exact
         // path equality, not a string prefix (a prefix check treats
         // sibling roots like /x/ckpt vs /x/ckpt2 as equal and a
-        // mid-session root change would silently not take effect)
-        val want = new org.apache.hadoop.fs.Path(d).toString
-        val cur = sc.getCheckpointDir
-          .map(p => new org.apache.hadoop.fs.Path(p).getParent)
-          .map(p => if (p == null) "" else p.toString)
+        // mid-session root change would silently not take effect).
+        // Spark stores the dir filesystem-QUALIFIED (file:/x/ckpt/uuid),
+        // so qualify the configured root the same way before comparing —
+        // an unqualified root would otherwise never match and re-invoke
+        // setCheckpointDir (a fresh UUID mkdir) on every call.
+        val hconf = sc.hadoopConfiguration
+        val wantPath = new org.apache.hadoop.fs.Path(d)
+        val want = wantPath.getFileSystem(hconf).makeQualified(wantPath).toString
+        val cur = sc.getCheckpointDir.map { p =>
+          val parent = new org.apache.hadoop.fs.Path(p).getParent
+          if (parent == null) ""
+          else parent.getFileSystem(hconf).makeQualified(parent).toString
+        }
         if (!cur.contains(want)) sc.setCheckpointDir(d)
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

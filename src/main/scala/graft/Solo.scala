@@ -13,10 +13,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Solo {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Solo <sfDir> [reps] <query> [query ...]")
     val d = args(0)
+    // reps is a NON-EMPTY all-digits token (query names are never
+    // all-digits); "".forall(_.isDigit) is vacuously true, so the
+    // nonEmpty check keeps an empty arg from parsing as reps
     val (reps, names) =
-      if (args(1).forall(_.isDigit)) (args(1).toInt, args.drop(2).toSeq)
+      if (args(1).matches("\\d+")) (args(1).toInt, args.drop(2).toSeq)
       else (2, args.drop(1).toSeq)
+    require(names.nonEmpty,
+      "usage: graft.Solo <sfDir> [reps] <query> [query ...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("graft-solo").master(s"local[$cpus]")

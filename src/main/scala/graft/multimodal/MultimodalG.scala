@@ -277,42 +277,103 @@ object MultimodalG extends Module {
       |ORDER BY id_a, id_b""".stripMargin)
   )
 
-  // mm_shared_frames — frame-level near-dup pairs (the "same clip,
-  // different container" video-dedup signal): payloads sharing ≥ 2
-  // identical sampled frames, found by joining the frame-checksum table
-  // on frame content WITHIN a frame index (two clips sharing frame k)
-  // — hash-bucket join, never all-pairs. Builds directly on
-  // mm_framesample's frame table.
-  private val mmSharedFrames = Q(
-    "mm_shared_frames",
-    (s, d) => {
-      val frames = Tables.documents(s, d)
-        .withColumn("payload", col("text").cast("binary"))
-        .withColumn("flen", (length(col("payload")) / 4).cast("int"))
-        .select(col("doc_id"),
-          posexplode(expr(
-            "transform(sequence(0, 3), i -> md5(substring(payload, i * flen + 1, flen)))")))
-        .toDF("doc_id", "frame_idx", "frame_md5")
-      val a = frames.select(col("frame_idx"), col("frame_md5"), col("doc_id").as("id_a"))
-      val b = frames.select(col("frame_idx"), col("frame_md5"), col("doc_id").as("id_b"))
-      a.join(b, Seq("frame_idx", "frame_md5")).filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH f AS (
+  // Hot-frame stop-list bound: a frame checksum shared by more than this
+  // many documents is boilerplate (black frames, logo intros, test-pattern
+  // leaders — or a generator that copies media bytes verbatim) and is
+  // excluded from the pair join, because m documents sharing one frame
+  // make an O(m²) pair surface inside a single bucket. Same discipline as
+  // dd_winnow_pairs' fingerprint df ∈ [2,50] stop-list
+  // (dedup/DedupD.scala): the capped prints stay visible through the
+  // mm_hot_frames readout below instead of silently exploding the join.
+  private[multimodal] val SharedFrameDfCap = 50
+
+  // Frame-checksum table shared by mm_shared_frames and mm_hot_frames:
+  // each payload splits into 4 fixed-stride frames, one row per
+  // (doc_id, frame_idx, frame_md5). Narrow map over the pruned scan.
+  private def frameTable(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("flen", (length(col("payload")) / 4).cast("int"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), i -> md5(substring(payload, i * flen + 1, flen)))")))
+      .toDF("doc_id", "frame_idx", "frame_md5")
+
+  private val frameCte =
+    """WITH f AS (
       |  SELECT doc_id, length(text) // 4 AS flen,
       |    unnest(generate_series(0, 3)) AS frame_idx, text
       |  FROM documents),
       |fr AS (
       |  SELECT doc_id, frame_idx,
       |    md5(substr(text, frame_idx * flen + 1, flen)) AS frame_md5
-      |  FROM f)
+      |  FROM f)""".stripMargin
+
+  // mm_shared_frames — frame-level near-dup pairs (the "same clip,
+  // different container" video-dedup signal): payloads sharing ≥ 2
+  // identical sampled frames, found by joining the frame-checksum table
+  // on frame content WITHIN a frame index (two clips sharing frame k)
+  // — hash-bucket join, never all-pairs, and each (frame_idx, frame_md5)
+  // bucket is document-frequency capped at [2, SharedFrameDfCap] before
+  // the self-join: df < 2 can't pair, df > cap is boilerplate whose m²
+  // pair surface would melt a single reducer at 100 TB (the sf100
+  // generator demonstrated exactly this: payload copies shared every
+  // frame 1000 ways → >50 GB of pairs). Builds on mm_framesample's
+  // frame table; the frame table materializes once (graftCheckpoint) and
+  // feeds the df filter and both self-join sides.
+  private val mmSharedFrames = Q(
+    "mm_shared_frames",
+    (s, d) => {
+      val frames = frameTable(s, d).graftCheckpoint()
+      val usable = frames.groupBy("frame_idx", "frame_md5")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= SharedFrameDfCap)
+        .select("frame_idx", "frame_md5")
+      val f2 = frames.join(usable, Seq("frame_idx", "frame_md5"))
+      val a = f2.select(col("frame_idx"), col("frame_md5"), col("doc_id").as("id_a"))
+      val b = f2.select(col("frame_idx"), col("frame_md5"), col("doc_id").as("id_b"))
+      a.join(b, Seq("frame_idx", "frame_md5")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some(frameCte +
+      """,
+      |usable AS (
+      |  SELECT frame_idx, frame_md5 FROM fr
+      |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 50),
+      |fu AS (SELECT fr.* FROM fr JOIN usable USING (frame_idx, frame_md5))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-      |FROM fr a JOIN fr b
+      |FROM fu a JOIN fu b
       |  ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
       |     AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  // mm_hot_frames — the boilerplate-frames readout paired with
+  // mm_shared_frames' stop-list: every frame checksum whose document
+  // frequency exceeds SharedFrameDfCap, with its df. This is what the
+  // cap dropped — a curation dashboard reviews it (black frames, logo
+  // intros, verbatim-copied payloads) instead of paying the m² pair
+  // join for it. One partial-aggregable rollup; output is one row per
+  // distinct hot frame, linear in distinct frames, never quadratic.
+  private val mmHotFrames = Q(
+    "mm_hot_frames",
+    (s, d) => {
+      frameTable(s, d)
+        .groupBy("frame_idx", "frame_md5")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > SharedFrameDfCap)
+        .select(col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_md5"), col("df"))
+        .orderBy("frame_idx", "frame_md5")
+    },
+    Some(frameCte +
+      """
+      |SELECT CAST(frame_idx AS BIGINT) AS frame_idx, frame_md5,
+      |  CAST(COUNT(*) AS BIGINT) AS df
+      |FROM fr GROUP BY 1, 2 HAVING COUNT(*) > 50
+      |ORDER BY frame_idx, frame_md5""".stripMargin)
   )
 
   // mm_scene_cuts — scene-change detection over the sampled-frame
@@ -365,7 +426,7 @@ object MultimodalG extends Module {
   )
 
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,
-    mmSilence, mmPhash, mmSharedFrames, mmSceneCuts)
+    mmSilence, mmPhash, mmSharedFrames, mmHotFrames, mmSceneCuts)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

@@ -127,9 +127,23 @@ object RelationalD extends Module {
     import s.implicits._
     val l = df0.filter(col(v).isNotNull)
     val zc = Exact.qzl(col(v), 100.0)
+    // The per-group stats and (group, bucket) histogram collects are
+    // bounded ONLY by group cardinality (each group contributes 1 and
+    // ≤ 65536 driver rows respectively) — fine for the registered
+    // low-cardinality callers (q83 trims 3 return-flags), an OOM for a
+    // high-cardinality one. Fail loudly instead: the limit(max+1) keeps
+    // even the guard's own collect bounded. Raise via
+    // spark.graft.trimmed.max.groups if a caller really has more.
+    val maxGroups = s.conf.getOption("spark.graft.trimmed.max.groups")
+      .map(_.toInt).getOrElse(64)
     val stats = l.groupBy(col(g)).agg(min(col(v)).as("lo"), max(col(v)).as("hi"),
         count(lit(1)).as("ng"))
+      .limit(maxGroups + 1)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    require(stats.length <= maxGroups,
+      s"trimmedMean: group cardinality of '$g' exceeds $maxGroups — the " +
+        "driver-side (group, bucket) histogram would be unbounded; " +
+        "pre-aggregate or raise spark.graft.trimmed.max.groups")
     val statsDf = broadcast(stats.toSeq.toDF("sg", "lo", "hi", "ng"))
     val keyed0 = l.withColumn("zc", zc).join(statsDf, col(g) === col("sg"))
     val bCol = when(col("lo") === col("hi"), lit(1L))

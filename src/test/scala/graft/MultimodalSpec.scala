@@ -91,6 +91,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("mm_shared_frames: hot-frame df cap excludes boilerplate, mm_hot_frames reports it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // plant: a 60-copy boilerplate clip (every frame df = 60 > cap 50)
+    // that without the stop-list would emit 60*59/2 = 1770 pairs, plus a
+    // normal near-dup pair that must survive the cap
+    val r = new scala.util.Random(11)
+    def doc(): String = Seq.fill(200)("abcdefghij".charAt(r.nextInt(10))).mkString
+    val boiler = doc()
+    val base = doc(); val variant = base.take(150) + ("zz" + base.drop(152))
+    val rows = (1L to 60L).map(i => (i, boiler)) ++
+      Seq((100L, base), (101L, base), (102L, variant))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotframes").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(dir + "/documents.parquet")
+    val pairs = SparkEntry.queries("mm_shared_frames")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // boilerplate copies must NOT pair (their frames are all above the cap)
+    assert(!pairs.keySet.exists(p => p._1 <= 60L || p._2 <= 60L),
+      s"hot-frame pairs leaked through the cap: ${pairs.keySet.take(5)}")
+    // the normal near-dup pair survives
+    assert(pairs.get((100L, 101L)) === Some(4L), s"identical pair lost to the cap: $pairs")
+    assert(pairs.get((100L, 102L)) === Some(3L))
+    // and the dropped prints are visible in the readout: 4 hot frames, df = 60
+    val hot = SparkEntry.queries("mm_hot_frames")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(hot.length === 4, s"expected the 4 boilerplate frame checksums: ${hot.toSeq}")
+    assert(hot.forall(_._3 === 60L), s"hot df must be the copy count: ${hot.toSeq}")
+    assert(hot.map(_._1).sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("mm_silence_spans: spans are maximal runs of sub-threshold windows") {
     val wins = SparkEntry.queries("mm_audio_window")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))

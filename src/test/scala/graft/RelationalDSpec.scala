@@ -93,6 +93,26 @@ class RelationalDSpec extends SparkSpec {
     }
   }
 
+  test("trimmed mean: high group cardinality fails loudly, not with a driver OOM") {
+    import spark.implicits._
+    import graft.operators.RelationalD
+    // the per-group stats + (group, bucket) histogram collects are
+    // bounded by group cardinality; a caller above the bound must get a
+    // clear error (the guard itself collects at most max+1 rows)
+    val many = (1 to 70).flatMap(g => (1 to 3).map(i => (s"g$g", i.toDouble, i.toLong)))
+    val ex = intercept[IllegalArgumentException] {
+      RelationalD.trimmedMean(many.toDF("g", "v", "id"), "g", "v", Seq("id")).collect()
+    }
+    assert(ex.getMessage.contains("spark.graft.trimmed.max.groups"))
+    // and the conf raises the bound
+    spark.conf.set("spark.graft.trimmed.max.groups", "128")
+    try {
+      val ok = RelationalD.trimmedMean(many.toDF("g", "v", "id"), "g", "v", Seq("id"))
+        .collect()
+      assert(ok.length === 70)
+    } finally spark.conf.unset("spark.graft.trimmed.max.groups")
+  }
+
   test("trimmed mean property: 10 seeded adversarial mixtures all match naive") {
     import spark.implicits._
     import graft.operators.RelationalD
