@@ -191,7 +191,7 @@ object Bench {
       (-1.0, -1.0)
     }
     println(render(results, counts, sfDir, done, math.min(reps, done), worstRatio(),
-      calibrate(), total001, buildSec, probeSec))
+      calibrate(), total001, buildSec, probeSec, DataFp.of(sfDir)))
     spark.stop()
   }
 
@@ -224,7 +224,7 @@ object Bench {
   def render(results: Map[String, (Double, Double)],
       counts: Map[String, Int], sfDir: String, reps: Int, window: Int,
       ratio: Double, calib: Double, total001: Double,
-      ivfpqBuild: Double, ivfpqProbe: Double): String = {
+      ivfpqBuild: Double, ivfpqProbe: Double, dataFp: String): String = {
     def json(f: ((Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val sampleJson = counts.map { case (k, v) => "\"" + k + "\":" + v }
@@ -238,6 +238,6 @@ object Bench {
     val t001Str = f"$total001%.4f"
     val buildStr = f"$ivfpqBuild%.4f"
     val probeStr = f"$ivfpqProbe%.4f"
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"calib_sec":$calibStr,"total_sf001":$t001Str,"ivfpq_build_sec":$buildStr,"ivfpq_probe_sec":$probeStr,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"calib_sec":$calibStr,"total_sf001":$t001Str,"ivfpq_build_sec":$buildStr,"ivfpq_probe_sec":$probeStr,"data_fp":"$dataFp","sf":"$sfDir"}"""
   }
 }

@@ -49,7 +49,7 @@ object Solo {
         s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
       }
       .mkString("{", ",", "}")
-    println(s"""{"mode":"solo","sf":"$d","reps":$reps,"queries":$body}""")
+    println(s"""{"mode":"solo","sf":"$d","reps":$reps,"data_fp":"${DataFp.of(d)}","queries":$body}""")
     spark.stop()
   }
 }

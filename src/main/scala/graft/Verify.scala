@@ -57,7 +57,12 @@ object Verify {
         // locale, and a comma decimal separator would emit invalid JSON
         .map { case (k, v) =>
           s""""$k":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}"""
-        }.mkString("{", ",", "}")
+        }
+        // input-data fingerprint: timings are only comparable across
+        // runs with identical data (see DataFp); the underscore prefix
+        // sorts it first and can't collide with a query name
+        .prepended(s""""_data_fp":"${DataFp.of(sfDir)}"""")
+        .mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/timings.json"), body)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1531,8 +1531,10 @@ object MlC extends Module {
   // SEVEN MLlib families + a kNN row (the roster's KNeighborsClassifier,
   // backed by graft's own neighbor-join machinery since MLlib lacks
   // kNN) + a kernel-SVC row (seeded random-Fourier-features +
-  // LinearSVC — the roster's RBF SVC import) + the most-frequent
-  // dummy baseline, each
+  // LinearSVC — the roster's RBF SVC import) + TWO dummy baselines:
+  // most_frequent (deterministic) and the reference's ACTUAL
+  // strategy="uniform" (modeling.py:22) reported as its closed-form
+  // expected metrics (zero RNG), each
   // scored by the same seeded hash-fold 3-fold CV as ml_search (fold
   // membership identical on any cluster shape), reporting fold-mean
   // accuracy / f1 / AUC per family. Fits are MLlib's distributed
@@ -1724,7 +1726,28 @@ object MlC extends Module {
       } }
       "dummy" -> folds
     }
-    val rows = (fitted :+ knn :+ svcRff :+ adaboost :+ dummy).map {
+    // DummyClassifier(strategy="uniform") — the reference's ACTUAL
+    // baseline (modeling.py:22). Its predictions are RNG coin flips, so
+    // graft reports the CLOSED-FORM expected metrics instead of sampling
+    // them (deterministic, zero RNG): predicting 1 with probability 1/2
+    // independent of the label gives E[accuracy] = 1/2, E[recall_1] =
+    // 1/2, E[precision_1] = the test fold's positive rate π (the
+    // predicted-positive set is a uniform subsample), F1 from those
+    // marginal rates = 2·π·½/(π+½), and a random score ranks at
+    // AUC = 1/2. Pure fold-marginal counting — exactly what the RNG
+    // baseline converges to over re-seeds.
+    val dummyUniform = {
+      val folds = (0 until 3).map { f => Future {
+        val r0 = df.filter(col("fold") === f)
+          .agg(sum(col("label")), count(lit(1))).head()
+        val pi = r0.getDouble(0) / r0.getLong(1).toDouble
+        val prec = pi; val rec = 0.5
+        val f1 = if (prec + rec > 0.0) 2.0 * prec * rec / (prec + rec) else 0.0
+        (0.5, f1, 0.5)
+      } }
+      "dummy_uniform" -> folds
+    }
+    val rows = (fitted :+ knn :+ svcRff :+ adaboost :+ dummy :+ dummyUniform).map {
       case (name, foldFs) =>
         val folds = foldFs.map(Await.result(_, Duration.Inf))
         (name, folds.map(_._1).sum / 3.0, folds.map(_._2).sum / 3.0,

@@ -16,7 +16,8 @@ class BenchContractSpec extends AnyFunSuite {
       results = Map("q01_agg" -> (0.5, 0.6), "st_window_agg" -> (-1.0, -1.0)),
       counts = counts, sfDir = "/root/testdata/sf0.1",
       reps = 5, window = 5, ratio = ratio, calib = 0.07,
-      total001 = 4.5, ivfpqBuild = 1.2, ivfpqProbe = 0.3)
+      total001 = 4.5, ivfpqBuild = 1.2, ivfpqProbe = 0.3,
+      dataFp = "00ff00ff00ff00ff")
 
   test("metrics line is a single line of bare JSON") {
     for (l <- Seq(line(1.1, Map("q01_agg" -> 5, "st_window_agg" -> 5)),
@@ -37,9 +38,31 @@ class BenchContractSpec extends AnyFunSuite {
       // the driver-read fields are all present
       Seq("\"value\":", "\"queries\":", "\"samples\":", "\"certified\":",
         "\"median_over_min\":", "\"calib_sec\":", "\"total_sf001\":",
-        "\"ivfpq_build_sec\":", "\"ivfpq_probe_sec\":", "\"sf\":")
+        "\"ivfpq_build_sec\":", "\"ivfpq_probe_sec\":", "\"data_fp\":", "\"sf\":")
         .foreach(k => assert(l.contains(k), s"missing $k in: $l"))
     }
+  }
+
+  test("data fingerprint: stable across calls, sensitive to regeneration") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp")
+    val f = dir.resolve("lineitem.parquet")
+    java.nio.file.Files.writeString(f, "aaaa")
+    f.toFile.setLastModified(1755000000000L)
+    val fp1 = DataFp.of(dir.toString)
+    val fp2 = DataFp.of(dir.toString)
+    assert(fp1 === fp2, "fingerprint must be deterministic")
+    assert(fp1.matches("[0-9a-f]{16}"), fp1)
+    // same bytes, new mtime — a regeneration MUST change the fp
+    f.toFile.setLastModified(1755000001000L)
+    assert(DataFp.of(dir.toString) !== fp1, "mtime change must change fp")
+    // size change too
+    java.nio.file.Files.writeString(f, "aaaaaa")
+    f.toFile.setLastModified(1755000001000L)
+    assert(DataFp.of(dir.toString) !== fp1, "size change must change fp")
+    // non-parquet clutter is ignored
+    val before = DataFp.of(dir.toString)
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "x")
+    assert(DataFp.of(dir.toString) === before, "non-parquet files must not count")
   }
 
   test("zero-sample queries fail certification") {

@@ -501,9 +501,9 @@ class MlSpec extends SparkSpec {
     val a = MlC.modelPanelRows(spark, sf)
     val names = a.map(_._1)
     assert(names.contains("dummy"))
-    assert(names.size >= 10, s"family roster too thin: $names") // 7+knn+svc_rff+adaboost+dummy
+    assert(names.size >= 11, s"family roster too thin: $names") // 7+knn+svc_rff+adaboost+2 dummies
     Seq("adaboost", "gbt", "knn", "linear_svc", "logreg", "mlp", "naive_bayes",
-      "random_forest", "ridge", "svc_rff").foreach(f =>
+      "random_forest", "ridge", "svc_rff", "dummy_uniform").foreach(f =>
       assert(names.contains(f), s"missing family $f"))
     a.foreach { case (m, acc, f1, auc) =>
       assert(acc >= 0.0 && acc <= 1.0, s"$m accuracy")
@@ -512,6 +512,20 @@ class MlSpec extends SparkSpec {
     }
     // the constant dummy's binarized AUC is exactly 0.5
     assert(a.find(_._1 == "dummy").get._4 === 0.5)
+    // the uniform dummy (the reference's actual modeling.py:22 baseline)
+    // reports the CLOSED FORM of strategy="uniform": accuracy exactly
+    // 1/2, AUC exactly 1/2, and fold-mean F1 = mean over folds of
+    // 2·π_f·½/(π_f+½) where π_f is the fold's positive rate — reconcile
+    // against an independent recompute of the fold label marginals
+    val u = a.find(_._1 == "dummy_uniform").get
+    assert(u._2 === 0.5 && u._4 === 0.5)
+    val feats = MlC.customerFeatures(spark, sf)
+      .withColumn("fold", pmod(xxhash64(col("c_custkey"), lit(42L)), lit(3L)))
+      .groupBy("fold").agg(avg(col("label")).as("pi"))
+      .collect().map(r => r.getDouble(1))
+    assert(feats.length === 3)
+    val wantF1 = feats.map(pi => 2.0 * pi * 0.5 / (pi + 0.5)).sum / 3.0
+    assert(math.abs(u._3 - wantF1) < 1e-12, s"uniform F1 ${u._3} vs $wantF1")
     // seeded fits + hash folds: bit-identical on a re-run
     val b = MlC.modelPanelRows(spark, sf)
     assert(a === b, "panel not deterministic")
