@@ -14,8 +14,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema cache per (dir, table) — the catalog role. Without it every
+    * query call pays parquet schema INFERENCE (driver footer reads +
+    * relation resolution) again for a table whose schema never changes
+    * within a session: measured 0.077 s per `spark.read.parquet` vs
+    * 0.012 s with an explicit schema at sf0.1, which was the single
+    * largest slice of the fixed per-job overhead on sub-second queries
+    * (BASELINE.md round-11 decomposition). A real deployment gets this
+    * from the metastore; here the first read of each (dir, table)
+    * infers and caches. Schemas are per-path facts (a file's schema
+    * can't change under a live session), so the cache needs no
+    * invalidation. Fresh DataFrame instances are still returned per
+    * call — expression IDs stay distinct, so self-join deduplication
+    * behaves exactly as before.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+    spark.read.schema(sch).parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")

@@ -502,17 +502,40 @@ object StreamingH extends Module {
   */
 object Streaming {
 
-  /** Tumbling 1h window × event_type aggregate; same plan batch/stream.
-    * Single-level long grid sum (codegen primitive adds): event values are
-    * O(100), so even 10^13 rows per window-group stay within int64 —
-    * streaming also can't chain two aggregations, so no level-2 here.
+  /** Tumbling 1h window × event_type aggregate; same function
+    * batch/stream, same results (StreamingSpec pins twin equality), two
+    * grouping-key REPRESENTATIONS of the same key:
+    *
+    * - streaming groups on `window(ts, '1 hour')` — the struct key is
+    *   what the watermark state machinery evicts on, non-negotiable;
+    * - batch groups on the primitive epoch-floor LONG (µs − µs mod 1h)
+    *   and converts to a timestamp only on the aggregated output
+    *   surface. The struct key kept the hash aggregate off the
+    *   primitive fast path: measured 1.69 s (struct) vs 1.06 s (long)
+    *   for the identical 100M-row sf100 aggregate — the qzl grid-image
+    *   discipline applied to the grouping key.
+    *
+    * Single-level long grid sum (codegen primitive adds): event values
+    * are O(100), so even 10^13 rows per window-group stay within
+    * int64 — streaming also can't chain two aggregations, so no
+    * level-2 here.
     */
-  def windowAgg(events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        (sum(graft.Exact.qzl(col("value"), 1000.0)).cast("double") / lit(1000.0)).as("sum_value"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+  def windowAgg(events: DataFrame): DataFrame = {
+    val measures = Seq(count(lit(1)).as("n_events"),
+      (sum(graft.Exact.qzl(col("value"), 1000.0)).cast("double") / lit(1000.0)).as("sum_value"))
+    if (events.isStreaming)
+      events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(measures.head, measures.tail: _*)
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    else {
+      val us = unix_micros(col("ts"))
+      events.groupBy((us - pmod(us, lit(3600000000L))).as("wus"), col("event_type"))
+        .agg(measures.head, measures.tail: _*)
+        .select(timestamp_micros(col("wus")).as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }
+  }
 
   /** Watermarked streaming twin of windowAgg. */
   def windowAggStream(events: DataFrame): DataFrame =
