@@ -39,8 +39,15 @@ object Verify {
         override def run(): Unit =
           try {
             val t0 = System.nanoTime()
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-              .parquet(s"$outDir/$name")
+            // coalesce(1) keeps the dump a single file for the driver's
+            // reader, but it also serializes the WRITE into one task —
+            // at sf100 a 600M-row per-row surface takes ~10 min alone.
+            // SPARK_GRAFT_VERIFY_COALESCE=0 keeps the query's own
+            // parallelism (the local compare tools glob *.parquet).
+            val res = fn(spark, sfDir)
+            val out = if (sys.env.get("SPARK_GRAFT_VERIFY_COALESCE").contains("0")) res
+              else res.coalesce(1)
+            out.write.mode("overwrite").parquet(s"$outDir/$name")
             timings.put(name, (System.nanoTime() - t0) / 1e9)
           }
           catch { case e: Throwable =>
