@@ -20,6 +20,9 @@ SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-60
 if [ "$MODE" = except ]; then
   ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=target/ducktmp \
     python3 tools/oracle_except.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
+elif [ "$MODE" = multiset ]; then
+  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=target/ducktmp \
+    python3 tools/oracle_multiset.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
 else
   ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=target/ducktmp \
     python3 tools/oracle_check.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
