@@ -220,6 +220,40 @@ object MultimodalG extends Module {
   // [[graft.dedup.Dedup.candidatePairs]]' bucket cap, exactly as the
   // text-dedup family does; the small-SF oracle keeps the direct join
   // so DuckDB can verify the full pair arithmetic.
+  // Hot-band stop-list bound for the phash self-join: a (band_idx,
+  // band_val) bucket of m docs makes m²/2 candidate pairs inside one
+  // reducer. Boilerplate signatures (uniform images, verbatim copy
+  // families) produce df in the thousands; at 5M docs the 15-bit band
+  // space ALSO saturates randomly (~150/bucket), so without the cap the
+  // candidate surface at sf100 was ~1.5e9 pairs and the shuffle filled
+  // the disk. Pairs whose every band is hot are not enumerated — they
+  // surface through mm_hot_bands below (the mm_hot_frames discipline).
+  private[multimodal] val PhashBandDfCap = 100
+
+  /** 4×15-bit banding of a (doc_id, phash) frame — shared by mm_phash
+    * and mm_hot_bands. */
+  private def phashBands(hashed: org.apache.spark.sql.DataFrame) =
+    hashed.select(col("doc_id"), col("phash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> shiftrightunsigned(phash, b * 15) & 32767)")))
+      .toDF("doc_id", "phash", "band_idx", "band_val")
+
+  private val phashBandsCte =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 65),
+      |      k -> ascii(substr(text, CAST(k * greatest((length(text) - 1) // 66, 1) + 1 AS INTEGER), 1))) AS bs
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
+      |    CASE WHEN bs[CAST((j // 10) * 11 + (j % 10) + 1 AS INTEGER)]
+      |              < bs[CAST((j // 10) * 11 + (j % 10) + 2 AS INTEGER)]
+      |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT) AS phash
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, phash, b.b AS band_idx, (phash >> CAST(b.b * 15 AS INTEGER)) & 32767 AS band_val
+      |  FROM p, (SELECT unnest(generate_series(0, 3)) AS b) b)""".stripMargin
+
   private val mmPhash = Q(
     "mm_phash",
     (s, d) => {
@@ -240,13 +274,15 @@ object MultimodalG extends Module {
             |        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
         .select(col("doc_id"), col("phash"))
         .graftCheckpoint(eager = false)
-      val bands = hashed.select(col("doc_id"), col("phash"),
-          posexplode(expr(
-            "transform(sequence(0, 3), b -> shiftrightunsigned(phash, b * 15) & 32767)")))
-        .toDF("doc_id", "phash", "band_idx", "band_val")
-      val a = bands.select(col("band_idx"), col("band_val"),
+      val bands = phashBands(hashed)
+      val usable = bands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= PhashBandDfCap)
+        .select("band_idx", "band_val")
+      val b2 = bands.join(usable, Seq("band_idx", "band_val"))
+      val a = b2.select(col("band_idx"), col("band_val"),
         col("doc_id").as("id_a"), col("phash").as("ph_a"))
-      val b = bands.select(col("band_idx"), col("band_val"),
+      val b = b2.select(col("band_idx"), col("band_val"),
         col("doc_id").as("id_b"), col("phash").as("ph_b"))
       a.join(b, Seq("band_idx", "band_val")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -255,26 +291,55 @@ object MultimodalG extends Module {
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     },
-    Some("""WITH h AS (
-      |  SELECT doc_id,
-      |    list_transform(generate_series(0, 65),
-      |      k -> ascii(substr(text, CAST(k * greatest((length(text) - 1) // 66, 1) + 1 AS INTEGER), 1))) AS bs
-      |  FROM documents),
-      |p AS (
-      |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), j ->
-      |    CASE WHEN bs[CAST((j // 10) * 11 + (j % 10) + 1 AS INTEGER)]
-      |              < bs[CAST((j // 10) * 11 + (j % 10) + 2 AS INTEGER)]
-      |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT) AS phash
-      |  FROM h),
-      |bands AS (
-      |  SELECT doc_id, phash, b.b AS band_idx, (phash >> CAST(b.b * 15 AS INTEGER)) & 32767 AS band_val
-      |  FROM p, (SELECT unnest(generate_series(0, 3)) AS b) b)
+    Some(phashBandsCte +
+      """,
+      |usable AS (
+      |  SELECT band_idx, band_val FROM bands
+      |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 100),
+      |bu AS (SELECT bands.* FROM bands JOIN usable USING (band_idx, band_val))
       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-      |FROM bands a JOIN bands b
+      |FROM bu a JOIN bu b
       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
       |ORDER BY id_a, id_b""".stripMargin)
+  )
+
+  // mm_hot_bands — mm_phash's boilerplate/saturation readout (the
+  // mm_hot_frames discipline applied to signature bands): every
+  // (band_idx, band_val) with document frequency above PhashBandDfCap,
+  // with its df. Two populations land here: boilerplate signatures
+  // (uniform frames, verbatim copy families — every band hot) and, past
+  // ~10^6 docs, RANDOM saturation of the 15-bit band space (5M docs /
+  // 32768 values ≈ 150 per bucket by pigeonhole alone — at that scale
+  // the scale path is a wider signature, e.g. dd_simhash's 64-bit one,
+  // not a bigger join). One partial-aggregable rollup, linear output.
+  private val mmHotBands = Q(
+    "mm_hot_bands",
+    (s, d) => {
+      val hashed = graft.Exact.fanout(Tables.documents(s, d))
+        .withColumn("stride", expr("greatest((length(text) - 1) div 66, 1)"))
+        .withColumn("bs", expr(
+          "transform(sequence(0, 65), k -> ascii(substring(text, k * stride + 1, 1)))"))
+        .withColumn("phash", expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
+            |  acc + IF(element_at(bs, CAST((j div 10) * 11 + (j % 10) + 1 AS INT))
+            |           < element_at(bs, CAST((j div 10) * 11 + (j % 10) + 2 AS INT)),
+            |        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin))
+        .select(col("doc_id"), col("phash"))
+      phashBands(hashed)
+        .groupBy("band_idx", "band_val").agg(count(lit(1)).as("df"))
+        .filter(col("df") > PhashBandDfCap)
+        .select(col("band_idx").cast("long").as("band_idx"),
+          col("band_val"), col("df"))
+        .orderBy("band_idx", "band_val")
+    },
+    Some(phashBandsCte +
+      """
+      |SELECT CAST(band_idx AS BIGINT) AS band_idx, band_val,
+      |  CAST(COUNT(*) AS BIGINT) AS df
+      |FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 100
+      |ORDER BY band_idx, band_val""".stripMargin)
   )
 
   // Hot-frame stop-list bound: a frame checksum shared by more than this
@@ -426,7 +491,7 @@ object MultimodalG extends Module {
   )
 
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,
-    mmSilence, mmPhash, mmSharedFrames, mmHotFrames, mmSceneCuts)
+    mmSilence, mmPhash, mmHotBands, mmSharedFrames, mmHotFrames, mmSceneCuts)
 }
 
 /** Decode stub boundary: the partition-level plumbing a real media

@@ -91,6 +91,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("mm_phash: hot-band df cap excludes boilerplate signatures, mm_hot_bands reports them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 150 copies of one payload share the same phash -> all 4 of its
+    // band buckets exceed the cap (df = 150 > 100); without the stop-list
+    // they alone are 150*149/2 = 11,175 pairs. A planted near pair with
+    // unique-ish bands must still be recovered.
+    val r = new scala.util.Random(23)
+    def doc(): String = Seq.fill(140)("abcdefghij".charAt(r.nextInt(10))).mkString(" ").take(140)
+    val boiler = doc()
+    val base = doc(); val near = "zz" + base.drop(2)
+    val rows = (1L to 150L).map(i => (i, boiler)) ++
+      Seq((500L, base), (501L, base), (502L, near)) ++
+      (600L to 615L).map(i => (i, doc()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotbands").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("src0").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.parquet(dir + "/documents.parquet")
+    val pairs = SparkEntry.queries("mm_phash")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(!pairs.keySet.exists(p => p._1 <= 150L && p._2 <= 150L),
+      s"boilerplate-signature pairs leaked through the cap: ${pairs.keySet.take(5)}")
+    assert(pairs.get((500L, 501L)) === Some(0L), s"identical pair lost: $pairs")
+    assert(pairs.contains((500L, 502L)) && pairs((500L, 502L)) <= 3L, s"near pair lost: $pairs")
+    val hot = SparkEntry.queries("mm_hot_bands")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(hot.nonEmpty && hot.forall(_._3 >= 150L),
+      s"hot bands must report the boilerplate signature: ${hot.toSeq}")
+    assert(hot.map(_._1).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L),
+      s"all 4 bands of the shared signature are hot: ${hot.toSeq}")
+  }
+
   test("mm_shared_frames: hot-frame df cap excludes boilerplate, mm_hot_frames reports it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -23,8 +23,12 @@ structure — the selected x_lo/x_hi are exact column values, so the
 result equals the one-shot oracle exactly (not approximately).
 
 Usage: tools/oracle_quantiles_staged.py <sf_dir> <verify_out_dir> [query ...]
-Supports q07_quantiles (lineitem, ungrouped) and q33_group_quantiles
-(lineitem grouped by l_returnflag) — the two global-sort quantile twins.
+Supports q07_quantiles (lineitem, ungrouped), q33_group_quantiles
+(lineitem grouped by l_returnflag), and q60_grouped_mad (per-flag
+median + median absolute deviation — the second median runs order_stat
+over the expression ABS(x - median), so no 600M-row deviation table is
+ever materialized, which is what blew the one-shot oracle past this
+box's free disk).
 """
 import sys, os, math, json
 import duckdb
@@ -48,8 +52,9 @@ def connect(sf):
 
 
 def order_stat(con, col, where, rank):
-    """Exact rank-th smallest of `col` (1-based) among rows matching
-    `where`, via histogram refinement — never a global sort."""
+    """Exact rank-th smallest of `col` (1-based; any SQL expression over
+    lineitem) among rows matching `where`, via histogram refinement —
+    never a global sort, never a materialized derived table."""
     lo, hi, cnt = con.execute(
         f"SELECT MIN({col}), MAX({col}), COUNT(*) FROM lineitem WHERE {where}"
     ).fetchone()
@@ -59,7 +64,11 @@ def order_stat(con, col, where, rank):
     # DuckDB has no width_bucket; the explicit arithmetic is only a
     # SEARCH structure and must merely be self-consistent between the
     # histogram and the slice query below
-    bexpr = (f"LEAST(CAST(FLOOR(({col} - {lo!r}) / ({hi!r} - {lo!r}) "
+    # literals must be DOUBLE-cast: DuckDB parses short decimal literals
+    # as DECIMAL and the mixed arithmetic overflows its scale inference
+    lod = f"CAST({lo!r} AS DOUBLE)"
+    hid = f"CAST({hi!r} AS DOUBLE)"
+    bexpr = (f"LEAST(CAST(FLOOR((CAST({col} AS DOUBLE) - {lod}) / ({hid} - {lod}) "
              f"* {NB}) AS BIGINT) + 1, {NB})")
     hist = con.execute(f"""
         SELECT {bexpr} AS b, COUNT(*) AS c
@@ -79,6 +88,20 @@ def order_stat(con, col, where, rank):
             return row[0]
         off += c
     raise AssertionError("rank not located")
+
+
+def median_interp(con, expr, where):
+    """h = 0.5*(cnt-1.0) median with the one-shot oracles' exact
+    interpolation expression."""
+    cnt = con.execute(
+        f"SELECT CAST(COUNT(*) AS DOUBLE) FROM lineitem WHERE {where}"
+    ).fetchone()[0]
+    h = 0.5 * (cnt - 1.0)
+    rlo = int(math.floor(h)) + 1
+    rhi = min(rlo + 1, int(cnt))
+    x_lo = order_stat(con, expr, where, rlo)
+    x_hi = order_stat(con, expr, where, rhi)
+    return x_lo + (x_hi - x_lo) * (h - math.floor(h))
 
 
 def quantile_rows(con, col, where, label_key, label_val):
@@ -132,6 +155,17 @@ def main():
                + quantile_rows(con, "l_extendedprice", "TRUE",
                                "col_name", "l_extendedprice"))
         if not compare("q07_quantiles", got, out, ["col_name", "q"]):
+            n_fail += 1
+    if not only or "q60_grouped_mad" in only:
+        flags = [r[0] for r in con.execute(
+            "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY 1").fetchall()]
+        got = []
+        for f in flags:
+            w = f"l_returnflag = '{f}'"
+            med = median_interp(con, "l_extendedprice", w)
+            mad = median_interp(con, f"ABS(l_extendedprice - CAST({med!r} AS DOUBLE))", w)
+            got.append({"l_returnflag": f, "median": med, "mad": mad})
+        if not compare("q60_grouped_mad", got, out, ["l_returnflag"]):
             n_fail += 1
     if not only or "q33_group_quantiles" in only:
         flags = [r[0] for r in con.execute(
