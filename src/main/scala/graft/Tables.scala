@@ -24,18 +24,27 @@ object Tables {
     * from the metastore; here the first read of each (dir, table)
     * infers and caches. Schemas are per-path facts (a file's schema
     * can't change under a live session), so the cache needs no
-    * invalidation. Fresh DataFrame instances are still returned per
+    * invalidation — with one caveat: if testdata at the SAME path is
+    * REGENERATED while this JVM lives (the scenario DataFp detects)
+    * with a different schema, reads would apply the stale schema.
+    * The cache key therefore includes the root file's mtime, so a
+    * regeneration is picked up on the next read instead of silently
+    * mis-projecting. Fresh DataFrame instances are still returned per
     * call — expression IDs stay distinct, so self-join deduplication
     * behaves exactly as before.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
       org.apache.spark.sql.types.StructType]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val sch = schemaCache.computeIfAbsent((dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
-    spark.read.schema(sch).parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // mtime in the key: free (one stat vs the read's many), and it
+    // invalidates on in-session regeneration of the same path
+    val mtime = new java.io.File(path).lastModified()
+    val sch = schemaCache.computeIfAbsent((dir, name, mtime),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")

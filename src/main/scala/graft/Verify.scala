@@ -1,9 +1,87 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Disk-awareness (r12, verdict item #2): the r11 sf100 sweep burned
+    * ~6 oracle runs because giant verify dumps, DuckDB temp blocks and
+    * Spark shuffle spills share one root FS — a dump that filled the
+    * disk poisoned every query after it. Two guards:
+    *
+    *  1. BEFORE writing, the optimizer's size estimate (clamped to
+    *     32× the leaf-scan bytes — join stats multiply and would
+    *     otherwise produce astronomically-large garbage) × a 0.5
+    *     parquet-compression factor is gated against measured free
+    *     disk minus a headroom reserve (shuffle spill + DuckDB temp
+    *     live on the same FS). Refusal is a one-line "need N GB" —
+    *     fail fast, batch continues.
+    *  2. If the write still dies (estimate was low, or a co-tenant ate
+    *     the disk), the PARTIAL dump is deleted before moving on, so
+    *     the failure doesn't cascade.
+    *
+    * SPARK_GRAFT_VERIFY_HEADROOM_GB sizes the reserve (default 10);
+    * SPARK_GRAFT_VERIFY_FORCE=1 bypasses the pre-gate (e.g. when the
+    * caller KNOWS the estimate is pessimistic). Oversized per-row
+    * surfaces should go through the streamed compares
+    * (tools/oracle_except.py / oracle_multiset.py) with
+    * SPARK_GRAFT_VERIFY_COALESCE=0 — the refusal message says so.
+    */
+  /** None = the plan's size is UNKNOWN (a leaf reports the
+    * defaultSizeInBytes sentinel — localCheckpoint LogicalRDDs in the
+    * dedup/graph fixpoints do): the gate then falls back to the pure
+    * headroom floor instead of refusing on garbage.
+    */
+  private[graft] def estimateDumpBytes(df: DataFrame): Option[BigInt] = {
+    val plan = df.queryExecution.optimizedPlan
+    val leafSizes = plan.collectLeaves().map(_.stats.sizeInBytes)
+    val unknown = BigInt(Long.MaxValue)
+    if (leafSizes.exists(_ >= unknown)) None
+    else {
+      val leaves = leafSizes.sum
+      // Size-only stats MULTIPLY across joins (garbage for any
+      // lineitem⋈orders plan), so clamp at 4× the scanned bytes: every
+      // graft surface is at most a small multiple of its largest input
+      // (q36_melt, the worst, is 3× orders rows at narrower width).
+      // Tiny-aggregate queries over-estimate to ~input volume — which
+      // still passes any healthy gate, and on a nearly-full disk
+      // refusing them is RIGHT (their shuffle spill shares the same FS).
+      val clamp = leaves * 4 + BigInt(1L << 20)
+      Some(plan.stats.sizeInBytes.min(clamp) / 2) // parquet ~0.5 of in-mem
+    }
+  }
+
+  /** Pure gate: Some(reason) = refuse. Spec-covered directly.
+    * estBytes=None (unknown-size plan) refuses only when free disk is
+    * already below the headroom reserve itself.
+    */
+  private[graft] def gateRefusal(estBytes: Option[BigInt], freeBytes: Long,
+      headroomBytes: Long): Option[String] = {
+    val budget = BigInt(freeBytes) - BigInt(headroomBytes)
+    estBytes match {
+      case None if freeBytes < headroomBytes =>
+        Some(f"plan size unknown and free disk ${freeBytes / 1e9}%.1f GB is " +
+          f"already below the ${headroomBytes / 1e9}%.1f GB headroom reserve " +
+          "— free disk first (stale dumps, target/ducktmp*), or " +
+          "SPARK_GRAFT_VERIFY_FORCE=1")
+      case Some(est) if est > budget =>
+        Some(f"estimated dump ~${est.toDouble / 1e9}%.1f GB exceeds " +
+          f"free ${freeBytes / 1e9}%.1f GB minus ${headroomBytes / 1e9}%.1f GB " +
+          "headroom — need " +
+          f"${(est - budget).toDouble / 1e9}%.1f GB more; rerun with " +
+          "SPARK_GRAFT_VERIFY_COALESCE=0 + a streamed compare " +
+          "(tools/oracle_except.py or oracle_multiset.py) on a bigger disk, " +
+          "or SPARK_GRAFT_VERIFY_FORCE=1 if the estimate is pessimistic")
+      case _ => None
+    }
+  }
+
+  private def deleteRecursively(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
+    p.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     // driver contract: (sfDir, outDir); extra args = local-iteration
     // filter, dump only the named queries
@@ -24,6 +102,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val headroomBytes =
+      (sys.env.getOrElse("SPARK_GRAFT_VERIFY_HEADROOM_GB", "10").toDouble * 1e9).toLong
+    val force = sys.env.get("SPARK_GRAFT_VERIFY_FORCE").contains("1")
     // run queries on a small thread pool: Spark's scheduler interleaves
     // the jobs and the long ML fits overlap the cheap relational dumps
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -36,7 +117,8 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       pool.submit(new Runnable {
-        override def run(): Unit =
+        override def run(): Unit = {
+          val dumpDir = new java.io.File(s"$outDir/$name")
           try {
             val t0 = System.nanoTime()
             // coalesce(1) keeps the dump a single file for the driver's
@@ -45,14 +127,33 @@ object Verify {
             // SPARK_GRAFT_VERIFY_COALESCE=0 keeps the query's own
             // parallelism (the local compare tools glob *.parquet).
             val res = fn(spark, sfDir)
-            val out = if (sys.env.get("SPARK_GRAFT_VERIFY_COALESCE").contains("0")) res
-              else res.coalesce(1)
-            out.write.mode("overwrite").parquet(s"$outDir/$name")
-            timings.put(name, (System.nanoTime() - t0) / 1e9)
+            // no early `return` here: a nonlocal return from inside the
+            // Runnable would be swallowed by the Throwable catch below
+            val refusal =
+              if (force) None
+              else gateRefusal(estimateDumpBytes(res),
+                new java.io.File(outDir).getUsableSpace, headroomBytes)
+            refusal match {
+              case Some(reason) =>
+                System.err.println(s"[verify] $name refused: $reason")
+              case None =>
+                val out =
+                  if (sys.env.get("SPARK_GRAFT_VERIFY_COALESCE").contains("0")) res
+                  else res.coalesce(1)
+                out.write.mode("overwrite").parquet(s"$outDir/$name")
+                timings.put(name, (System.nanoTime() - t0) / 1e9)
+            }
           }
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // disk-full (or any) write failure: free the partial dump so
+            // this query's corpse doesn't take the rest of the batch down
+            if (dumpDir.exists()) {
+              deleteRecursively(dumpDir)
+              System.err.println(s"[verify] $name partial dump deleted")
+            }
           }
+        }
       })
     }
     tasks.foreach(_.get())

@@ -292,10 +292,12 @@ object MultimodalG extends Module {
         .orderBy("id_a", "id_b")
     },
     Some(phashBandsCte +
-      """,
+      // df-cap literals interpolated from PhashBandDfCap so one
+      // definition drives plan AND oracle (can't silently desync)
+      s""",
       |usable AS (
       |  SELECT band_idx, band_val FROM bands
-      |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 100),
+      |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND $PhashBandDfCap),
       |bu AS (SELECT bands.* FROM bands JOIN usable USING (band_idx, band_val))
       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
@@ -335,10 +337,10 @@ object MultimodalG extends Module {
         .orderBy("band_idx", "band_val")
     },
     Some(phashBandsCte +
-      """
+      s"""
       |SELECT CAST(band_idx AS BIGINT) AS band_idx, band_val,
       |  CAST(COUNT(*) AS BIGINT) AS df
-      |FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 100
+      |FROM bands GROUP BY 1, 2 HAVING COUNT(*) > $PhashBandDfCap
       |ORDER BY band_idx, band_val""".stripMargin)
   )
 
@@ -403,10 +405,11 @@ object MultimodalG extends Module {
         .orderBy("id_a", "id_b")
     },
     Some(frameCte +
-      """,
+      // SharedFrameDfCap interpolated — same single-definition rule
+      s""",
       |usable AS (
       |  SELECT frame_idx, frame_md5 FROM fr
-      |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 50),
+      |  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND $SharedFrameDfCap),
       |fu AS (SELECT fr.* FROM fr JOIN usable USING (frame_idx, frame_md5))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
       |FROM fu a JOIN fu b
@@ -434,10 +437,10 @@ object MultimodalG extends Module {
         .orderBy("frame_idx", "frame_md5")
     },
     Some(frameCte +
-      """
+      s"""
       |SELECT CAST(frame_idx AS BIGINT) AS frame_idx, frame_md5,
       |  CAST(COUNT(*) AS BIGINT) AS df
-      |FROM fr GROUP BY 1, 2 HAVING COUNT(*) > 50
+      |FROM fr GROUP BY 1, 2 HAVING COUNT(*) > $SharedFrameDfCap
       |ORDER BY frame_idx, frame_md5""".stripMargin)
   )
 

@@ -1087,6 +1087,33 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sumd(col("value")).as("revenue"))
       .select(col("window.start").as("h"), col("segment"), col("n"), col("revenue"))
 
+  /** Idle-key eviction shared by the unbounded-KEY-SET twins (ewma,
+    * late, transitions, expanding): per-key state is small, but with
+    * NoTimeout the key set grows with every customer EVER seen — at
+    * sf1 that is 150k dormant rows, at the 100 TB design point
+    * billions. A watermark-based TTL on last activity bounds state by
+    * ACTIVE keys instead. None (the default) = exact batch-twin
+    * semantics, no watermark needed.
+    */
+  private def idleTimeout(ttl: Option[Long]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.EventTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
+  /** Arm the event-time timeout at last-activity + TTL. Spark requires
+    * the timeout timestamp to sit strictly ahead of the current
+    * watermark, so a key whose newest event already trails the
+    * watermark by more than the TTL arms one ms past it (evicts at the
+    * next watermark advance).
+    */
+  private def armIdleTimeout[S](state: GroupState[S], ttl: Option[Long],
+      batchEventMs: Seq[Long]): Unit =
+    ttl.foreach { t =>
+      if (batchEventMs.nonEmpty) {
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(batchEventMs.max + t, wm + 1L))
+      }
+    }
+
   case class LateEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class LateOut(event_id: Long, user_id: Long, late: Boolean,
       disorder_ms: Long)
@@ -1098,24 +1125,30 @@ object Streaming {
     * rollup downstream is the same partial-aggregable shape as batch.
     */
   def lateStream(events: Dataset[LateEvent],
-      toleranceMs: Long = 600000L): Dataset[LateOut] = {
+      toleranceMs: Long = 600000L,
+      idleTtlMs: Option[Long] = None): Dataset[LateOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Long, LateOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        idleTimeout(idleTtlMs)) {
         (uid: Long, evs: Iterator[LateEvent], state: GroupState[Long]) =>
-          var hwm = state.getOption.getOrElse(Long.MinValue)
-          val out = evs.toSeq.sortBy(_.event_id).map { e =>
-            val tsMs = e.ts.getTime
-            val o = LateOut(e.event_id, uid,
-              hwm != Long.MinValue && tsMs < hwm - toleranceMs,
-              if (hwm == Long.MinValue) 0L else math.max(hwm - tsMs, 0L))
-            hwm = math.max(hwm, tsMs)
-            o
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var hwm = state.getOption.getOrElse(Long.MinValue)
+            val sorted = evs.toSeq.sortBy(_.event_id)
+            val out = sorted.map { e =>
+              val tsMs = e.ts.getTime
+              val o = LateOut(e.event_id, uid,
+                hwm != Long.MinValue && tsMs < hwm - toleranceMs,
+                if (hwm == Long.MinValue) 0L else math.max(hwm - tsMs, 0L))
+              hwm = math.max(hwm, tsMs)
+              o
+            }
+            state.update(hwm)
+            armIdleTimeout(state, idleTtlMs, sorted.map(_.ts.getTime))
+            out.iterator
           }
-          state.update(hwm)
-          out.iterator
       }
   }
 
@@ -1131,23 +1164,29 @@ object Streaming {
     * (spec-asserted). Events within a micro-batch are applied in
     * (event-time, event_id) order — the batch window's sort key.
     */
-  def transitionsStream(events: Dataset[TransEvent]): Dataset[TransPair] = {
+  def transitionsStream(events: Dataset[TransEvent],
+      idleTtlMs: Option[Long] = None): Dataset[TransPair] = {
     import events.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[String, TransPair](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        idleTimeout(idleTtlMs)) {
         (uid: Long, evs: Iterator[TransEvent], state: GroupState[String]) =>
-          var last = state.getOption.orNull
-          val out = scala.collection.mutable.ListBuffer[TransPair]()
-          evs.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
-            if (last != null) out += TransPair(uid, last, e.event_type)
-            last = e.event_type
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.orNull
+            val out = scala.collection.mutable.ListBuffer[TransPair]()
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            sorted.foreach { e =>
+              if (last != null) out += TransPair(uid, last, e.event_type)
+              last = e.event_type
+            }
+            if (last != null) state.update(last)
+            armIdleTimeout(state, idleTtlMs, sorted.map(_.ts.getTime))
+            out.iterator
           }
-          if (last != null) state.update(last)
-          out.iterator
       }
   }
 
@@ -1161,26 +1200,40 @@ object Streaming {
     * the batch window computes, so for in-order delivery the outputs
     * are bit-identical. Events within a micro-batch are applied in
     * (event-time, order_id) order — the batch window's sort key.
+    *
+    * `idleTtlMs` (r12): per-key state is bounded but the KEY SET is
+    * not — one row per EVER-SEEN customer, dormant keys included. With
+    * a TTL, a key idle (in EVENT time, watermark-driven) past the TTL
+    * evicts; outputs are unchanged for keys that never return, and a
+    * returning dormant key restarts its history — twin equality is
+    * guaranteed exactly for keys whose inter-event gaps stay under the
+    * TTL. Requires `.withWatermark("ts", ...)` on the input stream.
     */
-  def ewmaStream(events: Dataset[EwmaEvent]): Dataset[EwmaOut] = {
+  def ewmaStream(events: Dataset[EwmaEvent],
+      idleTtlMs: Option[Long] = None): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Long], EwmaOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        idleTimeout(idleTtlMs)) {
         (uid: Long, evs: Iterator[EwmaEvent], state: GroupState[List[Long]]) =>
-          var hist = state.getOption.getOrElse(Nil) // most recent first, <= 8
-          val out = evs.toSeq.sortBy(e => (us(e.ts), e.order_id)).map { e =>
-            hist = (e.cents :: hist).take(8)
-            val terms = hist.zipWithIndex.map { case (c, j) => (c, 1L << (7 - j)) }
-            EwmaOut(uid, e.order_id,
-              terms.map { case (c, w) => c * w }.sum.toDouble /
-                terms.map(_._2).sum.toDouble / 100.0)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var hist = state.getOption.getOrElse(Nil) // most recent first, <= 8
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.order_id))
+            val out = sorted.map { e =>
+              hist = (e.cents :: hist).take(8)
+              val terms = hist.zipWithIndex.map { case (c, j) => (c, 1L << (7 - j)) }
+              EwmaOut(uid, e.order_id,
+                terms.map { case (c, w) => c * w }.sum.toDouble /
+                  terms.map(_._2).sum.toDouble / 100.0)
+            }
+            state.update(hist)
+            armIdleTimeout(state, idleTtlMs, sorted.map(_.ts.getTime))
+            out.iterator
           }
-          state.update(hist)
-          out.iterator
       }
   }
 
@@ -1267,29 +1320,35 @@ object Streaming {
     * Events within a micro-batch are applied in (event-time, order_id)
     * order — the batch window's sort key.
     */
-  def expandingStream(events: Dataset[ExpEvent]): Dataset[ExpOut] = {
+  def expandingStream(events: Dataset[ExpEvent],
+      idleTtlMs: Option[Long] = None): Dataset[ExpOut] = {
     import events.sparkSession.implicits._
     def us(t: java.sql.Timestamp): Long =
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, BigDecimal), ExpOut](
         org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        idleTimeout(idleTtlMs)) {
         (uid: Long, evs: Iterator[ExpEvent], state: GroupState[(Long, Long, BigDecimal)]) =>
-          var (n, s, ss) = state.getOption.getOrElse((0L, 0L, BigDecimal(0)))
-          val out = evs.toSeq.sortBy(e => (us(e.ts), e.order_id)).map { e =>
-            n += 1; s += e.cents; ss += BigDecimal(e.cents) * BigDecimal(e.cents)
-            val nd = n.toDouble
-            val cs = s.toDouble
-            val css = ss.toDouble
-            val mean = (cs / nd) / 100.0
-            val std =
-              if (n > 1) Some(math.sqrt((css - cs * cs / nd) / (nd - 1.0)) / 100.0)
-              else None
-            ExpOut(uid, e.order_id, n, mean, std)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, s, ss) = state.getOption.getOrElse((0L, 0L, BigDecimal(0)))
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.order_id))
+            val out = sorted.map { e =>
+              n += 1; s += e.cents; ss += BigDecimal(e.cents) * BigDecimal(e.cents)
+              val nd = n.toDouble
+              val cs = s.toDouble
+              val css = ss.toDouble
+              val mean = (cs / nd) / 100.0
+              val std =
+                if (n > 1) Some(math.sqrt((css - cs * cs / nd) / (nd - 1.0)) / 100.0)
+                else None
+              ExpOut(uid, e.order_id, n, mean, std)
+            }
+            state.update((n, s, ss))
+            armIdleTimeout(state, idleTtlMs, sorted.map(_.ts.getTime))
+            out.iterator
           }
-          state.update((n, s, ss))
-          out.iterator
       }
   }
 

@@ -858,4 +858,64 @@ class StreamingSpec extends SparkSpec {
         "one-counter-per-shard streaming state must reproduce the batch packs")
     } finally q.stop()
   }
+
+  test("idle-key TTL evicts dormant keys without changing their emitted output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // planted feed: A active across the whole span; B dormant after day
+    // 0 and never returns (eviction must not change ANY output); C
+    // dormant after day 0 and RETURNING on day 10 (documented restart:
+    // its post-return ewma is computed from a fresh history).
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    val batch1 = Seq(
+      Streaming.EwmaEvent(1L, 100L, t(0), 1000L),
+      Streaming.EwmaEvent(2L, 200L, t(0), 2000L),
+      Streaming.EwmaEvent(3L, 300L, t(0), 4000L))
+    val batch2 = Seq(Streaming.EwmaEvent(1L, 101L, t(5), 3000L))
+    // batch3 advances the watermark past B's and C's timeout (keys fire
+    // only when they arrive with NO data in the batch, so C's return
+    // must come one batch AFTER the eviction batch)
+    val batch3 = Seq(Streaming.EwmaEvent(1L, 102L, t(10), 5000L))
+    val batch4 = Seq(Streaming.EwmaEvent(3L, 301L, t(12), 6000L))
+    val ttlMs = 2L * 86400000L // 2 days — B and C idle past it by day 5
+
+    def drive(ttl: Option[Long], qn: String): (Map[Long, Double], Long) = {
+      val input = MemoryStream[Streaming.EwmaEvent]
+      val src =
+        if (ttl.isDefined) input.toDS().withWatermark("ts", "0 seconds")
+        else input.toDS()
+      val q = Streaming.ewmaStream(src, ttl)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        Seq(batch1, batch2, batch3, batch4).foreach { b =>
+          input.addData(b); q.processAllAvailable()
+        }
+        val rows = spark.table(qn).collect()
+          .map(r => r.getLong(1) -> r.getDouble(2)).toMap // order_id -> ewma
+        val stateRows = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        (rows, stateRows)
+      } finally q.stop()
+    }
+
+    val (noTtl, stateNoTtl) = drive(None, "ew_nottl")
+    val (ttl, stateTtl) = drive(Some(ttlMs), "ew_ttl")
+    // the never-returning dormant key (B): identical output, state freed
+    assert(ttl(200L) === noTtl(200L), "dormant never-returning key output changed")
+    assert(ttl(100L) === noTtl(100L), "pre-eviction emissions must be identical")
+    // A stays continuously under the per-batch horizon (each gap covered
+    // before its timeout fires while it keeps arriving with data), so its
+    // whole trajectory is unchanged
+    assert(ttl(101L) === noTtl(101L) && ttl(102L) === noTtl(102L))
+    // the RETURNING dormant key (C) restarts: fresh history = its own cents
+    assert(ttl(301L) === 60.0, "post-eviction return must restart history")
+    // no-TTL blends day-0's 4000 with day-12's 6000: (6000*128+4000*64)/192
+    assert(noTtl(301L) === ((6000.0 * 128 + 4000.0 * 64) / 192 / 100.0))
+    // and the state ceiling drops: no-TTL holds every key ever seen (3),
+    // TTL holds only keys active inside the final watermark horizon
+    assert(stateNoTtl === 3L)
+    assert(stateTtl < stateNoTtl,
+      s"TTL state $stateTtl must be below ever-seen $stateNoTtl")
+  }
 }

@@ -129,10 +129,17 @@ def compare(name, got, out_dir, key_cols):
     mine = con2.execute(
         f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_df()
     mine = mine[sorted(mine.columns)]
+    # Normalize BOTH sides to native Python scalars before repr:
+    # itertuples yields numpy scalars, and numpy 2.x reprs them as
+    # 'np.float64(x)' while the staged reference rows hold Python
+    # floats — repr compare would false-FAIL on an env upgrade.
+    def native(v):
+        return v.item() if hasattr(v, "item") else v
     ref_rows = []
     for r in got:
-        ref_rows.append(tuple(r[c] for c in sorted(r)))
-    mine_rows = [tuple(x) for x in mine.itertuples(index=False)]
+        ref_rows.append(tuple(native(r[c]) for c in sorted(r)))
+    mine_rows = [tuple(native(x) for x in row)
+                 for row in mine.itertuples(index=False)]
     ok = sorted(map(repr, mine_rows)) == sorted(map(repr, ref_rows))
     if not ok:
         print(f"FAIL {name}:")
