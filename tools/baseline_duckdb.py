@@ -12,6 +12,34 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+MASK = (1 << 64) - 1
+
+
+def data_fp(sf_dir):
+    """Python twin of graft.DataFp.of — FNV-1a over sorted (basename,
+    size, mtime-millis) of every top-level *.parquet entry — so a
+    DuckDB baseline artifact carries the SAME fingerprint as the Spark
+    Bench artifact it pairs with (BASELINE.md round-10 rule)."""
+    h = 1469598103934665603
+
+    def mix_byte(b):
+        nonlocal h
+        h = ((h ^ (b & 0xFF)) * 1099511628211) & MASK
+
+    def mix_long(x):
+        for i in range(8):
+            mix_byte((x >> (8 * i)) & 0xFF)
+
+    entries = sorted(e for e in os.listdir(sf_dir) if e.endswith(".parquet"))
+    for name in entries:
+        p = os.path.join(sf_dir, name)
+        for c in name:
+            mix_byte(ord(c))
+        st = os.stat(p)
+        mix_long(st.st_size)
+        mix_long(st.st_mtime_ns // 1_000_000)
+    return f"{h:016x}"
 HEADLINE = ["q01_agg", "q03_join_agg", "q05_window", "q10_corr",
             "dd_minhash", "sim_brute_topk", "tx_quality", "st_window_agg",
             "dd_winnow_pairs", "sim_ivfpq_topk"]  # ivfpq has no oracle -> skipped
@@ -37,6 +65,7 @@ def main():
             times.append(time.time() - t0)
         out[q] = min(times)
     print(json.dumps({"baseline": "duckdb", "sf": sf, "reps": reps,
+                      "data_fp": data_fp(sf),
                       "queries": {k: round(v, 3) for k, v in out.items()},
                       "total": round(sum(out.values()), 3)}))
 
