@@ -36,7 +36,12 @@ object Verify {
   private[graft] def estimateDumpBytes(df: DataFrame): Option[BigInt] = {
     val plan = df.queryExecution.optimizedPlan
     val leafSizes = plan.collectLeaves().map(_.stats.sizeInBytes)
-    val unknown = BigInt(Long.MaxValue)
+    // unknown at HALF the sentinel, not == it: iterative-fixpoint plans
+    // (graph_kcore) surfaced leaves at garbage values below
+    // Long.MaxValue (a 4.8e9 GB "estimate" at sf100) — anything within
+    // a factor of 2 of the sentinel, or a final estimate above 1 PB, is
+    // stats noise, not a size
+    val unknown = BigInt(Long.MaxValue) / 2
     if (leafSizes.exists(_ >= unknown)) None
     else {
       val leaves = leafSizes.sum
@@ -48,7 +53,8 @@ object Verify {
       // still passes any healthy gate, and on a nearly-full disk
       // refusing them is RIGHT (their shuffle spill shares the same FS).
       val clamp = leaves * 4 + BigInt(1L << 20)
-      Some(plan.stats.sizeInBytes.min(clamp) / 2) // parquet ~0.5 of in-mem
+      val est = plan.stats.sizeInBytes.min(clamp) / 2 // parquet ~0.5 of in-mem
+      if (est > BigInt(1L << 50)) None else Some(est) // >1 PB = garbage
     }
   }
 

@@ -16,14 +16,14 @@ mkdir -p target
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-60g} \
   tools/run.sh graft.Verify "$SF" "$OUT" "$@" 2>&1 | grep "\[verify\]" | tee -a "$LOG" || true
 if [ "$MODE" = except ]; then
-  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=target/ducktmp \
-    python3 tools/oracle_except.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
+  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=${ORACLE_DUCKDB_TMP:-target/ducktmp} \
+    flock -w 86400 target/.duck.lock python3 tools/oracle_except.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
 elif [ "$MODE" = multiset ]; then
-  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=target/ducktmp \
-    python3 tools/oracle_multiset.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
+  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=${ORACLE_DUCKDB_TMP:-target/ducktmp} \
+    flock -w 86400 target/.duck.lock python3 tools/oracle_multiset.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
 else
-  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=target/ducktmp \
-    python3 tools/oracle_check.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
+  ORACLE_DUCKDB_MEM=${ORACLE_DUCKDB_MEM:-80GB} ORACLE_DUCKDB_TMP=${ORACLE_DUCKDB_TMP:-target/ducktmp} \
+    flock -w 86400 target/.duck.lock python3 tools/oracle_check.py "$SF" "$OUT" "$@" 2>&1 | tee -a "$LOG"
 fi
-rm -rf "$OUT" target/ducktmp
+rm -rf "$OUT" "${ORACLE_DUCKDB_TMP:-target/ducktmp}" target/ducktmp_staged
 df -h / | tail -1 | tee -a "$LOG"

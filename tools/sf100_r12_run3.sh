@@ -1,15 +1,19 @@
 #!/bin/bash
-# Continuation of tools/sf100_r12_run.sh after tiny_a (the original
-# parent was replaced mid-run to switch med/ord/li to multiset mode;
-# bash holds the old inode, so the remainder re-launches from here).
+# r12 sweep, take 3: q07/q33/q60 go through the STAGED quantile replay
+# (their single-statement oracles grind >45 min each at sf100 — the
+# r11 lesson re-learned the hard way in this round's tiny_a), med/ord/
+# li go through the constant-memory multiset compare. tiny_a's
+# q01/q03/q04 already passed (log kept).
 set -x
 cd "$(dirname "$0")/.."
 B=tools/sf100_batch2.sh
+# remainder of tiny_a (no quantile oracles)
+$B check  tiny_a2 q16_pivot q31_histogram q35_rollup q40_cube q42_grouping_sets q55_hist2d
+# staged quantile replays: one Verify dump, one staged compare for all three
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=60g tools/run.sh graft.Verify target/testdata/sf100 target/tmp_sf100_r12_qq q07_quantiles q33_group_quantiles q60_grouped_mad 2>&1 | grep "\[verify\]" | tee target/sf100_r12_qq.log || true
+ORACLE_DUCKDB_MEM=60GB ORACLE_DUCKDB_TMP=target/ducktmp python3 tools/oracle_quantiles_staged.py target/testdata/sf100 target/tmp_sf100_r12_qq q07_quantiles q33_group_quantiles q60_grouped_mad 2>&1 | tee -a target/sf100_r12_qq.log
+rm -rf target/tmp_sf100_r12_qq target/ducktmp
 $B check  tiny_b q66_ks_test q67_chi2 q79_mann_whitney q81_chi2_residuals q83_trimmed_mean q84_cramers_v q105_ref_integrity q112_weighted_median q114_triangles q115_dq_audit q116_partial_corr q121_rank_churn q133_basket_profile q134_pairgrid
-# staged quantile replay (single-statement oracle exceeds memory/disk)
-SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=60g tools/run.sh graft.Verify target/testdata/sf100 target/tmp_sf100_r12_q60 q60_grouped_mad 2>&1 | grep "\[verify\]" | tee target/sf100_r12_q60.log || true
-ORACLE_DUCKDB_MEM=60GB ORACLE_DUCKDB_TMP=target/ducktmp python3 tools/oracle_quantiles_staged.py target/testdata/sf100 target/tmp_sf100_r12_q60 q60_grouped_mad 2>&1 | tee -a target/sf100_r12_q60.log
-rm -rf target/tmp_sf100_r12_q60 target/ducktmp
 # the six r11-blocked heavies: pair aggregates get a 256-way shuffle
 SPARK_GRAFT_VERIFY_COALESCE=0 SPARK_GRAFT_SHUFFLE=256 $B multiset heavy_a q94_market_basket q113_item_sim
 SPARK_GRAFT_VERIFY_COALESCE=0 SPARK_GRAFT_SHUFFLE=256 $B multiset heavy_b graph_kcore mm_phash
