@@ -17,10 +17,15 @@ MASK = (1 << 64) - 1
 
 
 def data_fp(sf_dir):
-    """Python twin of graft.DataFp.of — FNV-1a over sorted (basename,
-    size, mtime-millis) of every top-level *.parquet entry — so a
-    DuckDB baseline artifact carries the SAME fingerprint as the Spark
-    Bench artifact it pairs with (BASELINE.md round-10 rule)."""
+    """Python twin of graft.DataFp.of — FNV-1a over every LEAF file
+    under each sorted top-level *.parquet entry, recursing into
+    directory entries with name-sorted children and mixing each leaf's
+    (basename, size, mtime-millis) — so a DuckDB baseline artifact
+    carries the SAME fingerprint as the Spark Bench artifact it pairs
+    with (BASELINE.md round-10 rule). The r12 version only statted
+    top-level entries; that matched the Scala walk only because the
+    testdata layout happened to be flat single-file parquet (ADVICE
+    r12) — a directory-style dataset now fingerprints identically too."""
     h = 1469598103934665603
 
     def mix_byte(b):
@@ -31,14 +36,19 @@ def data_fp(sf_dir):
         for i in range(8):
             mix_byte((x >> (8 * i)) & 0xFF)
 
-    entries = sorted(e for e in os.listdir(sf_dir) if e.endswith(".parquet"))
-    for name in entries:
-        p = os.path.join(sf_dir, name)
-        for c in name:
-            mix_byte(ord(c))
-        st = os.stat(p)
-        mix_long(st.st_size)
-        mix_long(st.st_mtime_ns // 1_000_000)
+    def walk(p):
+        if os.path.isdir(p):
+            for child in sorted(os.listdir(p)):
+                walk(os.path.join(p, child))
+        else:
+            for c in os.path.basename(p):
+                mix_byte(ord(c))
+            st = os.stat(p)
+            mix_long(st.st_size)
+            mix_long(st.st_mtime_ns // 1_000_000)
+
+    for name in sorted(e for e in os.listdir(sf_dir) if e.endswith(".parquet")):
+        walk(os.path.join(sf_dir, name))
     return f"{h:016x}"
 HEADLINE = ["q01_agg", "q03_join_agg", "q05_window", "q10_corr",
             "dd_minhash", "sim_brute_topk", "tx_quality", "st_window_agg",
