@@ -235,6 +235,47 @@ object Exact {
     else fact.join(dim, cond, joinType)
   }
 
+  /** Sorted distinct item sets per group key, in ONE shuffle:
+    * collect_set dedupes (ok, pk) AND groups per order inside the same
+    * exchange, where the older distinct-then-self-join shape shuffled
+    * the fact table three times (distinct, join left, join right) and
+    * OOM'd its pair aggregate at sf100 (r12). Output: (ok, basket)
+    * with basket = sort_array(set of pk).
+    */
+  def orderBaskets(items: org.apache.spark.sql.DataFrame,
+      ok: Column, pk: Column): org.apache.spark.sql.DataFrame =
+    items.select(ok.as("ok"), pk.as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("basket"))
+
+  /** Distinct co-occurrence pair counts from [[orderBaskets]] output:
+    * all C(b,2) in-basket pairs come from a codegen transform/slice
+    * expression (baskets are order-line bounded — ~4-7 items — so pair
+    * fanout is linear in orders, never |items|²), then ONE shuffle on
+    * (pk_a, pk_b) at a widened partition count (conf
+    * `spark.graft.pair.partitions`, default 8 × shuffle.partitions):
+    * the pair keyspace is near-unique, so map-side combine buys
+    * nothing and the fix for the r12 OOM is smaller final hash tables,
+    * not partial aggregation. sort_array upstream guarantees
+    * pk_a < pk_b. Output: (pk_a, pk_b, n_ab).
+    */
+  def basketPairCounts(baskets: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bk = col("basket")
+    val pairs = flatten(transform(bk, (x, i) =>
+      transform(slice(bk, i + lit(2), size(bk) - i - lit(1)),
+        y => struct(x.as("pk_a"), y.as("pk_b")))))
+    val pairParts = baskets.sparkSession.conf
+      .getOption("spark.graft.pair.partitions").map(_.toInt)
+      .getOrElse(8 * baskets.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt)
+    baskets.select(explode(pairs).as("p"))
+      .select(col("p.pk_a").as("pk_a"), col("p.pk_b").as("pk_b"))
+      .repartition(pairParts, col("pk_a"), col("pk_b"))
+      .groupBy(col("pk_a"), col("pk_b"))
+      .agg(count(lit(1)).as("n_ab"))
+  }
+
   /** Lineage-truncation / materialization point for iterative and
     * multi-branch plans. On local[32] this is `localCheckpoint` (blocks
     * on executors — fast, no HDFS round-trip). That is NOT
@@ -259,6 +300,21 @@ object Exact {
   def checkpoint(df: org.apache.spark.sql.DataFrame,
       eager: Boolean = true): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
+    // `spark.graft.checkpoint.disable=true` makes every materialization
+    // point a no-op (full lineage, no build-time work). NOT for
+    // production runs — fixpoint lineage would explode — it exists so
+    // PlanAuditSpec's build-laziness audit can separate DESIGNED
+    // checkpoint jobs (which under AQE run even for a lazy checkpoint:
+    // plan.execute() materializes shuffle stages) from accidental eager
+    // driver actions in a builder.
+    if (spark.conf.getOption("spark.graft.checkpoint.disable")
+        .exists(_.toBoolean)) return df
+    // `spark.graft.checkpoint.eager=false` demotes every materialization
+    // point to a LAZY checkpoint (same lineage truncation + one-shot
+    // reuse, but computed under the first action instead of at build
+    // time — caveat: AQE still runs the plan's shuffle stages).
+    val eagerMode = eager &&
+      spark.conf.getOption("spark.graft.checkpoint.eager").forall(_.toBoolean)
     val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")).filter(_.nonEmpty)
     dir match {
@@ -282,8 +338,8 @@ object Exact {
           else parent.getFileSystem(hconf).makeQualified(parent).toString
         }
         if (!cur.contains(want)) sc.setCheckpointDir(d)
-        df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
+        df.checkpoint(eagerMode)
+      case None => df.localCheckpoint(eagerMode)
     }
   }
 

@@ -11,7 +11,7 @@ object Verify {
     * disk poisoned every query after it. Two guards:
     *
     *  1. BEFORE writing, the optimizer's size estimate (clamped to
-    *     32× the leaf-scan bytes — join stats multiply and would
+    *     4× the leaf-scan bytes — join stats multiply and would
     *     otherwise produce astronomically-large garbage) × a 0.5
     *     parquet-compression factor is gated against measured free
     *     disk minus a headroom reserve (shuffle spill + DuckDB temp
@@ -119,12 +119,21 @@ object Verify {
     // sample) — a COVERAGE gauge: Bench times 10 headliners, this
     // surfaces a 10x regression in any of the other ~244 in a diff.
     val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    // admitted-but-unfinished dump estimates (r13, advice item): the
+    // 4 pool threads gate against the same getUsableSpace snapshot, so
+    // without a reservation several large dumps admitted concurrently
+    // could jointly exceed free-minus-headroom. Each admission reserves
+    // its estimate until its bytes are actually on disk (when
+    // getUsableSpace sees them); the gate subtracts outstanding
+    // reservations from the measured free space.
+    val reserved = new java.util.concurrent.atomic.AtomicLong(0L)
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit = {
           val dumpDir = new java.io.File(s"$outDir/$name")
+          var myReservation = 0L
           try {
             val t0 = System.nanoTime()
             // coalesce(1) keeps the dump a single file for the driver's
@@ -135,14 +144,19 @@ object Verify {
             val res = fn(spark, sfDir)
             // no early `return` here: a nonlocal return from inside the
             // Runnable would be swallowed by the Throwable catch below
+            val est = estimateDumpBytes(res)
+            val freeNow = math.max(0L,
+              new java.io.File(outDir).getUsableSpace - reserved.get())
             val refusal =
               if (force) None
-              else gateRefusal(estimateDumpBytes(res),
-                new java.io.File(outDir).getUsableSpace, headroomBytes)
+              else gateRefusal(est, freeNow, headroomBytes)
             refusal match {
               case Some(reason) =>
                 System.err.println(s"[verify] $name refused: $reason")
               case None =>
+                myReservation =
+                  est.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse(0L)
+                reserved.addAndGet(myReservation): Unit
                 val out =
                   if (sys.env.get("SPARK_GRAFT_VERIFY_COALESCE").contains("0")) res
                   else res.coalesce(1)
@@ -158,6 +172,9 @@ object Verify {
               deleteRecursively(dumpDir)
               System.err.println(s"[verify] $name partial dump deleted")
             }
+          }
+          finally {
+            if (myReservation != 0L) reserved.addAndGet(-myReservation): Unit
           }
         }
       })

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** K-minimum-values sketching (Bar-Yossef et al. 2002; the Theta-sketch
@@ -34,6 +34,20 @@ object Kmv {
   def estimate(mins: Seq[Long], k: Int): Double =
     if (mins.length < k) mins.length.toDouble
     else (k - 1).toDouble / (BigDecimal(mins.max) / Max).toDouble
+
+  /** [[estimate]] as a Column expression over the sketch array, so
+    * sketch consumers stay LAZY (r13: ap_sketch_rollup previously
+    * collected |days|×k sketch rows to run this arithmetic on the
+    * driver — bounded, but a synchronous job the plan doesn't need).
+    * The ≥k branch normalizes the k-th minimum in double (vs the
+    * driver version's exact BigDecimal ratio): the two can differ by
+    * an ulp of an ESTIMATE whose own error is ~1/√k — irrelevant, and
+    * this operator class is rows-only (no SQL oracle) by design.
+    */
+  def estimateExpr(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (array_max(mins).cast("double") / lit(Long.MaxValue.toDouble)))
 
   /** Sketch-cube re-aggregation: fine-grained sketches (one per
     * (coarse, fine) cell) merge into coarse sketches WITHOUT rescanning

@@ -523,11 +523,14 @@ object RelationalC extends Module {
       val cells = obs.withColumn("e", e)
         .withColumn("term", (col("o").cast("double") - col("e")) *
           (col("o").cast("double") - col("e")) / col("e"))
-      val nr = obs.select("rf").distinct().count()
-      val nc = obs.select("ls").distinct().count()
+      // (R-1)(C-1) folds into the same 1-row aggregate (cells keeps
+      // rf/ls) — the old eager distinct().count() pair was two
+      // synchronous driver jobs before the lazy plan even built.
       cells.agg(sum(col("o")).as("n"),
-          sum(Exact.d12(col("term"))).cast("double").as("chi2"))
-        .select(col("n"), col("chi2"), lit((nr - 1) * (nc - 1)).as("dof"))
+          sum(Exact.d12(col("term"))).cast("double").as("chi2"),
+          ((countDistinct(col("rf")) - 1) * (countDistinct(col("ls")) - 1))
+            .as("dof"))
+        .select(col("n"), col("chi2"), col("dof"))
     },
     Some("""WITH obs AS (
       |  SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(COUNT(*) AS BIGINT) AS o
@@ -870,8 +873,12 @@ object RelationalC extends Module {
       val resid = series.select(
         (col("y").cast("double") - lit(slope) * col("t").cast("double")).as("r"))
       val intercept = Quantiles.exactQuantiles(resid, Seq("r"), Seq(0.5)).head._3
-      val n = series.count()
-      Seq((n, slope, intercept)).toDF("n_hours", "slope_per_hour", "intercept")
+      // n_hours folds into the final (lazy) 1-row aggregate — the old
+      // separate series.count() was one more synchronous job on top of
+      // the two unavoidable bounded quantile selections above.
+      series.agg(count(lit(1)).as("n_hours"))
+        .select(col("n_hours"), lit(slope).as("slope_per_hour"),
+          lit(intercept).as("intercept"))
     },
     Some("""WITH counts AS (
       |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS y

@@ -237,13 +237,15 @@ object RelationalD extends Module {
       val cells = obs.withColumn("e", e)
         .withColumn("term", (col("o").cast("double") - col("e")) *
           (col("o").cast("double") - col("e")) / col("e"))
-      val nr = obs.select("rf").distinct().count()
-      val nc = obs.select("ls").distinct().count()
-      val minDim = math.min(nr - 1, nc - 1)
+      // min(R-1, C-1) folds into the same 1-row aggregate (cells keeps
+      // rf/ls) — the old eager distinct().count() pair was two
+      // synchronous driver jobs before the lazy plan even built.
       cells.agg(sum(col("o")).as("n"),
-          sum(Exact.d12(col("term"))).cast("double").as("chi2"))
+          sum(Exact.d12(col("term"))).cast("double").as("chi2"),
+          least(countDistinct(col("rf")) - 1, countDistinct(col("ls")) - 1)
+            .cast("double").as("md"))
         .select(col("n"), col("chi2"),
-          sqrt(col("chi2") / (col("n").cast("double") * lit(minDim.toDouble)))
+          sqrt(col("chi2") / (col("n").cast("double") * col("md")))
             .as("cramers_v"))
     },
     Some("""WITH obs AS (
@@ -754,35 +756,46 @@ object RelationalD extends Module {
 
   // q94 — market-basket association (support / confidence / lift over
   // part pairs co-occurring in an order — the Apriori readout of retail
-  // analytics): items dedupe once per (order, part), the pair self-join
-  // runs WITHIN order keys only (baskets are bounded — ~4 lines here —
-  // so the join is linear in orders, never |parts|²), and the
-  // min-support floor (n_ab ≥ 2) is exactly Apriori's prune: at 100 TB
-  // the floor rises with the data and the surviving pair surface stays
-  // reporting-sized. Metrics are fixed IEEE expressions over exact
-  // counts; the basket total N is a 1-row aggregate.
+  // analytics). Rewritten r13 after the r12 sf100 OOM in the pair-agg
+  // stage: ONE shuffle on order key builds sorted per-order baskets
+  // (collect_set dedupes (ok, pk) AND groups in the same exchange —
+  // the old distinct + two-sided self-join shuffled lineitem three
+  // times), all C(b,2) in-basket pairs come from a codegen
+  // transform/slice expression (baskets are order-line bounded, ~4-7
+  // items, so this stays linear in orders, never |parts|²), and the
+  // pair aggregate shuffles on (pk_a, pk_b) at a widened partition
+  // count (conf `spark.graft.pair.partitions`, default
+  // 8 × shuffle.partitions) so the near-unique pair keyspace never
+  // concentrates into 32 oversized hash tables (shape shared with
+  // q114 via [[Exact.orderBaskets]]/[[Exact.basketPairCounts]]). The
+  // min-support floor
+  // (n_ab ≥ 2) is Apriori's prune: at 100 TB it rises with the data
+  // and the surviving pair surface stays reporting-sized. N is a
+  // broadcast 1-row aggregate IN the plan (the old eager `.count()`
+  // was a synchronous driver job + an extra pass), and the n_a/n_b
+  // enrichment joins are size-gated dimJoins (20M parts at sf100 must
+  // demote to shuffle joins, not broadcast-OOM the driver).
   private val q94 = Q(
     "q94_market_basket",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      val baskets = Exact.orderBaskets(Tables.lineitem(s, d),
+          col("l_orderkey"), col("l_partkey"))
         .graftCheckpoint()
-      val nOrders = items.select(col("ok")).distinct().count()
-      val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
-      val a = items.select(col("ok"), col("pk").as("pk_a"))
-      val b = items.select(col("ok").as("ok_b"), col("pk").as("pk_b"))
-      val bigN = lit(nOrders.toDouble)
-      a.join(b, col("ok") === col("ok_b") && col("pk_a") < col("pk_b"))
-        .groupBy(col("pk_a"), col("pk_b"))
-        .agg(count(lit(1)).as("n_ab"))
+      val bigN = baskets.agg(count(lit(1)).cast("double").as("big_n"))
+      val itemCounts = baskets
+        .select(explode(col("basket")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      Exact.basketPairCounts(baskets)
         .filter(col("n_ab") >= 2L)
-        .join(broadcast(itemCounts.select(col("pk").as("pk_a"), col("n_i").as("n_a"))), "pk_a")
-        .join(broadcast(itemCounts.select(col("pk").as("pk_b"), col("n_i").as("n_b"))), "pk_b")
+        .dimJoin(itemCounts.select(col("pk").as("ia_pk"), col("n_i").as("n_a")),
+          col("pk_a") === col("ia_pk"))
+        .dimJoin(itemCounts.select(col("pk").as("ib_pk"), col("n_i").as("n_b")),
+          col("pk_b") === col("ib_pk"))
+        .crossJoin(broadcast(bigN))
         .select(col("pk_a"), col("pk_b"), col("n_ab"), col("n_a"), col("n_b"),
-          (col("n_ab").cast("double") / bigN).as("support"),
+          (col("n_ab").cast("double") / col("big_n")).as("support"),
           (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
-          (col("n_ab").cast("double") * bigN /
+          (col("n_ab").cast("double") * col("big_n") /
             (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
         .orderBy("pk_a", "pk_b")
     },
@@ -886,12 +899,13 @@ object RelationalD extends Module {
         .withColumn("cell", concat_ws("|", col("day"), col("hour")))
       val hourly = Kmv.sketches(ev, "cell", "user_id", k)
         .withColumn("day", split(col("cell"), "\\|").getItem(0))
-      val daily = Kmv.rollup(hourly, "day", k)
-      val rows = daily.collect()
-        .map(r => (r.getString(0), r.getSeq[Long](1).toVector))
-        .sortBy(_._1)
-        .map { case (day, mins) => (day, mins.length.toLong, Kmv.estimate(mins, k)) }
-      rows.toSeq.toDF("day", "sketch_size", "est_distinct_users").orderBy("day")
+      // the estimate is an expression over the sketch array (r13) —
+      // the whole rollup stays one lazy plan; the old |days|×k collect
+      // was bounded metadata but a synchronous job the plan can skip.
+      Kmv.rollup(hourly, "day", k)
+        .select(col("day"), size(col("mins")).cast("long").as("sketch_size"),
+          Kmv.estimateExpr(col("mins"), k).as("est_distinct_users"))
+        .orderBy("day")
     },
     None
   )
@@ -1567,15 +1581,23 @@ object RelationalD extends Module {
       val icept = sy / n / 100.0 - slope * (sx / n / 1000.0)
       val calib = withSplit.filter(col("g") >= 6 && col("g") < 8)
         .select(abs(col("y") - (lit(icept) + lit(slope) * col("x"))).as("r"))
-      val nCal = calib.count()
       val qhat = Quantiles.exactQuantiles(calib, Seq("r"), Seq(0.9)).head._3
       val test = withSplit.filter(col("g") >= 8)
-      val cov = test.agg(count(lit(1)).as("nt"),
+      // n_calib and the hold-out coverage stay IN the final lazy plan
+      // (r13) — the old nCal count + coverage head() were two extra
+      // synchronous jobs; only the 1-row fit aggregate and the
+      // exact-selection quantile legitimately surface as driver
+      // literals (they parameterize downstream expression SHAPES).
+      val calC = calib.agg(count(lit(1)).as("n_calib"))
+      test.agg(count(lit(1)).as("n_test"),
           sum(when(abs(col("y") - (lit(icept) + lit(slope) * col("x"))) <= lit(qhat), 1L)
-            .otherwise(0L)).as("inside")).head()
-      Seq((a.getLong(0), nCal, cov.getLong(0), slope, icept, qhat,
-        cov.getLong(1).toDouble / cov.getLong(0).toDouble))
-        .toDF("n_train", "n_calib", "n_test", "slope", "intercept", "qhat", "coverage")
+            .otherwise(0L)).as("inside"))
+        .crossJoin(broadcast(calC))
+        .select(lit(a.getLong(0)).as("n_train"), col("n_calib"),
+          col("n_test"), lit(slope).as("slope"), lit(icept).as("intercept"),
+          lit(qhat).as("qhat"),
+          (col("inside").cast("double") / col("n_test").cast("double"))
+            .as("coverage"))
     },
     Some(s"""WITH ws AS (
       |  SELECT l_quantity AS x, l_extendedprice AS y,

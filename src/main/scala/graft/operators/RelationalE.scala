@@ -213,19 +213,22 @@ object RelationalE extends Module {
   private val q113 = Q(
     "q113_item_sim",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      // Shares q94's basket-pair shape (r13): one shuffle on order key,
+      // codegen in-basket pair expansion, widened pair agg, size-gated
+      // n_a/n_b dim joins (itemCounts scales with the part domain —
+      // 20M at sf100 — so unconditional broadcast() is a driver-OOM).
+      val baskets = Exact.orderBaskets(Tables.lineitem(s, d),
+          col("l_orderkey"), col("l_partkey"))
         .graftCheckpoint()
-      val itemCounts = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
-      val a = items.select(col("ok"), col("pk").as("pk_a"))
-      val b = items.select(col("ok").as("ok_b"), col("pk").as("pk_b"))
-      a.join(b, col("ok") === col("ok_b") && col("pk_a") < col("pk_b"))
-        .groupBy(col("pk_a"), col("pk_b"))
-        .agg(count(lit(1)).as("n_ab"))
+      val itemCounts = baskets
+        .select(explode(col("basket")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      Exact.basketPairCounts(baskets)
         .filter(col("n_ab") >= 2L)
-        .join(broadcast(itemCounts.select(col("pk").as("pk_a"), col("n_i").as("n_a"))), "pk_a")
-        .join(broadcast(itemCounts.select(col("pk").as("pk_b"), col("n_i").as("n_b"))), "pk_b")
+        .dimJoin(itemCounts.select(col("pk").as("ia_pk"), col("n_i").as("n_a")),
+          col("pk_a") === col("ia_pk"))
+        .dimJoin(itemCounts.select(col("pk").as("ib_pk"), col("n_i").as("n_b")),
+          col("pk_b") === col("ib_pk"))
         .select(col("pk_a"), col("pk_b"), col("n_ab"), col("n_a"), col("n_b"),
           (col("n_ab").cast("double") /
             sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"),
@@ -261,26 +264,29 @@ object RelationalE extends Module {
   private val q114 = Q(
     "q114_triangles",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = items.select(col("ok"), col("pk").as("u"))
-      val b = items.select(col("ok").as("ok_b"), col("pk").as("v"))
-      val edges = a.join(b, col("ok") === col("ok_b") && col("u") < col("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("n_ab"))
+      // Edge build shares q94's basket-pair shape (r13): one shuffle on
+      // order key, codegen in-basket pair expansion, widened pair agg —
+      // the old distinct + self-join shuffled lineitem three times and
+      // is the same plan family that OOM'd q94's pair agg at sf100.
+      val edges = Exact.basketPairCounts(
+          Exact.orderBaskets(Tables.lineitem(s, d),
+            col("l_orderkey"), col("l_partkey")))
         .filter(col("n_ab") >= 2L)
-        .select(col("u"), col("v"))
+        .select(col("pk_a").as("u"), col("pk_b").as("v"))
         .graftCheckpoint()
       val deg = edges.select(col("u").as("pk"))
         .union(edges.select(col("v").as("pk")))
         .groupBy(col("pk")).agg(count(lit(1)).as("deg"))
         .graftCheckpoint()
-      // orient: src = (deg, pk)-smaller endpoint (deg is dim-sized here;
-      // at scale the join keys on pk and AQE plans it — no collect)
-      val du = deg.select(col("pk").as("u"), col("deg").as("du"))
-      val dv = deg.select(col("pk").as("v"), col("deg").as("dv"))
-      val or = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
+      // orient: src = (deg, pk)-smaller endpoint. deg scales with the
+      // item domain (20M parts at sf100), so the joins are size-gated
+      // dimJoins — broadcast while small, shuffle joins once deg
+      // outgrows the gate (r13; the old unconditional broadcast() was
+      // the q94-class driver-OOM risk at the fifth decade).
+      val du = deg.select(col("pk").as("du_pk"), col("deg").as("du"))
+      val dv = deg.select(col("pk").as("dv_pk"), col("deg").as("dv"))
+      val or = edges.dimJoin(du, col("u") === col("du_pk"))
+        .dimJoin(dv, col("v") === col("dv_pk"))
         .select(
           when(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -299,22 +305,23 @@ object RelationalE extends Module {
           (col("deg1") === col("deg2") && col("v1") < col("v2"))))
         .select(col("v1"), col("v2"))
       val probe = or.select(col("src").as("v1"), col("dst").as("v2"))
-      val tri = wedges.join(probe, Seq("v1", "v2"), "left_semi").count()
-      val nNodes = deg.count()
-      val nEdges = edges.count()
-      val wedgeTotal = deg.agg(sum((col("deg") * (col("deg") - 1)) / lit(2)).cast("long"))
-        .head().getLong(0)
-      val clustering =
-        if (wedgeTotal == 0L) 0.0 else 3.0 * tri.toDouble / wedgeTotal.toDouble
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("n_nodes", LongType), StructField("n_edges", LongType),
-        StructField("n_wedges", LongType), StructField("n_triangles", LongType),
-        StructField("clustering", DoubleType)))
-      s.createDataFrame(
-        java.util.Arrays.asList(Row(nNodes, nEdges, wedgeTotal, tri, clustering)),
-        schema)
+      // All four scalars stay IN the plan as broadcast 1-row aggregates
+      // (r13) — the old four sequential driver actions (tri/nodes/
+      // edges/wedges) were four synchronous job barriers per build.
+      val triC = wedges.join(probe, Seq("v1", "v2"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nodeC = deg.agg(count(lit(1)).as("n_nodes"))
+      val edgeC = edges.agg(count(lit(1)).as("n_edges"))
+      val wedgeC = deg.agg(
+        coalesce(sum((col("deg") * (col("deg") - 1)) / lit(2)).cast("long"),
+          lit(0L)).as("n_wedges"))
+      nodeC.crossJoin(broadcast(edgeC)).crossJoin(broadcast(wedgeC))
+        .crossJoin(broadcast(triC))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") === 0L, lit(0.0))
+            .otherwise(lit(3.0) * col("n_triangles").cast("double") /
+              col("n_wedges").cast("double")).as("clustering"))
     },
     Some("""WITH items AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
