@@ -799,13 +799,24 @@ object RelationalD extends Module {
             (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
         .orderBy("pk_a", "pk_b")
     },
-    Some("""WITH items AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS big_n FROM items),
-      |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i FROM items GROUP BY pk),
+    // Oracle is basket-shaped like the engine (r13): the old
+    // items-self-join e0 built a ~550M-row hash join at sf100 and
+    // spilled DuckDB past a 60 GB temp window; list(DISTINCT) baskets
+    // + lambda pair expansion produce the identical pair multiset
+    // join-free (bit-equal at sf0.01/sf0.1 against the old SQL).
+    Some("""WITH b AS (
+      |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+      |  FROM lineitem GROUP BY l_orderkey),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS big_n FROM b),
+      |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i
+      |       FROM (SELECT unnest(items) AS pk FROM b) GROUP BY pk),
       |p AS (
-      |  SELECT a.pk AS pk_a, b.pk AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  SELECT pr[1] AS pk_a, pr[2] AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM (
+      |    SELECT unnest(flatten(list_transform(range(1, len(items) + 1),
+      |        i -> list_transform(range(i + 1, len(items) + 1),
+      |             j -> [items[i], items[j]])))) AS pr
+      |    FROM b)
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
       |SELECT pk_a, pk_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
       |  CAST(n_ab AS DOUBLE) / n.big_n AS support,
@@ -1083,15 +1094,15 @@ object RelationalD extends Module {
   private val graphKcore = Q(
     "graph_kcore",
     (s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = items.select(col("ok"), col("pk").as("src"))
-      val b = items.select(col("ok").as("ok_b"), col("pk").as("dst"))
-      val edges = a.join(b, col("ok") === col("ok_b") && col("src") < col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_ab"))
+      // Edge build shares q94/q113/q114's basket-pair shape (r13): the
+      // old distinct + self-join shuffled lineitem three times; one
+      // collect_set shuffle + codegen pair expansion + the widened pair
+      // agg produce the identical (src < dst, n_ab >= 2) edge set.
+      val edges = Exact.basketPairCounts(
+          Exact.orderBaskets(Tables.lineitem(s, d),
+            col("l_orderkey"), col("l_partkey")))
         .filter(col("n_ab") >= 2L)
-        .select(col("src"), col("dst"))
+        .select(col("pk_a").as("src"), col("pk_b").as("dst"))
       Graph.kcore(edges, k = 3).orderBy("id")
     },
     Some {
@@ -1108,11 +1119,19 @@ object RelationalD extends Module {
       // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and a
       // 20-round peel referencing its predecessor 3× per round would
       // expand 3^20 scans of the base table
-      s"""WITH items AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      // e0 is basket-shaped like the engine (r13): the items self-join
+      // spilled DuckDB past the sf100 temp window; the lambda pair
+      // expansion builds the identical edge set join-free.
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+         |  FROM lineitem GROUP BY l_orderkey),
          |e0 AS MATERIALIZED (
-         |  SELECT a.pk AS src, b.pk AS dst
-         |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         |  SELECT pr[1] AS src, pr[2] AS dst
+         |  FROM (
+         |    SELECT unnest(flatten(list_transform(range(1, len(items) + 1),
+         |        i -> list_transform(range(i + 1, len(items) + 1),
+         |             j -> [items[i], items[j]])))) AS pr
+         |    FROM b)
          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
          |$peels
          |SELECT id, COUNT(*) AS deg
