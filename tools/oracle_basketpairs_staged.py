@@ -1,0 +1,206 @@
+#!/usr/bin/env python3
+"""Staged DuckDB replay of the basket-pair oracles (q94_market_basket,
+q113_item_sim, graph_kcore) for big SFs.
+
+The single-statement oracles (SparkEntry.oracleSql) are what the driver
+runs at sf0.01. At sf100 even the join-free basket shape needs >61 GB
+of DuckDB temp in one statement (measured r13: the 150M-group
+list(DISTINCT) aggregate plus the ~600M-row pair aggregate spill
+together, and oracle_except.py recomputes the statement for COUNT and
+both EXCEPT arms). This script replays the IDENTICAL computation in
+resource-bounded stages:
+
+  1. baskets: per-order sorted distinct-item lists, built in ORDER-KEY
+     CHUNKS (`ok % C`) — the grouping key determines the chunk, so each
+     chunk's aggregate is complete and the union is exactly the
+     un-chunked result;
+  2. pair counts: the oracle's lambda pair expansion re-run P times,
+     each pass keeping only pairs with hash(pk_a, pk_b) % P == h before
+     the GROUP BY — buckets partition the pair keyspace, every pass
+     sees ALL baskets, so per-bucket counts are exact and the union is
+     the full pair multiset at 1/P temp per pass;
+  3. per-key tails, expression-for-expression the registered oracle
+     SQL: q94's support/confidence/lift over ic + big_n, q113's
+     cosine/jaccard over ic, graph_kcore's 40-round peel over the
+     n_ab >= 2 edge set (each round one statement, predecessor
+     dropped);
+  4. compare: rows + sorted-schema + EXCEPT ALL both directions against
+     graft's Verify dump (both sides materialized parquet by now), the
+     same verdict discipline as tools/oracle_except.py.
+
+A PASS here is the same evidence as a single-statement PASS — the same
+expressions over the same data, replayed with temp freed between
+stages. Validate at a lower decade against oracle_check before trusting
+a new decade (r13: bit-equal at sf0.01 and sf0.1).
+
+Usage: tools/oracle_basketpairs_staged.py [sf_dir] [verify_out_dir] key...
+Env:   ORACLE_DUCKDB_MEM / ORACLE_DUCKDB_TMP / ORACLE_DUCKDB_THREADS,
+       ORACLE_STAGED_DIR (work dir, default target/ducktmp_staged/bp),
+       ORACLE_BP_CHUNKS (basket chunks C, default 4),
+       ORACLE_BP_BUCKETS (pair buckets P, default 8)
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+KEYS = ("q94_market_basket", "q113_item_sim", "graph_kcore")
+KCORE_ROUNDS = 40
+
+
+def connect(work):
+    con = duckdb.connect(os.path.join(work, "bp.duckdb"))
+    con.execute("SET preserve_insertion_order=false")
+    if os.environ.get("ORACLE_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['ORACLE_DUCKDB_THREADS'])}")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '60GB')}'")
+    tmp = os.environ.get("ORACLE_DUCKDB_TMP", os.path.join(work, "tmp"))
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    return con
+
+
+def build_pairs(con, sf, work, chunks, buckets):
+    """Stages 1+2: baskets -> bucketed exact pair counts (parquet)."""
+    bdir = os.path.join(work, "baskets")
+    pdir = os.path.join(work, "pairs")
+    os.makedirs(bdir, exist_ok=True)
+    os.makedirs(pdir, exist_ok=True)
+    for c in range(chunks):
+        con.execute(f"""COPY (
+          SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+          FROM '{sf}/lineitem.parquet'
+          WHERE l_orderkey % {chunks} = {c}
+          GROUP BY l_orderkey
+        ) TO '{bdir}/c{c}.parquet' (FORMAT parquet)""")
+        print(f"baskets chunk {c + 1}/{chunks} done", flush=True)
+    for h in range(buckets):
+        con.execute(f"""COPY (
+          SELECT pr[1] AS pk_a, pr[2] AS pk_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM (
+            SELECT unnest(flatten(list_transform(range(1, len(items) + 1),
+                i -> list_transform(range(i + 1, len(items) + 1),
+                     j -> [items[i], items[j]])))) AS pr
+            FROM '{bdir}/*.parquet')
+          WHERE hash(pr[1], pr[2]) % {buckets} = {h}
+          GROUP BY 1, 2
+        ) TO '{pdir}/h{h}.parquet' (FORMAT parquet)""")
+        print(f"pairs bucket {h + 1}/{buckets} done", flush=True)
+    return bdir, pdir
+
+
+def oracle_result(con, key, work, bdir, pdir):
+    """Stage 3: the per-key oracle tail -> a materialized parquet."""
+    res = os.path.join(work, f"{key}.parquet")
+    if key in ("q94_market_basket", "q113_item_sim"):
+        con.execute(f"""CREATE OR REPLACE TABLE ic AS
+          SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i
+          FROM (SELECT unnest(items) AS pk FROM '{bdir}/*.parquet')
+          GROUP BY pk""")
+        if key == "q94_market_basket":
+            tail = f"""WITH n AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS big_n FROM '{bdir}/*.parquet'),
+            p AS (SELECT pk_a, pk_b, n_ab FROM '{pdir}/*.parquet' WHERE n_ab >= 2)
+            SELECT pk_a, pk_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+              CAST(n_ab AS DOUBLE) / n.big_n AS support,
+              CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
+              CAST(n_ab AS DOUBLE) * n.big_n /
+                (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
+            FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk, n"""
+        else:
+            tail = f"""WITH p AS (
+              SELECT pk_a, pk_b, n_ab FROM '{pdir}/*.parquet' WHERE n_ab >= 2)
+            SELECT pk_a, pk_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+              CAST(n_ab AS DOUBLE) / SQRT(CAST(ia.n_i * ib.n_i AS DOUBLE)) AS cosine,
+              CAST(n_ab AS DOUBLE) /
+                CAST(ia.n_i + ib.n_i - n_ab AS DOUBLE) AS jaccard
+            FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk"""
+        con.execute(f"COPY ({tail}) TO '{res}' (FORMAT parquet)")
+        con.execute("DROP TABLE ic")
+        return res
+    # graph_kcore: the registered oracle's 40-round unrolled peel, one
+    # statement per round (fixpoint is idempotent; rounds short of it
+    # would leave a superset — the 40-round depth matches the SQL twin)
+    con.execute(f"""CREATE OR REPLACE TABLE e0 AS
+      SELECT pk_a AS src, pk_b AS dst FROM '{pdir}/*.parquet' WHERE n_ab >= 2""")
+    for r in range(1, KCORE_ROUNDS + 1):
+        con.execute(f"""CREATE TABLE k{r} AS
+          SELECT id FROM (SELECT src AS id FROM e{r - 1}
+            UNION ALL SELECT dst FROM e{r - 1})
+          GROUP BY id HAVING COUNT(*) >= 3""")
+        con.execute(f"""CREATE TABLE e{r} AS
+          SELECT e.src, e.dst FROM e{r - 1} e
+          JOIN k{r} ka ON e.src = ka.id JOIN k{r} kb ON e.dst = kb.id""")
+        con.execute(f"DROP TABLE e{r - 1}")
+        con.execute(f"DROP TABLE k{r}")
+    con.execute(f"""COPY (
+      SELECT id, COUNT(*) AS deg
+      FROM (SELECT src AS id FROM e{KCORE_ROUNDS}
+        UNION ALL SELECT dst FROM e{KCORE_ROUNDS})
+      GROUP BY id HAVING COUNT(*) >= 3
+    ) TO '{res}' (FORMAT parquet)""")
+    con.execute(f"DROP TABLE e{KCORE_ROUNDS}")
+    return res
+
+
+def compare(con, key, mine_glob, res):
+    """Stage 4: oracle_except.py's verdict over two materialized sides."""
+    mcols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{mine_glob}'").fetchall()]
+    rcols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{res}'").fetchall()]
+    if sorted(mcols) != sorted(rcols):
+        print(f"FAIL {key}: columns mine={sorted(mcols)} ref={sorted(rcols)}")
+        return False
+    nm = con.execute(f"SELECT COUNT(*) FROM '{mine_glob}'").fetchone()[0]
+    nr = con.execute(f"SELECT COUNT(*) FROM '{res}'").fetchone()[0]
+    if nm != nr:
+        print(f"FAIL {key}: rows mine={nm} ref={nr}")
+        return False
+    proj = ", ".join(f'"{c}"' for c in sorted(mcols))
+    diff = con.execute(f"""
+        SELECT * FROM (
+          (SELECT {proj} FROM '{mine_glob}' EXCEPT ALL SELECT {proj} FROM '{res}')
+          UNION ALL
+          (SELECT {proj} FROM '{res}' EXCEPT ALL SELECT {proj} FROM '{mine_glob}')
+        ) LIMIT 3""").fetchall()
+    if diff:
+        print(f"FAIL {key}: value diffs, sample rows: {diff}")
+        return False
+    print(f"PASS {key} ({nm} rows, staged basket-pair replay)", flush=True)
+    return True
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "target/verify"
+    keys = [k for k in sys.argv[3:]] or list(KEYS)
+    bad = [k for k in keys if k not in KEYS]
+    if bad:
+        print(f"FAIL {bad[0]}: not a basket-pair key (valid: {KEYS})")
+        sys.exit(1)
+    work = os.environ.get("ORACLE_STAGED_DIR", "target/ducktmp_staged/bp")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    chunks = int(os.environ.get("ORACLE_BP_CHUNKS", "4"))
+    buckets = int(os.environ.get("ORACLE_BP_BUCKETS", "8"))
+    con = connect(work)
+    n_pass = n_fail = 0
+    try:
+        bdir, pdir = build_pairs(con, sf, work, chunks, buckets)
+        for key in keys:
+            res = oracle_result(con, key, work, bdir, pdir)
+            ok = compare(con, key, f"{out}/{key}/*.parquet", res)
+            n_pass, n_fail = n_pass + ok, n_fail + (not ok)
+            os.remove(res)
+    finally:
+        con.close()
+        shutil.rmtree(work, ignore_errors=True)
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
