@@ -43,10 +43,10 @@ SF = os.environ.get("SF100_DIR", "target/testdata/sf100")
 #   multiset — oracle_multiset.py order-independent fingerprint
 #   pagerank_staged / quantiles_staged — per-stage replays
 MODES = {
-    "q94_market_basket":    ("except",   {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
-    "q113_item_sim":        ("except",   {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
+    "q94_market_basket":    ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
+    "q113_item_sim":        ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
     "q114_triangles":       ("check",    {"SPARK_GRAFT_SHUFFLE": "256"}),
-    "graph_kcore":          ("except",   {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
+    "graph_kcore":          ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
     "q36_melt":             ("multiset", {"SPARK_GRAFT_VERIFY_COALESCE": "0"}),
     "q43_grouped_winsorize": ("multiset", {"SPARK_GRAFT_VERIFY_COALESCE": "0"}),
     "q54_mahalanobis":      ("multiset", {"SPARK_GRAFT_VERIFY_COALESCE": "0"}),
@@ -58,8 +58,8 @@ MODES = {
 }
 
 # most-expensive last, so cheap greens land even if the disk window closes
-ORDER_WEIGHT = {"check": 0, "quantiles_staged": 1, "except": 2,
-                "pagerank_staged": 3, "multiset": 4}
+ORDER_WEIGHT = {"check": 0, "quantiles_staged": 1, "basketpairs_staged": 2,
+                "except": 2, "pagerank_staged": 3, "multiset": 4}
 HEAVIEST_LAST = ["q36_melt"]  # 1.8B-row surface: always the final batch
 
 
@@ -104,6 +104,8 @@ def run_batch(key, round_tag, log_dir, min_free):
             return
         if mode == "pagerank_staged":
             cmd = ["python3", "tools/oracle_pagerank_staged.py", SF, out]
+        elif mode == "basketpairs_staged":
+            cmd = ["python3", "tools/oracle_basketpairs_staged.py", SF, out, key]
         elif mode == "quantiles_staged":
             cmd = ["python3", "tools/oracle_quantiles_staged.py", SF, out, key]
         elif mode in ("except", "multiset"):
