@@ -99,13 +99,19 @@ def main():
         SELECT src, dst FROM '{edir}/*.parquet'
         UNION ALL SELECT dst AS src, src AS dst FROM '{edir}/*.parquet')
       GROUP BY src""")
-    adj = os.path.join(work, "adj.parquet")
+    # adjacency hive-partitioned on hash(dst) so each iteration can run
+    # as one statement per bucket: dst determines its bucket, so the
+    # per-bucket GROUP BY dst is complete, and the oracle's per-EDGE
+    # 1e-18 FLOOR quantization makes the contribution sums associative
+    # — the bucketed replay is exact (a single-statement iteration's
+    # 2.4B-row join+aggregate spilled past the sf100 disk window).
+    adj = os.path.join(work, "adj")
     con.execute(f"""COPY (
-      SELECT b.src, b.dst, d.deg FROM (
+      SELECT b.src, b.dst, d.deg, hash(b.dst) % {buckets} AS hb FROM (
         SELECT src, dst FROM '{edir}/*.parquet'
         UNION ALL SELECT dst AS src, src AS dst FROM '{edir}/*.parquet') b
       JOIN deg d ON b.src = d.src
-    ) TO '{adj}' (FORMAT parquet)""")
+    ) TO '{adj}' (FORMAT parquet, PARTITION_BY (hb))""")
     con.execute("CREATE TABLE nodes AS SELECT src AS id FROM deg")
     shutil.rmtree(edir)
     # the oracle's p CTE, verbatim, so base/r_init are the same doubles
@@ -119,14 +125,20 @@ def main():
     # from parquet against the in-memory rank build side
     con.execute(f"CREATE TABLE r0 AS SELECT id, CAST({r_init!r} AS DOUBLE) AS rank FROM nodes")
     for i in range(1, ITERS + 1):
+        con.execute("CREATE TABLE sums (id BIGINT, in_sum_q BIGINT)")
+        for h in range(buckets):
+            con.execute(f"""INSERT INTO sums
+              SELECT a.dst AS id,
+                SUM(CAST(FLOOR(r.rank / CAST(a.deg AS DOUBLE) * 1e18) AS BIGINT)) AS in_sum_q
+              FROM '{adj}/hb={h}/*.parquet' a JOIN r{i - 1} r ON a.src = r.id
+              GROUP BY a.dst""")
         con.execute(f"""CREATE TABLE r{i} AS
           SELECT n.id, CAST({base!r} AS DOUBLE) + 0.85 * COALESCE(s.in_sum, 0.0) AS rank
           FROM nodes n LEFT JOIN (
-            SELECT a.dst AS id,
-              CAST(SUM(CAST(FLOOR(r.rank / CAST(a.deg AS DOUBLE) * 1e18) AS BIGINT)) AS DOUBLE) / 1e18 AS in_sum
-            FROM '{adj}' a JOIN r{i - 1} r ON a.src = r.id GROUP BY a.dst) s
+            SELECT id, CAST(in_sum_q AS DOUBLE) / 1e18 AS in_sum FROM sums) s
           ON n.id = s.id""")
         con.execute(f"DROP TABLE r{i - 1}")
+        con.execute("DROP TABLE sums")
         print(f"iter {i} done", flush=True)
 
     ref = con.execute(
