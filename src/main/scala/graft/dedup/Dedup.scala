@@ -326,7 +326,29 @@ object Dedup {
       .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
     val reps = tagged.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col(embCol), col("qvec"), col("qnorm"))
-    val nReps = reps.count()
+    // Representative count WITHOUT a full corpus pass (r13 verdict #2 —
+    // the exact count() was one extra scan before the lazy plan existed).
+    // The [[graft.similarity.Similarity.boundedTrainSample]] discipline:
+    // a limit(maxTrainRows+1) prefix probe short-circuits once the cap
+    // is hit, so a sample-sized corpus yields the EXACT count from one
+    // bounded job (k-clamp semantics for tiny/degenerate corpora are
+    // unchanged — DedupSpec pins them). A larger corpus gets an UPPER
+    // estimate from leaf parquet bytes over the on-disk row width: k
+    // only sizes cells, overshooting k merely shrinks cells (quantizer-
+    // boundary recall loss, the SemDeDup paper's accepted trade) while
+    // undershooting would break the n²/k pair bound — so the upper side
+    // is the safe side, and no estimate can push k past the 65536 cap.
+    val probeN = reps.limit(maxTrainRows.toInt + 1).count()
+    val nReps: Long =
+      if (probeN <= maxTrainRows) probeN
+      else {
+        val dim = reps.select(col(embCol)).head.getSeq[Float](0).length
+        val diskRowBytes = math.max(4L * dim + 16L, 32L)
+        val leafBytes = reps.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes).sum
+        val est = (leafBytes / diskRowBytes).toLong
+        math.max(probeN, est)
+      }
     // clamp k to the representative count: a tiny or fully-duplicate
     // corpus can leave fewer (distinct) points than clusters, where
     // KMeans fails or degenerates. Below 2 cells the quadratic is

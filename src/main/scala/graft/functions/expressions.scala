@@ -427,6 +427,91 @@ object NfcNormalize {
   }
 }
 
+/** Per-language stopword-hit counts plus the token count, one text walk.
+  * Returns array<long> of length 1 + |langs|: `[n_tokens, s_de, s_en,
+  * s_es, s_fr, s_zh]` (language order = [[StopCounts.langs]]).
+  *
+  * Replaces the `size(filter(split(lower(text), ' '), t -> t.isin(ws)))`
+  * chain, which codegens to a linear equality scan per token —
+  * O(tokens × |stopwords|), paid ×5 by the language profile and again
+  * for the separate `size(split(...))` token count (the r13 verdict's
+  * one perf-weak headliner, tx_quality). Here: ONE `UTF8String
+  * .toLowerCase` (the same routine Spark's `lower()` calls, so the
+  * DuckDB-oracle-verified values are unchanged), one byte walk splitting
+  * on 0x20 (the space byte never appears inside a UTF-8 multi-byte
+  * sequence, and no Unicode lowercase mapping produces a space, so
+  * token boundaries match `split(lower(text), " ")` exactly — trailing
+  * and repeated separators yield the same empty segments Java split
+  * keeps at limit -1), and one static-HashMap bitmask lookup per token
+  * via a zero-copy UTF8String wrapper.
+  */
+case class StopCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_stop_counts"
+
+  protected override def nullSafeEval(input: Any): Any =
+    StopCounts.counts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StopCounts.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopCounts =
+    copy(child = newChild)
+}
+
+object StopCounts {
+  /** The engine's fixed language-ID stopword profiles (SURVEY §2.F) —
+    * single source of truth; graft.text.TextF derives its oracle SQL
+    * from this same value.
+    */
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "los", "y", "las", "de"),
+    "fr" -> Seq("le", "et", "les", "des", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** token -> bitmask over [[langs]] (a word may sit in several lists).
+    * Read-only after class init, so concurrent executor threads are safe.
+    */
+  private val masks: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    for (((_, ws), i) <- langs.zipWithIndex; w <- ws) {
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+    }
+    m
+  }
+
+  /** Named `counts`, not `eval` — the ShingleHashes static-forwarder
+    * lesson (see [[ShingleHashes.hashes]]).
+    */
+  def counts(text: UTF8String): ArrayData = {
+    val b = text.toLowerCase.getBytes
+    val n = b.length
+    val out = new Array[Long](langs.length + 1)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        out(0) += 1L
+        val m = masks.get(UTF8String.fromBytes(b, start, i - start))
+        if (m != null) {
+          var mask = m.intValue()
+          while (mask != 0) {
+            out(java.lang.Integer.numberOfTrailingZeros(mask) + 1) += 1L
+            mask &= mask - 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Registration: either install [[GraftExtensions]] via
   * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
   * [[GraftFunctions.register]] on an existing session (idempotent).
@@ -477,7 +562,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => NfcNormalize(args.head)),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
-      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_stop_counts"),
+      new ExpressionInfo(classOf[StopCounts].getName, "graft_stop_counts"),
+      (args: Seq[Expression]) => StopCounts(args.head)))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

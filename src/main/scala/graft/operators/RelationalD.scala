@@ -805,7 +805,7 @@ object RelationalD extends Module {
     // + lambda pair expansion produce the identical pair multiset
     // join-free (bit-equal at sf0.01/sf0.1 against the old SQL).
     Some("""WITH b AS (
-      |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+      |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT NULL)) AS items
       |  FROM lineitem GROUP BY l_orderkey),
       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS big_n FROM b),
       |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i
@@ -1123,7 +1123,7 @@ object RelationalD extends Module {
       // spilled DuckDB past the sf100 temp window; the lambda pair
       // expansion builds the identical edge set join-free.
       s"""WITH b AS MATERIALIZED (
-         |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+         |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT NULL)) AS items
          |  FROM lineitem GROUP BY l_orderkey),
          |e0 AS MATERIALIZED (
          |  SELECT pr[1] AS src, pr[2] AS dst

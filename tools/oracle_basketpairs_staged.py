@@ -70,7 +70,7 @@ def build_pairs(con, sf, work, chunks, buckets):
     os.makedirs(pdir, exist_ok=True)
     for c in range(chunks):
         con.execute(f"""COPY (
-          SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+          SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT NULL)) AS items
           FROM '{sf}/lineitem.parquet'
           WHERE l_orderkey % {chunks} = {c}
           GROUP BY l_orderkey
@@ -125,6 +125,8 @@ def oracle_result(con, key, work, bdir, pdir):
     # would leave a superset — the 40-round depth matches the SQL twin)
     con.execute(f"""CREATE OR REPLACE TABLE e0 AS
       SELECT pk_a AS src, pk_b AS dst FROM '{pdir}/*.parquet' WHERE n_ab >= 2""")
+    n_e0 = con.execute("SELECT COUNT(*) FROM e0").fetchone()[0]
+    print(f"kcore e0: {n_e0} edges", flush=True)
     for r in range(1, KCORE_ROUNDS + 1):
         con.execute(f"""CREATE TABLE k{r} AS
           SELECT id FROM (SELECT src AS id FROM e{r - 1}
@@ -133,8 +135,15 @@ def oracle_result(con, key, work, bdir, pdir):
         con.execute(f"""CREATE TABLE e{r} AS
           SELECT e.src, e.dst FROM e{r - 1} e
           JOIN k{r} ka ON e.src = ka.id JOIN k{r} kb ON e.dst = kb.id""")
+        n_r = con.execute(f"SELECT COUNT(*) FROM e{r}").fetchone()[0]
+        print(f"kcore round {r}: {n_r} edges survive", flush=True)
         con.execute(f"DROP TABLE e{r - 1}")
         con.execute(f"DROP TABLE k{r}")
+        if n_r == 0 and r < KCORE_ROUNDS:
+            # idempotent fixpoint: the remaining rounds would all peel
+            # the same empty set — skip straight to the final name
+            con.execute(f"ALTER TABLE e{r} RENAME TO e{KCORE_ROUNDS}")
+            break
     con.execute(f"""COPY (
       SELECT id, COUNT(*) AS deg
       FROM (SELECT src AS id FROM e{KCORE_ROUNDS}
@@ -158,6 +167,23 @@ def compare(con, key, mine_glob, res):
     nr = con.execute(f"SELECT COUNT(*) FROM '{res}'").fetchone()[0]
     if nm != nr:
         print(f"FAIL {key}: rows mine={nm} ref={nr}")
+        return False
+    if nm == 0:
+        # both sides empty: the value compare below is vacuous, so a bug
+        # that empties engine and replay IDENTICALLY would green silently
+        # (ADVICE r13, graph_kcore at sf100). Unless the caller declares
+        # the surface expected-empty, FAIL loudly — the staged peel's
+        # per-round survivor counts above are the evidence to check.
+        expect = os.environ.get("ORACLE_BP_EXPECT_EMPTY", "")
+        if expect == "1" or key in [k for k in expect.split(",") if k]:
+            print(f"PASS {key} (EMPTY compare: 0 rows on BOTH sides, "
+                  "expected-empty acknowledged via ORACLE_BP_EXPECT_EMPTY)",
+                  flush=True)
+            return True
+        print(f"FAIL {key}: 0 rows on BOTH sides — vacuous compare; "
+              f"set ORACLE_BP_EXPECT_EMPTY={key} (comma list, or 1 for all) "
+              "if this surface is known-empty at this SF "
+              "(see the per-round survivor counts above)")
         return False
     proj = ", ".join(f'"{c}"' for c in sorted(mcols))
     diff = con.execute(f"""

@@ -31,10 +31,12 @@ def strip_trailing_order_by(sql):
     an aggregate-only parent (measured r13: q36_melt's 1.8B-row sort
     spilled ~50 GB of temp for a verdict that never looks at order).
     Only a clause at the very end of the statement is stripped ([^)]*$
-    cannot cross a subquery boundary), and never when a LIMIT depends
-    on it (that would change the result set)."""
+    cannot cross a subquery boundary), and never when a LIMIT — or its
+    standard-SQL spellings OFFSET / FETCH FIRST, which equally make the
+    result set order-dependent — hangs off it (that would change the
+    result set)."""
     m = re.search(r"\sORDER\s+BY[^)]*$", sql, re.IGNORECASE)
-    if m and not re.search(r"\bLIMIT\b", m.group(0), re.IGNORECASE):
+    if m and not re.search(r"\b(LIMIT|OFFSET|FETCH)\b", m.group(0), re.IGNORECASE):
         return sql[:m.start()]
     return sql
 

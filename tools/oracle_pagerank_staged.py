@@ -73,7 +73,7 @@ def main():
     os.makedirs(edir, exist_ok=True)
     for c in range(chunks):
         con.execute(f"""COPY (
-          SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey)) AS items
+          SELECT l_orderkey AS ok, list_sort(list(DISTINCT l_partkey) FILTER (WHERE l_partkey IS NOT NULL)) AS items
           FROM '{sf}/lineitem.parquet'
           WHERE l_orderkey % {chunks} = {c}
           GROUP BY l_orderkey
@@ -125,7 +125,13 @@ def main():
     # from parquet against the in-memory rank build side
     con.execute(f"CREATE TABLE r0 AS SELECT id, CAST({r_init!r} AS DOUBLE) AS rank FROM nodes")
     for i in range(1, ITERS + 1):
-        con.execute("CREATE TABLE sums (id BIGINT, in_sum_q BIGINT)")
+        # HUGEINT, not BIGINT: DuckDB's SUM(BIGINT) yields HUGEINT, and
+        # the registered oracle casts that HUGEINT straight to DOUBLE —
+        # declaring the staging column BIGINT would narrow the sum on
+        # INSERT, a different type path than the oracle's (in range it
+        # is value-identical, but the equivalence should not rest on an
+        # unstated 2^63 magnitude bound; ADVICE r13)
+        con.execute("CREATE TABLE sums (id BIGINT, in_sum_q HUGEINT)")
         for h in range(buckets):
             con.execute(f"""INSERT INTO sums
               SELECT a.dst AS id,

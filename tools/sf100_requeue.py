@@ -46,7 +46,11 @@ MODES = {
     "q94_market_basket":    ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
     "q113_item_sim":        ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
     "q114_triangles":       ("check",    {"SPARK_GRAFT_SHUFFLE": "256"}),
-    "graph_kcore":          ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256"}),
+    # kcore's 3-core of the n_ab>=2 co-purchase graph peels to EMPTY on
+    # the sf100 upsample (measured r13, per-round survivor counts in the
+    # staged log) — acknowledge so the vacuous-compare guard stays armed
+    # for q94/q113 in the same batched run (key-scoped env)
+    "graph_kcore":          ("basketpairs_staged", {"SPARK_GRAFT_VERIFY_COALESCE": "0", "SPARK_GRAFT_SHUFFLE": "256", "ORACLE_BP_EXPECT_EMPTY": "graph_kcore"}),
     "q36_melt":             ("multiset", {"SPARK_GRAFT_VERIFY_COALESCE": "0"}),
     "q43_grouped_winsorize": ("multiset", {"SPARK_GRAFT_VERIFY_COALESCE": "0"}),
     "q54_mahalanobis":      ("multiset", {"SPARK_GRAFT_VERIFY_COALESCE": "0"}),
@@ -74,8 +78,18 @@ def wipe(round_tag):
         shutil.rmtree(p, ignore_errors=True)
 
 
-def run_batch(key, round_tag, log_dir, min_free):
-    mode, env_over = MODES.get(key, ("check", {}))
+def run_batch(keys, round_tag, log_dir, min_free):
+    """One verify + one compare for `keys` (a singleton for every mode
+    except basketpairs_staged, whose keys batch into ONE invocation so
+    the shared baskets+pair-count build — the expensive ~600M-row stage
+    — runs once, not once per key; ADVICE r13). Per-key env overrides
+    merge left-to-right (the only multi-key mode's overrides are
+    identical except the key-scoped expected-empty list)."""
+    key = "+".join(keys)
+    mode, _ = MODES.get(keys[0], ("check", {}))
+    env_over = {}
+    for k in keys:
+        env_over.update(MODES.get(k, ("check", {}))[1])
     log = os.path.join(log_dir, f"{key}.log")
     out = f"target/tmp_sf100_{round_tag}_{key}"
     lf = open(log, "a")
@@ -96,7 +110,7 @@ def run_batch(key, round_tag, log_dir, min_free):
                ORACLE_DUCKDB_MEM=os.environ.get("ORACLE_DUCKDB_MEM", "80GB"),
                ORACLE_DUCKDB_TMP="target/ducktmp", **env_over)
     try:
-        p = subprocess.run(["tools/run.sh", "graft.Verify", SF, out, key],
+        p = subprocess.run(["tools/run.sh", "graft.Verify", SF, out] + keys,
                            env=env, stdout=lf, stderr=subprocess.STDOUT,
                            cwd=REPO)
         if p.returncode != 0:
@@ -105,13 +119,13 @@ def run_batch(key, round_tag, log_dir, min_free):
         if mode == "pagerank_staged":
             cmd = ["python3", "tools/oracle_pagerank_staged.py", SF, out]
         elif mode == "basketpairs_staged":
-            cmd = ["python3", "tools/oracle_basketpairs_staged.py", SF, out, key]
+            cmd = ["python3", "tools/oracle_basketpairs_staged.py", SF, out] + keys
         elif mode == "quantiles_staged":
-            cmd = ["python3", "tools/oracle_quantiles_staged.py", SF, out, key]
+            cmd = ["python3", "tools/oracle_quantiles_staged.py", SF, out] + keys
         elif mode in ("except", "multiset"):
-            cmd = ["python3", f"tools/oracle_{mode}.py", SF, out, key]
+            cmd = ["python3", f"tools/oracle_{mode}.py", SF, out] + keys
         else:
-            cmd = ["python3", "tools/oracle_check.py", SF, out, key]
+            cmd = ["python3", "tools/oracle_check.py", SF, out] + keys
         q = subprocess.run(["flock", "-w", "86400", "target/.duck.lock"] + cmd,
                            env=env, stdout=lf, stderr=subprocess.STDOUT,
                            cwd=REPO)
@@ -146,7 +160,7 @@ def scan_logs(log_dir):
 
 
 def consolidate(out_path, round_no):
-    c = json.load(open(os.path.join(REPO, "CORRECTNESS_r12.json")))
+    c = json.load(open(os.path.join(REPO, "CORRECTNESS_r13.json")))
     entries = c.get("queries", c)
     oracle_keys = sorted(k for k, v in entries.items()
                          if isinstance(v, dict) and v.get("err") != "no_oracle")
@@ -229,11 +243,23 @@ def main():
         queue = [k for k in queue if not (k in seen or seen.add(k))]
         queue.sort(key=lambda k: (k in HEAVIEST_LAST,
                                   ORDER_WEIGHT.get(MODES.get(k, ("check",))[0], 0), k))
+        # batch the basket-pair keys into ONE invocation: the staged tool
+        # shares the expensive baskets+pair-count build across its keys
+        bp = [k for k in queue if
+              MODES.get(k, ("check",))[0] == "basketpairs_staged"]
+        groups, bp_queued = [], False
+        for k in queue:
+            if k in bp:
+                if not bp_queued:
+                    groups.append(bp)
+                    bp_queued = True
+            else:
+                groups.append([k])
         log_dir = os.path.join(REPO, "logs", f"sf100_{round_tag}")
         os.makedirs(log_dir, exist_ok=True)
         print(f"requeue {len(queue)} keys: {' '.join(queue)}")
-        for k in queue:
-            run_batch(k, round_tag, log_dir, a.min_free_gb)
+        for g in groups:
+            run_batch(g, round_tag, log_dir, a.min_free_gb)
 
     consolidate(out_path, a.round)
 
