@@ -33,7 +33,8 @@ object Verify {
     * dedup/graph fixpoints do): the gate then falls back to the pure
     * headroom floor instead of refusing on garbage.
     */
-  private[graft] def estimateDumpBytes(df: DataFrame): Option[BigInt] = {
+  private[graft] def estimateDumpBytes(df: DataFrame,
+      inputBytes: Option[Long] = None): Option[BigInt] = {
     val plan = df.queryExecution.optimizedPlan
     val leafSizes = plan.collectLeaves().map(_.stats.sizeInBytes)
     // unknown at HALF the sentinel, not == it: iterative-fixpoint plans
@@ -42,7 +43,18 @@ object Verify {
     // a factor of 2 of the sentinel, or a final estimate above 1 PB, is
     // stats noise, not a size
     val unknown = BigInt(Long.MaxValue) / 2
-    if (leafSizes.exists(_ >= unknown)) None
+    // A leaf can also lie BELOW the sentinel band while still being
+    // garbage: ml_error_by_decile's fit-internal LogicalRDD claimed
+    // 5.2 TB at sf1 (177 MB of input), and the 4× clamp inflated with
+    // it — a 10 TB "estimate" refused a deciles-sized dump (r14). No
+    // genuine leaf can exceed the input data actually on disk by more
+    // than an in-memory-representation factor, so when the caller
+    // knows the input volume, any leaf claiming over 64× it demotes
+    // the plan to the unknown-size path (same bucket checkpointed
+    // fixpoint plans already land in — the pure headroom floor).
+    val inputCap = inputBytes.map(b => BigInt(b.max(1L)) * 64)
+    if (leafSizes.exists(s =>
+          s >= unknown || inputCap.exists(s > _))) None
     else {
       val leaves = leafSizes.sum
       // Size-only stats MULTIPLY across joins (garbage for any
@@ -127,6 +139,14 @@ object Verify {
     // getUsableSpace sees them); the gate subtracts outstanding
     // reservations from the measured free space.
     val reserved = new java.util.concurrent.atomic.AtomicLong(0L)
+    // actual on-disk input volume: the garbage-leaf cap's ground truth
+    val inputBytes = locally {
+      def size(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+        else f.length()
+      size(new java.io.File(sfDir))
+    }
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -144,7 +164,7 @@ object Verify {
             val res = fn(spark, sfDir)
             // no early `return` here: a nonlocal return from inside the
             // Runnable would be swallowed by the Throwable catch below
-            val est = estimateDumpBytes(res)
+            val est = estimateDumpBytes(res, Some(inputBytes))
             val freeNow = math.max(0L,
               new java.io.File(outDir).getUsableSpace - reserved.get())
             val refusal =

@@ -63,4 +63,22 @@ class DiskGateSpec extends SparkSpec {
     val df = SparkEntry.queries("dd_clusters")(spark, sf)
     assert(Verify.estimateDumpBytes(df).isEmpty)
   }
+
+  test("a leaf claiming more than 64x the on-disk input demotes to unknown") {
+    // r14: ml_error_by_decile's fit-internal LogicalRDD claimed 5.2 TB
+    // against 177 MB of input; the 4x clamp inflated with the lying
+    // leaf and a deciles-sized dump was refused as "10 TB". With the
+    // input volume known, an impossible leaf must push the plan into
+    // the unknown-size bucket (headroom floor), not a refusal.
+    val df = SparkEntry.queries("q02_filter_project")(spark, sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    // input claimed so small every real leaf breaches 64x -> unknown
+    val tiny = (leaves / 128).max(BigInt(1)).toLong
+    assert(Verify.estimateDumpBytes(df, Some(tiny)).isEmpty)
+    // honest input volume (>= leaves): estimate unchanged vs no cap
+    val honest = leaves.toLong.max(1L)
+    assert(Verify.estimateDumpBytes(df, Some(honest)) ===
+      Verify.estimateDumpBytes(df))
+  }
 }
