@@ -52,7 +52,12 @@ object DedupD extends Module {
       sig.select(col("doc_id"), posexplode(col("sig")))
         .toDF("doc_id", "perm", "minhash")
         .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
-        .orderBy("doc_id", "perm")
+      // NO trailing orderBy (r14): the signature surface is 64× the
+      // corpus row count (320M rows at sf100) — a global sort range-
+      // shuffles all of it a second time after the one doc_id
+      // aggregation exchange, for an ordering nothing consumes. The
+      // correctness compare is a multiset; the oracle twin drops its
+      // ORDER BY too (tx_quality precedent).
     },
     Some("""WITH sh AS (
       |  SELECT doc_id,
@@ -71,7 +76,7 @@ object DedupD extends Module {
       |j AS (SELECT unnest(generate_series(0, 63)) AS perm)
       |SELECT doc_id, CAST(perm AS BIGINT) AS perm,
       |  MIN(((2 * perm + 1) * x + 12345 * perm) % 2147483647) AS minhash
-      |FROM x, j GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin)
+      |FROM x, j GROUP BY doc_id, perm""".stripMargin)
   )
 
   // dd_simhash — 60-bit SimHash signatures + 15-bit band keys
@@ -493,7 +498,11 @@ object DedupD extends Module {
       // materialize the fingerprint table once (localCheckpoint): the
       // df-filter and both self-join sides reuse it instead of
       // re-winnowing the corpus three more times — at scale this is the
-      // fingerprint table a pipeline would persist
+      // fingerprint table a pipeline would persist. NO fanout before the
+      // winnow (measured r14): unlike minhashSig, the walk feeds a
+      // localCheckpoint whose materialization + the downstream df-filter
+      // and self-join shuffles dominate; adding the parallelism exchange
+      // measured 0.59 s → 1.00 s at sf0.1.
       val fps = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))

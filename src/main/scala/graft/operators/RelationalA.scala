@@ -169,14 +169,19 @@ object RelationalA extends Module {
       o.select(col("o_orderkey"), col("o_custkey"),
           rank().over(wRank).cast("long").as("price_rank"),
           sum(d6(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"))
-        .orderBy("o_custkey", "o_orderkey")
+      // NO trailing orderBy (r14): both windows already share the one
+      // o_custkey hash exchange; a global sort after them range-shuffled
+      // the entire per-order surface (150M rows at sf100) a second time
+      // for an ordering nothing consumes. The correctness compare is a
+      // multiset; the oracle twin drops its ORDER BY too (tx_quality
+      // precedent).
     },
     Some("""SELECT o_orderkey, o_custkey,
       |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
-      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+      |FROM orders""".stripMargin)
   )
 
   // q06 — df.describe(): one single-pass partial aggregation computes

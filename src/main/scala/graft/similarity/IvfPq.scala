@@ -136,6 +136,16 @@ object IvfPq {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** Previous one-shot index dir of THIS JVM, deleted on the next call:
+    * repeated bench reps/verify runs used to leave one ivfpq_index_* dir
+    * per invocation under target/ forever (r8 ADVICE class). By the time
+    * a second ivfPqTopK call happens the first call's probe action has
+    * long completed (the returned DataFrame is consumed before the next
+    * rep starts), so the previous layout is dead weight on disk.
+    */
+  private val lastOneShotDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** One-shot build + probe (sim_ivfpq_topk); index lands under target/. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int, nClusters: Int, nProbe: Int,
@@ -144,6 +154,13 @@ object IvfPq {
     val dir = (if (java.nio.file.Files.isDirectory(base))
         java.nio.file.Files.createTempDirectory(base, "ivfpq_index_")
       else java.nio.file.Files.createTempDirectory("ivfpq_index_")).toString
+    Option(lastOneShotDir.getAndSet(dir)).foreach { old =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(old))
+    }
     val index = buildIndex(corpus, idCol, embCol, nClusters, m, ksub, dir)
     probeIndex(index, queries, idCol, embCol, k, nProbe)
   }

@@ -24,12 +24,16 @@ object StreamingH extends Module {
   // watermark bounding state.
   private val stWindowAgg = Q(
     "st_window_agg",
-    (s, d) => Streaming.windowAgg(Tables.events(s, d))
-      .orderBy("window_start", "event_type"),
+    // NO trailing orderBy (r14): the aggregate needs exactly one
+    // exchange; the output sort added a second (range) exchange over
+    // the hours×types surface — which GROWS with the data's time span —
+    // for an ordering nothing consumes (a streaming sink couldn't even
+    // honor it). Multiset compare; oracle ORDER BY dropped too.
+    (s, d) => Streaming.windowAgg(Tables.events(s, d)),
     Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+      |FROM events GROUP BY 1, 2""".stripMargin)
   )
 
   // st_sessionize — 30-minute-gap sessions per user: batch twin is a
