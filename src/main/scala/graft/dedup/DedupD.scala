@@ -25,10 +25,9 @@ object DedupD extends Module {
       Tables.documents(s, d)
         .groupBy(md5(col("text")).as("content_md5"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("content_md5")
     },
     Some("""SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY md5(text) ORDER BY content_md5""".stripMargin)
+      |FROM documents GROUP BY md5(text)""".stripMargin)
   )
 
   // dd_minhash — the full 64-permutation MinHash signature per document,
@@ -108,7 +107,6 @@ object DedupD extends Module {
         .select(col("doc_id"), col("simhash"),
           col("bands").getItem(0).as("band0"), col("bands").getItem(1).as("band1"),
           col("bands").getItem(2).as("band2"), col("bands").getItem(3).as("band3"))
-        .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE toks AS (
       |  SELECT doc_id,
@@ -149,7 +147,7 @@ object DedupD extends Module {
       |  (simhash >> 15) & 32767 AS band1,
       |  (simhash >> 30) & 32767 AS band2,
       |  (simhash >> 45) & 32767 AS band3
-      |FROM sh ORDER BY doc_id""".stripMargin
+      |FROM sh""".stripMargin
       .replace("SIMHASH_VOTE_COLS", simhashVoteCols)
       .replace("SIMHASH_BIT_SUM", simhashBitSum))
   )
@@ -169,7 +167,6 @@ object DedupD extends Module {
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
             size(array_union(col("ng_a"), col("ng_b"))).cast("double")).as("jaccard"))
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH ng AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -180,7 +177,7 @@ object DedupD extends Module {
       |  CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
       |  CAST(len(list_distinct(list_concat(a.ngrams, b.ngrams))) AS DOUBLE) AS jaccard
       |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
-      |ORDER BY id_a, id_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // dd_containment — ASYMMETRIC overlap (|A∩B| / |A|), the signal Jaccard
@@ -203,7 +200,6 @@ object DedupD extends Module {
             size(col("ng_a")).cast("double")).as("containment_a"),
           (size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
             size(col("ng_b")).cast("double")).as("containment_b"))
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH ng AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -216,7 +212,7 @@ object DedupD extends Module {
       |  CAST(len(list_intersect(a.ngrams, b.ngrams)) AS DOUBLE) /
       |  CAST(len(b.ngrams) AS DOUBLE) AS containment_b
       |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
-      |ORDER BY id_a, id_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // dd_clusters — the dedup last mile as ONE oracle-checked query:
@@ -299,10 +295,10 @@ object DedupD extends Module {
 
   private val ddMinhashEst = Q(
     "dd_minhash_est",
-    (s, d) => estPairs(s, d).orderBy("id_a", "id_b"),
+    (s, d) => estPairs(s, d),
     Some(s"""WITH $estPairsCte
       |SELECT id_a, id_b, est_jaccard, exact_jaccard
-      |FROM pairs ORDER BY id_a, id_b""".stripMargin)
+      |FROM pairs""".stripMargin)
   )
 
   // dd_lsh_calibrate — the operating-point table an LSH deployment is
@@ -398,8 +394,8 @@ object DedupD extends Module {
 
   private val ddClusters = Q(
     "dd_clusters",
-    (s, d) => clusterDf(s, d).orderBy("doc_id"),
-    Some(clusterCte + "\nSELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")
+    (s, d) => clusterDf(s, d),
+    Some(clusterCte + "\nSELECT doc_id, cluster_id FROM clusters")
   )
 
   // dd_keep_best — the selection policy after clustering: inside each
@@ -422,7 +418,6 @@ object DedupD extends Module {
       clustered.join(winners, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("n_chars"),
           (col("doc_id") === col("win_id")).as("keep"))
-        .orderBy("doc_id")
     },
     Some(clusterCte +
       """
@@ -430,7 +425,7 @@ object DedupD extends Module {
       |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
       |    ORDER BY d.n_chars DESC, c.doc_id) = 1 AS keep
       |FROM clusters c JOIN documents d USING (doc_id)
-      |ORDER BY doc_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // dd_embed_cosine — embedding-cosine near-dup pairs over a bounded
@@ -448,7 +443,6 @@ object DedupD extends Module {
         .select(col("id_a"), col("id_b"),
           graft.similarity.Similarity.cosineQ(col("qa"), col("qb"), col("na"), col("nb")).as("cosine"))
         .filter(col("cosine") >= 0.3)
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH q AS (
       |  SELECT vec_id,
@@ -464,7 +458,7 @@ object DedupD extends Module {
       |  CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
       |FROM dots JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
       |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) >= 0.3
-      |ORDER BY id_a, id_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // sem_dedup — SemDeDup (Abbas et al. 2023): k-means-bucketed semantic
@@ -475,8 +469,7 @@ object DedupD extends Module {
   private val semDedup = Q(
     "sem_dedup",
     (s, d) => Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        tau = 0.5)
-      .orderBy("vec_id"),
+        tau = 0.5),
     None
   )
 
@@ -516,7 +509,6 @@ object DedupD extends Module {
       a.join(b, "fp").filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 3)
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH h AS (
       |  SELECT doc_id, list_transform(generate_series(1, length(text) - 4),
@@ -536,7 +528,7 @@ object DedupD extends Module {
       |fr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN usable USING (fp))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
       |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY id_a, id_b""".stripMargin)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)
   )
 
   // dd_cluster_sizes — the dedup QA readout: how big are the duplicate
@@ -580,7 +572,6 @@ object DedupD extends Module {
       clustered.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("sz").as("cluster_size"),
           (lit(1.0) / col("sz").cast("double")).as("weight"))
-        .orderBy("doc_id")
     },
     Some(clusterCte +
       """
@@ -589,7 +580,7 @@ object DedupD extends Module {
       |SELECT c.doc_id, c.cluster_id, s.sz AS cluster_size,
       |  1.0 / CAST(s.sz AS DOUBLE) AS weight
       |FROM clusters c JOIN sizes s USING (cluster_id)
-      |ORDER BY doc_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // dd_weighted_jaccard — term-frequency-weighted Jaccard per candidate
@@ -624,7 +615,6 @@ object DedupD extends Module {
           (col("tot_a") + col("tot_b") - coalesce(col("sum_min"), lit(0L))).as("sum_max"))
         .withColumn("weighted_jaccard",
           col("sum_min").cast("double") / col("sum_max").cast("double"))
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
@@ -645,7 +635,7 @@ object DedupD extends Module {
       |    / CAST(ta.tot + tb.tot - COALESCE(sum_min, 0) AS DOUBLE) AS weighted_jaccard
       |FROM tot ta JOIN tot tb ON ta.doc_id < tb.doc_id
       |LEFT JOIN smin ON smin.id_a = ta.doc_id AND smin.id_b = tb.doc_id
-      |ORDER BY id_a, id_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // dd_modality_agreement — do the TEXT near-dup signal and the
@@ -681,7 +671,6 @@ object DedupD extends Module {
         .withColumn("text_dup", col("token_jaccard") >= lit(0.8))
         .withColumn("emb_dup", col("cosine") >= lit(0.15))
         .withColumn("modality_agree", col("text_dup") === col("emb_dup"))
-        .orderBy("id_a", "id_b")
     },
     Some("""WITH tk AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -709,7 +698,7 @@ object DedupD extends Module {
       |  cosine >= CAST(0.15 AS DOUBLE) AS emb_dup,
       |  (token_jaccard >= CAST(0.8 AS DOUBLE)) = (cosine >= CAST(0.15 AS DOUBLE)) AS modality_agree
       |FROM tp JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
-      |ORDER BY tp.id_a, tp.id_b""".stripMargin)
+      |""".stripMargin)
   )
 
   override val qs: Seq[Q] = Seq(ddExact, ddMinhash, ddMinhashEst, ddLshCalibrate, ddSimhash,

@@ -34,7 +34,6 @@ object MultimodalG extends Module {
           // decode stub: deterministic fake dimensions from the byte length
           expr("64 + n_bytes % 64").as("width"),
           expr("64 + (n_bytes div 64) % 64").as("height"))
-        .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_bytes,
@@ -42,7 +41,7 @@ object MultimodalG extends Module {
       |  upper(hex(substr(text, 1, 8))) AS head_hex,
       |  64 + CAST(length(text) AS BIGINT) % 64 AS width,
       |  64 + (CAST(length(text) AS BIGINT) // 64) % 64 AS height
-      |FROM documents ORDER BY doc_id""".stripMargin)
+      |FROM documents""".stripMargin)
   )
 
   // mm_framesample — deterministic frame sampling: split each payload into
@@ -62,7 +61,6 @@ object MultimodalG extends Module {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("flen").cast("long").as("frame_len"),
           md5(col("frame")).as("frame_md5"))
-        .orderBy("doc_id", "frame_idx")
     },
     Some("""WITH f AS (
       |  SELECT doc_id, length(text) // 4 AS flen,
@@ -71,7 +69,7 @@ object MultimodalG extends Module {
       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
       |  CAST(flen AS BIGINT) AS frame_len,
       |  md5(substr(text, frame_idx * flen + 1, flen)) AS frame_md5
-      |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+      |FROM f""".stripMargin)
   )
 
   // mm_features — typed feature extraction over the opaque payload: byte
@@ -92,7 +90,6 @@ object MultimodalG extends Module {
           (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_space"))
         .withColumn("alpha_ratio",
           (col("n_upper") + col("n_lower")).cast("double") / col("n_bytes").cast("double"))
-        .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
       |  CAST(length(text) AS BIGINT) AS n_bytes,
@@ -102,7 +99,7 @@ object MultimodalG extends Module {
       |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
       |  CAST(len(regexp_extract_all(text, '[A-Z]')) + len(regexp_extract_all(text, '[a-z]')) AS DOUBLE)
       |    / CAST(length(text) AS DOUBLE) AS alpha_ratio
-      |FROM documents ORDER BY doc_id""".stripMargin)
+      |FROM documents""".stripMargin)
   )
 
   // mm_audio_window — fixed-rate sample windowing over the stub "audio"
@@ -163,10 +160,10 @@ object MultimodalG extends Module {
 
   private val mmAudioWindow = Q(
     "mm_audio_window",
-    (s, d) => audioWindows(s, d).orderBy("doc_id", "win_idx"),
+    (s, d) => audioWindows(s, d),
     Some(s"""WITH $audioWindowsSql
       |SELECT doc_id, win_idx, n_samples, energy, rms
-      |FROM wins ORDER BY doc_id, win_idx""".stripMargin)
+      |FROM wins""".stripMargin)
   )
 
   // mm_silence_spans — contiguous low-energy runs per payload (the
@@ -191,7 +188,6 @@ object MultimodalG extends Module {
           max(col("win_idx")).as("span_end"),
           count(lit(1)).as("n_windows"))
         .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
-        .orderBy("doc_id", "span_start")
     },
     Some(s"""WITH $audioWindowsSql,
       |silent AS (
@@ -201,7 +197,7 @@ object MultimodalG extends Module {
       |SELECT doc_id, MIN(win_idx) AS span_start, MAX(win_idx) AS span_end,
       |  CAST(COUNT(*) AS BIGINT) AS n_windows
       |FROM silent GROUP BY doc_id, island
-      |ORDER BY doc_id, span_start""".stripMargin)
+      |""".stripMargin)
   )
 
   // mm_phash — perceptual-hash near-dup detection over the payload (the
@@ -289,7 +285,6 @@ object MultimodalG extends Module {
           bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
     },
     Some(phashBandsCte +
       // df-cap literals interpolated from PhashBandDfCap so one
@@ -304,7 +299,7 @@ object MultimodalG extends Module {
       |FROM bu a JOIN bu b
       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-      |ORDER BY id_a, id_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // mm_hot_bands — mm_phash's boilerplate/saturation readout (the
@@ -334,14 +329,13 @@ object MultimodalG extends Module {
         .filter(col("df") > PhashBandDfCap)
         .select(col("band_idx").cast("long").as("band_idx"),
           col("band_val"), col("df"))
-        .orderBy("band_idx", "band_val")
     },
     Some(phashBandsCte +
       s"""
       |SELECT CAST(band_idx AS BIGINT) AS band_idx, band_val,
       |  CAST(COUNT(*) AS BIGINT) AS df
       |FROM bands GROUP BY 1, 2 HAVING COUNT(*) > $PhashBandDfCap
-      |ORDER BY band_idx, band_val""".stripMargin)
+      |""".stripMargin)
   )
 
   // Hot-frame stop-list bound: a frame checksum shared by more than this
@@ -402,7 +396,6 @@ object MultimodalG extends Module {
       a.join(b, Seq("frame_idx", "frame_md5")).filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
-        .orderBy("id_a", "id_b")
     },
     Some(frameCte +
       // SharedFrameDfCap interpolated — same single-definition rule
@@ -415,7 +408,7 @@ object MultimodalG extends Module {
       |FROM fu a JOIN fu b
       |  ON a.frame_idx = b.frame_idx AND a.frame_md5 = b.frame_md5
       |     AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY id_a, id_b""".stripMargin)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)
   )
 
   // mm_hot_frames — the boilerplate-frames readout paired with
@@ -434,14 +427,13 @@ object MultimodalG extends Module {
         .filter(col("df") > SharedFrameDfCap)
         .select(col("frame_idx").cast("long").as("frame_idx"),
           col("frame_md5"), col("df"))
-        .orderBy("frame_idx", "frame_md5")
     },
     Some(frameCte +
       s"""
       |SELECT CAST(frame_idx AS BIGINT) AS frame_idx, frame_md5,
       |  CAST(COUNT(*) AS BIGINT) AS df
       |FROM fr GROUP BY 1, 2 HAVING COUNT(*) > $SharedFrameDfCap
-      |ORDER BY frame_idx, frame_md5""".stripMargin)
+      |""".stripMargin)
   )
 
   // mm_scene_cuts — scene-change detection over the sampled-frame
@@ -473,7 +465,6 @@ object MultimodalG extends Module {
           col("n_space"), col("delta"),
           coalesce(col("delta") * lit(50L) > col("flen").cast("long"), lit(false))
             .as("is_cut"))
-        .orderBy("doc_id", "frame_idx")
     },
     Some("""WITH fr AS (
       |  SELECT doc_id, length(text) // 16 AS flen,
@@ -490,7 +481,7 @@ object MultimodalG extends Module {
       |  FROM feat)
       |SELECT doc_id, frame_idx, n_space, delta,
       |  COALESCE(delta * 50 > flen, FALSE) AS is_cut
-      |FROM d ORDER BY doc_id, frame_idx""".stripMargin)
+      |FROM d""".stripMargin)
   )
 
   override val qs: Seq[Q] = Seq(mmMeta, mmFrameSample, mmFeatures, mmAudioWindow,

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * by stopword profile, quality scoring, tokenization counts, content
   * fingerprinting, shingle statistics. Counting is integer-exact so the
   * DuckDB oracles hash-match; ratio outputs are fixed IEEE expressions.
+  *
+  * r14: every per-document surface lost its trailing global orderBy (and
+  * the oracle twin its ORDER BY — the tx_quality precedent): the
+  * correctness compare is a multiset, and the output sort was the ONLY
+  * exchange in most of these plans — a full range shuffle of a per-row
+  * surface (500M rows at sf100) purely for output determinism. The
+  * narrow maps are now genuinely shuffle-free end to end. Bounded
+  * readouts (confusion cells, top-k with LIMIT, per-source TTR) keep
+  * their sorts — sorting a constant-size surface costs nothing.
   */
 object TextF extends Module {
 
@@ -83,12 +92,12 @@ object TextF extends Module {
 
   private val txLangId = Q(
     "tx_lang_id",
-    (s, d) => langScored(s, d).drop("lang").orderBy("doc_id"),
+    (s, d) => langScored(s, d).drop("lang"),
     Some {
       val langs = stopwords.map(_._1)
       s"""WITH $langScoredSql
          |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, pred_lang
-         |FROM pred ORDER BY doc_id""".stripMargin
+         |FROM pred""".stripMargin
     }
   )
 
@@ -186,13 +195,12 @@ object TextF extends Module {
           size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
           regexp_count(col("text"), lit("[A-Za-z0-9]+")).cast("long").as("n_word_tokens"),
           regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_bpeish_tokens"))
-        .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin)
+      |FROM documents""".stripMargin)
   )
 
   // tx_fingerprint — md5 + polynomial rolling hash (base 31 mod 1e9+7).
@@ -208,7 +216,6 @@ object TextF extends Module {
         .select(col("doc_id"),
           md5(col("text")).as("md5_hex"),
           expr("graft_poly_hash(text)").as("poly_hash"))
-        .orderBy("doc_id")
     },
     Some("""WITH RECURSIVE pows(e, p) AS (
       |  SELECT 0, CAST(1 AS BIGINT)
@@ -224,7 +231,7 @@ object TextF extends Module {
       |SELECT c.doc_id, MIN(md5(c.text)) AS md5_hex,
       |  CAST(SUM(CAST(ascii(substr(c.text, c.i, 1)) AS BIGINT) * p.p) % 1000000007 AS BIGINT) AS poly_hash
       |FROM chars c JOIN pows p ON p.e = c.n - c.i
-      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+      |GROUP BY c.doc_id""".stripMargin)
   )
 
   // tx_shingles — distinct character-3-gram count (the MinHash input
@@ -239,13 +246,12 @@ object TextF extends Module {
           size(array_distinct(transform(
             sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
             i => col("text").substr(i, lit(3))))).cast("long").as("n_shingles"))
-        .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
       |  CAST(len(list_distinct(list_transform(
       |    generate_series(1, greatest(length(text) - 2, 1)),
       |    i -> substr(text, i, 3)))) AS BIGINT) AS n_shingles
-      |FROM documents ORDER BY doc_id""".stripMargin)
+      |FROM documents""".stripMargin)
   )
 
   // tx_repetition — duplicate n-gram fractions, the MassiveText/Gopher
@@ -273,7 +279,6 @@ object TextF extends Module {
           (lit(1.0) - col("n_w2_distinct").cast("double") / col("n_w2").cast("double")).as("dup_w2_frac"),
           col("n_c5"), col("n_c5_distinct"),
           (lit(1.0) - col("n_c5_distinct").cast("double") / col("n_c5").cast("double")).as("dup_c5_frac"))
-        .orderBy("doc_id")
     },
     Some("""WITH g AS (
       |  SELECT doc_id,
@@ -295,7 +300,7 @@ object TextF extends Module {
       |  1.0 - CAST(n_w2_distinct AS DOUBLE) / CAST(n_w2 AS DOUBLE) AS dup_w2_frac,
       |  n_c5, n_c5_distinct,
       |  1.0 - CAST(n_c5_distinct AS DOUBLE) / CAST(n_c5 AS DOUBLE) AS dup_c5_frac
-      |FROM n ORDER BY doc_id""".stripMargin)
+      |FROM n""".stripMargin)
   )
 
   // tx_filter_flags — the Gopher-rule keep/drop decision per document:
@@ -329,7 +334,6 @@ object TextF extends Module {
         .withColumn("keep",
           flag(col("f_too_short") + col("f_low_stopword") +
             col("f_high_punct") + col("f_repetitive") === 0L))
-        .orderBy("doc_id")
     },
     Some {
       val en = stopCountSql(stopwords.toMap.apply("en"))
@@ -394,7 +398,6 @@ object TextF extends Module {
       graft.operators.BudgetSelect
         .selectToBudget(scored, "doc_id", "quality_score", "n_tokens", 0.4)
         .withColumnRenamed("cum_w", "cum_tokens")
-        .orderBy("doc_id")
     },
     Some {
       val en = stopCountSql(stopwords.toMap.apply("en"))
@@ -419,8 +422,7 @@ object TextF extends Module {
          |  FROM t)
          |SELECT doc_id, quality_score, n_w AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
          |FROM r
-         |WHERE CAST(cum AS DOUBLE) <= 0.4 * (SELECT CAST(SUM(n_w) AS DOUBLE) FROM t)
-         |ORDER BY doc_id""".stripMargin
+         |WHERE CAST(cum AS DOUBLE) <= 0.4 * (SELECT CAST(SUM(n_w) AS DOUBLE) FROM t)""".stripMargin
     }
   )
 
@@ -452,7 +454,6 @@ object TextF extends Module {
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_grams").cast("double")).as("overlap_frac"),
           (col("n_hit") > 0).as("contaminated"))
-        .orderBy("doc_id")
     },
     Some("""WITH cg AS (
       |  SELECT doc_id, md5(g) AS h FROM (
@@ -473,7 +474,7 @@ object TextF extends Module {
       |SELECT doc_id, n_grams, n_hit,
       |  CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
       |  n_hit > 0 AS contaminated
-      |FROM j ORDER BY doc_id""".stripMargin)
+      |FROM j""".stripMargin)
   )
 
   // tx_lm_score — unigram-LM quality proxy (the CCNet-style "does this
@@ -513,7 +514,7 @@ object TextF extends Module {
 
   private val txLmScore = Q(
     "tx_lm_score",
-    (s, d) => lmScored(s, d).orderBy("doc_id"),
+    (s, d) => lmScored(s, d),
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
@@ -530,7 +531,7 @@ object TextF extends Module {
       |SELECT doc_id, n_tok, n_oov, rank_sum,
       |  CAST(rank_sum AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_rank,
       |  CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
-      |FROM j ORDER BY doc_id""".stripMargin)
+      |FROM j""".stripMargin)
   )
 
   /** Ordered PII redaction rules (pattern → replacement token). Patterns
@@ -570,7 +571,6 @@ object TextF extends Module {
       stages.select(col("c_custkey"), col(s"t${piiRules.size}").as("redacted"),
           col("n_0").as("n_email"), col("n_1").as("n_ip"),
           col("n_2").as("n_phone"), col("n_3").as("n_num"))
-        .orderBy("c_custkey")
     },
     Some("""WITH s0 AS (SELECT c_custkey, c_name AS t0 FROM customer),
       |s1 AS (SELECT c_custkey,
@@ -586,7 +586,7 @@ object TextF extends Module {
       |  CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS BIGINT) AS n_num,
       |  regexp_replace(t3, '[0-9]{6,}', '<NUM>', 'g') AS t4 FROM s3)
       |SELECT c_custkey, t4 AS redacted, n_email, n_ip, n_phone, n_num
-      |FROM s4 ORDER BY c_custkey""".stripMargin)
+      |FROM s4""".stripMargin)
   )
 
   // tx_tfidf — per-document top-3 salient terms. Classic tf-idf shape,
@@ -617,7 +617,6 @@ object TextF extends Module {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
           col("score"), col("rnk"))
-        .orderBy("doc_id", "rnk")
     },
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
@@ -632,7 +631,7 @@ object TextF extends Module {
       |  FROM tf JOIN df USING (t), n),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rnk FROM sc)
       |SELECT doc_id, t AS term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
-      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+      |FROM r WHERE rnk <= 3""".stripMargin)
   )
 
   // tx_normalize — the canonical text-cleaning pass: Unicode NFC (the
@@ -652,12 +651,11 @@ object TextF extends Module {
           trim(regexp_replace(
             lower(expr("graft_nfc(text)")), "[ \\t\\n\\r]+", " ")).as("normalized"))
         .withColumn("n_chars_norm", length(col("normalized")).cast("long"))
-        .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
       |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g')) AS normalized,
       |  CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
-      |FROM documents ORDER BY doc_id""".stripMargin)
+      |FROM documents""".stripMargin)
   )
 
   // tx_winnow — winnowing fingerprints (MOSS, Schleimer et al. 2003) per
@@ -676,7 +674,6 @@ object TextF extends Module {
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(call_function("graft_winnow", col("text"), lit(5), lit(8))).as("fp"))
-        .orderBy("doc_id", "fp")
     },
     Some("""WITH h AS (
       |  SELECT doc_id, list_transform(generate_series(1, length(text) - 4),
@@ -691,7 +688,7 @@ object TextF extends Module {
       |    generate_series(1, len(hs) - 7),
       |    p -> list_min(list_slice(hs, CAST(p AS INTEGER), CAST(p + 7 AS INTEGER))))) AS fps
       |  FROM h)
-      |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin)
+      |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin)
   )
 
   // tx_mix_sample — the data-mixture op: apply per-domain sampling rates
@@ -715,13 +712,11 @@ object TextF extends Module {
       Tables.documents(s, d)
         .filter(gate < rate)
         .select(col("doc_id"), col("source"), col("n_chars"))
-        .orderBy("doc_id")
     },
     Some("""SELECT doc_id, source, n_chars FROM documents
       |WHERE (((doc_id % 1000000007) * 654435747) % 1000000007) % 100 <
       |  CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 2 = 0
-      |       THEN 80 ELSE 20 END
-      |ORDER BY doc_id""".stripMargin)
+      |       THEN 80 ELSE 20 END""".stripMargin)
   )
 
   // tx_lm_buckets — CCNet-style head/middle/tail corpus partition by LM
@@ -745,7 +740,6 @@ object TextF extends Module {
           when(col("avg_rank") > lit(f2), lit("tail"))
             .when(col("avg_rank") > lit(f1), lit("middle"))
             .otherwise(lit("head")).as("bucket"))
-        .orderBy("doc_id")
     },
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
@@ -776,7 +770,7 @@ object TextF extends Module {
       |  CASE WHEN sc.avg_rank > fx.f2 THEN 'tail'
       |       WHEN sc.avg_rank > fx.f1 THEN 'middle'
       |       ELSE 'head' END AS bucket
-      |FROM sc, fx ORDER BY doc_id""".stripMargin)
+      |FROM sc, fx""".stripMargin)
   )
 
   // tx_ngram_freq — corpus-level top word-3-grams (the boilerplate /
@@ -825,7 +819,6 @@ object TextF extends Module {
           pmod(call_function("graft_poly_hash", col("t")), lit(64L)).as("dim"))
         .groupBy(col("doc_id"), col("dim"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("doc_id", "dim")
     },
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
@@ -838,7 +831,7 @@ object TextF extends Module {
       |      (x, y) -> (x * 31 + y) % 1000000007) % 64 AS dim
       |  FROM toks)
       |SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS n
-      |FROM h GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin)
+      |FROM h GROUP BY doc_id, dim""".stripMargin)
   )
 
   // tx_bm25 — BM25 term salience per document (the retrieval-grade
@@ -879,7 +872,6 @@ object TextF extends Module {
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("t").as("term"), col("tf"), col("df"),
           col("dl"), col("score"), col("rnk"))
-        .orderBy("doc_id", "rnk")
     },
     Some("""WITH toks AS (
       |  SELECT doc_id, t FROM (
@@ -900,7 +892,7 @@ object TextF extends Module {
       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (t), n, a),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rnk FROM sc)
       |SELECT doc_id, t AS term, tf, df, dl, score, CAST(rnk AS BIGINT) AS rnk
-      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)
+      |FROM r WHERE rnk <= 3""".stripMargin)
   )
 
   // tx_kappa — Cohen's kappa of the cheap language detector against
@@ -989,7 +981,6 @@ object TextF extends Module {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_w")).as("sum_tokens"),
           sum(when(col("straddle"), 1L).otherwise(0L)).as("n_straddle"))
-        .orderBy("shard", "pack_id")
     },
     Some("""WITH t AS (
       |  SELECT doc_id,
@@ -1009,7 +1000,7 @@ object TextF extends Module {
       |SELECT shard, pack_id, COUNT(*) AS n_docs,
       |  CAST(SUM(n_w) AS BIGINT) AS sum_tokens,
       |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
-      |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin)
+      |FROM p GROUP BY shard, pack_id""".stripMargin)
   )
 
   // tx_ttr — per-source lexical-diversity profile (type-token ratio +
