@@ -35,14 +35,13 @@ object PreprocessB extends Module {
       }
       Tables.orders(s, d)
         .select(col("o_orderkey"), enc.as("priority_ord"))
-        .orderBy("o_orderkey")
     },
     Some {
       val cases = prioLevels.zipWithIndex
         .map { case (v, i) => s"WHEN o_orderpriority = '$v' THEN CAST(${i.toDouble / prioLevels.length} AS DOUBLE)" }
         .mkString(" ")
       s"""SELECT o_orderkey, CASE $cases ELSE NULL END AS priority_ord
-         |FROM orders ORDER BY o_orderkey""".stripMargin
+         |FROM orders""".stripMargin
     }
   )
 
@@ -56,13 +55,12 @@ object PreprocessB extends Module {
         when(col("c_mktsegment") === v, 1.0).otherwise(0.0).as(s"seg_$v"))
       Tables.customer(s, d)
         .select(col("c_custkey") +: oneHots: _*)
-        .orderBy("c_custkey")
     },
     Some {
       val cols = segments
         .map(v => s"CASE WHEN c_mktsegment = '$v' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS seg_$v")
         .mkString(",\n  ")
-      s"SELECT c_custkey,\n  $cols\nFROM customer ORDER BY c_custkey"
+      s"SELECT c_custkey,\n  $cols\nFROM customer"
     }
   )
 
@@ -74,11 +72,10 @@ object PreprocessB extends Module {
       Tables.events(s, d)
         .select(col("event_id"),
           when(col("value") === 0.0, 0.0).otherwise(1.0).as("has_value"))
-        .orderBy("event_id")
     },
     Some("""SELECT event_id,
       |  CASE WHEN value = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS has_value
-      |FROM events ORDER BY event_id""".stripMargin)
+      |FROM events""".stripMargin)
   )
 
   // q23 — bucket-label → ordinal with an explicit missing sentinel mapped
@@ -93,7 +90,6 @@ object PreprocessB extends Module {
       }
       Tables.orders(s, d)
         .select(col("o_orderkey"), enc.as("priority_num"))
-        .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey,
       |  CASE WHEN o_orderpriority = '1-URGENT' THEN 0
@@ -101,7 +97,7 @@ object PreprocessB extends Module {
       |       WHEN o_orderpriority = '3-MEDIUM' THEN 2
       |       WHEN o_orderpriority = '5-LOW' THEN 3
       |       ELSE NULL END AS priority_num
-      |FROM orders ORDER BY o_orderkey""".stripMargin)
+      |FROM orders""".stripMargin)
   )
 
   // q24 — distributed mean/mode imputation (MyImputer's simple path,
@@ -124,7 +120,6 @@ object PreprocessB extends Module {
         .select(col("c_custkey"),
           when(col("c_acctbal") < 0, col("mean_bal")).otherwise(col("c_acctbal")).as("acctbal_imputed"),
           when(col("c_custkey") % 10 === 0, col("mode_seg")).otherwise(col("c_mktsegment")).as("segment_imputed"))
-        .orderBy("c_custkey")
     },
     Some("""WITH m AS (
       |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bal
@@ -136,7 +131,7 @@ object PreprocessB extends Module {
       |SELECT c_custkey,
       |  CASE WHEN c_acctbal < 0 THEN mean_bal ELSE c_acctbal END AS acctbal_imputed,
       |  CASE WHEN c_custkey % 10 = 0 THEN mode_seg ELSE c_mktsegment END AS segment_imputed
-      |FROM customer, m, md ORDER BY c_custkey""".stripMargin)
+      |FROM customer, m, md""".stripMargin)
   )
 
   /** Shared mean/std(ddof=0) fit for scalers: exact decimal first moment,
@@ -171,12 +166,11 @@ object PreprocessB extends Module {
       l.crossJoin(broadcast(fitMeanStd(l, "l_extendedprice")))
         .select(col("l_orderkey"), col("l_linenumber"),
           ((col("l_extendedprice") - col("mu")) / col("sigma")).as("price_z"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some(s"""WITH f AS (${fitMeanStdSql("lineitem", "l_extendedprice")})
       |SELECT l_orderkey, l_linenumber,
       |  (l_extendedprice - mu) / sigma AS price_z
-      |FROM lineitem, f ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |FROM lineitem, f""".stripMargin)
   )
 
   // q26 — derived ratio features (CreateAdditionalFeatures,
@@ -190,13 +184,12 @@ object PreprocessB extends Module {
           (col("l_extendedprice") / col("l_quantity")).as("price_per_unit"),
           (col("l_discount") / when(col("l_tax") === 0.0, lit(null)).otherwise(col("l_tax"))).as("discount_to_tax"),
           ((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))) / col("l_quantity")).as("net_per_unit"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some("""SELECT l_orderkey, l_linenumber,
       |  l_extendedprice / l_quantity AS price_per_unit,
       |  l_discount / NULLIF(l_tax, 0.0) AS discount_to_tax,
       |  (l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax)) / l_quantity AS net_per_unit
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |FROM lineitem""".stripMargin)
   )
 
   // q27 — conditional 3-way label + one-hot (CreateHasCurrentAccountColumn,
@@ -217,7 +210,6 @@ object PreprocessB extends Module {
       }
       Tables.customer(s, d)
         .select(col("c_custkey") +: oneHots: _*)
-        .orderBy("c_custkey")
     },
     Some("""WITH lab AS (
       |  SELECT c_custkey,
@@ -231,7 +223,7 @@ object PreprocessB extends Module {
       |  CASE WHEN label = 'no' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS acct_1,
       |  CASE WHEN label = 'with debit card' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS acct_2,
       |  CASE WHEN label = 'without debit card' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS acct_3
-      |FROM lab ORDER BY c_custkey""".stripMargin)
+      |FROM lab""".stripMargin)
   )
 
   // q28 — correlation-maximizing weighted feature combination
@@ -278,7 +270,6 @@ object PreprocessB extends Module {
       l.crossJoin(broadcast(fit))
         .select(col("l_orderkey"), col("l_linenumber"),
           (((col("w1") * col(x1) + col("w2") * col(x2)) - col("mu_c")) / col("sigma_c")).as("combined_z"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some {
       val (x1, x2, y) = ("l_quantity", "l_discount", "l_extendedprice")
@@ -313,7 +304,7 @@ object PreprocessB extends Module {
          |  FROM w)
          |SELECT l_orderkey, l_linenumber,
          |  ((w1 * $x1 + w2 * $x2) - mu_c) / sigma_c AS combined_z
-         |FROM lineitem, fit ORDER BY l_orderkey, l_linenumber""".stripMargin
+         |FROM lineitem, fit""".stripMargin
     }
   )
 
@@ -330,13 +321,12 @@ object PreprocessB extends Module {
             .otherwise("high"))
         .withColumnRenamed("o_orderkey", "ORDER_KEY")
         .select(col("ORDER_KEY"), col("TOTAL_PRICE"), col("PRICE_BUCKET"))
-        .orderBy("ORDER_KEY")
     },
     Some("""SELECT o_orderkey AS ORDER_KEY, o_totalprice AS TOTAL_PRICE,
       |  CASE WHEN o_totalprice < 50000.0 THEN 'low'
       |       WHEN o_totalprice < 150000.0 THEN 'mid'
       |       ELSE 'high' END AS PRICE_BUCKET
-      |FROM orders ORDER BY ORDER_KEY""".stripMargin)
+      |FROM orders""".stripMargin)
   )
 
   // q30 — min-max scaling: min/max are exact parquet doubles, transform is
@@ -349,11 +339,10 @@ object PreprocessB extends Module {
       o.crossJoin(broadcast(f))
         .select(col("o_orderkey"),
           ((col("o_totalprice") - col("lo")) / (col("hi") - col("lo"))).as("price_mm"))
-        .orderBy("o_orderkey")
     },
     Some("""WITH f AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
       |SELECT o_orderkey, (o_totalprice - lo) / (hi - lo) AS price_mm
-      |FROM orders, f ORDER BY o_orderkey""".stripMargin)
+      |FROM orders, f""".stripMargin)
   )
 
   // q54 — Mahalanobis outlier scoring over (l_quantity, l_discount): the
@@ -396,7 +385,6 @@ object PreprocessB extends Module {
             lit(2.0) * col("a1") * col("a2") * col("v12") +
             col("a2") * col("a2") * col("v11")) / col("det")).as("md2"))
         .withColumn("is_outlier", col("md2") > 13.82)
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some {
       val (x1, x2) = ("l_quantity", "l_discount")
@@ -427,7 +415,7 @@ object PreprocessB extends Module {
          |SELECT l_orderkey, l_linenumber,
          |  (a1 * a1 * v22 - 2.0 * a1 * a2 * v12 + a2 * a2 * v11) / det AS md2,
          |  (a1 * a1 * v22 - 2.0 * a1 * a2 * v12 + a2 * a2 * v11) / det > 13.82 AS is_outlier
-         |FROM a ORDER BY l_orderkey, l_linenumber""".stripMargin
+         |FROM a""".stripMargin
     }
   )
 

@@ -70,14 +70,13 @@ object RelationalA extends Module {
           col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some("""SELECT l_orderkey, l_linenumber, l_quantity,
       |  l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_returnflag = 'R'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |""".stripMargin)
   )
 
   // q03 — multi-way join + aggregate (pd.merge chain). customer joins
@@ -297,7 +296,6 @@ object RelationalA extends Module {
           when(col("l_extendedprice") > col("r"), col("r"))
             .when(col("l_extendedprice") < col("l_b"), col("l_b"))
             .otherwise(col("l_extendedprice")).as("clipped_price"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some {
       val qsql = quantileSql("lineitem", "l_extendedprice", Seq(0.25, 0.75))
@@ -312,7 +310,7 @@ object RelationalA extends Module {
          |       WHEN l_extendedprice < l_b THEN l_b
          |       ELSE l_extendedprice END AS clipped_price
          |FROM lineitem, b
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin
+         |""".stripMargin
     }
   )
 
@@ -503,14 +501,14 @@ object RelationalA extends Module {
         .select(col("c_custkey"), lit("with_orders").as("label"))
       val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit("no_orders").as("label"))
-      semi.unionAll(anti).orderBy("c_custkey", "label")
+      semi.unionAll(anti)
     },
     Some("""SELECT c_custkey, 'with_orders' AS label FROM customer
       |WHERE c_custkey IN (SELECT o_custkey FROM orders)
       |UNION ALL
       |SELECT c_custkey, 'no_orders' AS label FROM customer
       |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-      |ORDER BY c_custkey, label""".stripMargin)
+      |""".stripMargin)
   )
 
   // q16 — pd.pivot_table with sum aggregation over an enumerable domain.
@@ -540,12 +538,12 @@ object RelationalA extends Module {
       val su = Tables.supplier(s, d)
         .select(col("s_suppkey").as("key"), col("s_name").as("name"),
           col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
-      c.unionAll(su).orderBy("kind", "key")
+      c.unionAll(su)
     },
     Some("""SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
       |UNION ALL
       |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
-      |ORDER BY kind, key""".stripMargin)
+      |""".stripMargin)
   )
 
   // q18 — deterministic hash split (train_test_split with a fixed seed):
@@ -620,7 +618,6 @@ object RelationalA extends Module {
       c.join(broadcast(fit), col("c_mktsegment") === col("seg"))
         .select(col("c_custkey"), col("c_mktsegment"),
           ((col("c_acctbal") - col("mu")) / col("sigma")).as("acctbal_z"))
-        .orderBy("c_custkey")
     },
     Some(s"""WITH g AS (
       |  SELECT c_custkey, c_mktsegment, c_acctbal,
@@ -631,7 +628,7 @@ object RelationalA extends Module {
       |  WINDOW w AS (PARTITION BY c_mktsegment))
       |SELECT c_custkey, c_mktsegment,
       |  (c_acctbal - sx / n / 1000.0) / (SQRT((sxx - (sx * sx) / n) / n) / 1000.0) AS acctbal_z
-      |FROM g ORDER BY c_custkey""".stripMargin)
+      |FROM g""".stripMargin)
   )
 
   // q33 — grouped exact quantiles (the EDA boxplot-per-category). NOT a
@@ -683,14 +680,13 @@ object RelationalA extends Module {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey").as("top_orderkey"),
           col("o_totalprice").as("top_price"))
-        .orderBy("o_custkey")
     },
     Some("""SELECT o_custkey, o_orderkey AS top_orderkey, o_totalprice AS top_price
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        ROW_NUMBER() OVER (PARTITION BY o_custkey
       |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |      FROM orders)
-      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+      |WHERE rn = 1""".stripMargin)
   )
 
   // q35 — rollup subtotals (pd.pivot_table margins=True): one pass, Spark
@@ -880,14 +876,13 @@ object RelationalA extends Module {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "variable", "value")
-        .orderBy("l_orderkey", "l_linenumber", "variable")
     },
     Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin)
+      |""".stripMargin)
   )
 
   // q37 — deterministic sampling (df.sample with a seed): hash-gated scan
@@ -901,11 +896,10 @@ object RelationalA extends Module {
       Tables.orders(s, d)
         .filter((col("o_orderkey") % lit(1000000007L)) * lit(654435747L) % lit(1000000007L) % 100 < 10)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE (((o_orderkey % 1000000007) * 654435747) % 1000000007) % 100 < 10
-      |ORDER BY o_orderkey""".stripMargin)
+      |""".stripMargin)
   )
 
   // q40 — full cube (all 2^k grouping sets, the rollup sibling): one pass,
@@ -947,7 +941,6 @@ object RelationalA extends Module {
         .withColumn("n_f", count(lit(1)).over(w))
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           (col("s_qz").cast("double") / lit(1000.0) / col("n_f").cast("double")).as("moving_avg"))
-        .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(SUM(CAST(ROUND(o_totalprice * 1000.0) AS BIGINT)) OVER w AS DOUBLE) / 1000.0
@@ -955,7 +948,7 @@ object RelationalA extends Module {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      |""".stripMargin)
   )
 
   // q42 — explicit GROUPING SETS ((flag), (status)): the two marginal
@@ -1054,7 +1047,6 @@ object RelationalA extends Module {
           when(col("l_extendedprice") > col("r_b"), col("r_b"))
             .when(col("l_extendedprice") < col("lo_b"), col("lo_b"))
             .otherwise(col("l_extendedprice")).as("clipped_price"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some("""WITH r AS (
       |  SELECT l_returnflag AS g, l_extendedprice AS x,
@@ -1083,7 +1075,7 @@ object RelationalA extends Module {
       |       WHEN l.l_extendedprice < f.lo_b THEN f.lo_b
       |       ELSE l.l_extendedprice END AS clipped_price
       |FROM lineitem l JOIN f ON l.l_returnflag = f.g
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |""".stripMargin)
   )
 
   // q44 — per-user ordered conversion funnel over events (view → click →
@@ -1113,7 +1105,6 @@ object RelationalA extends Module {
             .when(col("t_click").isNotNull, 2)
             .when(col("t_view").isNotNull, 1)
             .otherwise(0).cast("int").as("stage"))
-        .orderBy("user_id")
     },
     Some("""WITH v AS (
       |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
@@ -1129,7 +1120,7 @@ object RelationalA extends Module {
       |  CAST(CASE WHEN MIN(t_purchase) IS NOT NULL THEN 3
       |       WHEN MIN(t_click) IS NOT NULL THEN 2
       |       WHEN MIN(t_view) IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
-      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin)
+      |FROM p GROUP BY user_id""".stripMargin)
   )
 
   // q45 — decile assignment without a global sort. The naive form is
@@ -1151,13 +1142,12 @@ object RelationalA extends Module {
         acc + when(col("o_totalprice") > lit(f), lit(1L)).otherwise(lit(0L))
       }
       o.select(col("o_orderkey"), col("o_totalprice"), decile.as("decile"))
-        .orderBy("o_orderkey")
     },
     Some(
       s"""WITH f AS (${quantileSql("orders", "o_totalprice", (1 to 9).map(_ / 10.0))})
          |SELECT o.o_orderkey, o.o_totalprice,
          |  CAST(1 + (SELECT COUNT(*) FROM f WHERE o.o_totalprice > f.value) AS BIGINT) AS decile
-         |FROM orders o ORDER BY o_orderkey""".stripMargin)
+         |FROM orders o""".stripMargin)
   )
 
   // q46 — full outer join of two sparse per-hour aggregates (signup vs
@@ -1179,7 +1169,6 @@ object RelationalA extends Module {
           coalesce(col("n_signup"), lit(0L)).as("n_signup"),
           coalesce(col("n_error"), lit(0L)).as("n_error"),
           (col("n_signup").isNotNull && col("n_error").isNotNull).as("in_both"))
-        .orderBy("h")
     },
     Some("""WITH s AS (
       |  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_signup
@@ -1191,7 +1180,7 @@ object RelationalA extends Module {
       |  COALESCE(s.n_signup, 0) AS n_signup,
       |  COALESCE(e.n_error, 0) AS n_error,
       |  s.h IS NOT NULL AND e.h IS NOT NULL AS in_both
-      |FROM s FULL JOIN e ON s.h = e.h ORDER BY h""".stripMargin)
+      |FROM s FULL JOIN e ON s.h = e.h""".stripMargin)
   )
 
   // q47 — set operators (INTERSECT / EXCEPT), the distinct-set siblings
@@ -1209,7 +1198,7 @@ object RelationalA extends Module {
         .select(col("user_id"), lit("click_and_purchase").as("cohort"))
       val only = ids("click").except(ids("purchase"))
         .select(col("user_id"), lit("click_only").as("cohort"))
-      both.unionByName(only).orderBy("cohort", "user_id")
+      both.unionByName(only)
     },
     Some("""SELECT user_id, 'click_and_purchase' AS cohort FROM (
       |  SELECT user_id FROM events WHERE event_type = 'click'
@@ -1220,7 +1209,7 @@ object RelationalA extends Module {
       |  SELECT user_id FROM events WHERE event_type = 'click'
       |  EXCEPT
       |  SELECT user_id FROM events WHERE event_type = 'purchase')
-      |ORDER BY cohort, user_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // q48 — EXACT global percent_rank for every row with NO global sort.
@@ -1248,7 +1237,6 @@ object RelationalA extends Module {
       val (lo, hi, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
       if (lo == hi) {
         o.select(col("o_orderkey"), col("o_totalprice"), lit(0.0).as("pr"))
-          .orderBy("o_orderkey")
       } else {
         val bCol = least(width_bucket(col("o_totalprice"), lit(lo), lit(hi),
           lit(65536)), lit(65536L))
@@ -1274,12 +1262,11 @@ object RelationalA extends Module {
         diverse.unionByName(point)
           .select(col("o_orderkey"), col("o_totalprice"),
             ((col("grank") - lit(1L)).cast("double") / lit((n - 1).toDouble)).as("pr"))
-          .orderBy("o_orderkey")
       }
     },
     Some("""SELECT o_orderkey, o_totalprice,
       |  percent_rank() OVER (ORDER BY o_totalprice) AS pr
-      |FROM orders ORDER BY o_orderkey""".stripMargin)
+      |FROM orders""".stripMargin)
   )
 
   // q49 — ordered string aggregation (LISTAGG / string_agg / pandas
@@ -1317,7 +1304,6 @@ object RelationalA extends Module {
       graft.plans.GraftOps.groupedTopK(
           Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
           Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
-        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey, o_totalprice
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1325,7 +1311,7 @@ object RelationalA extends Module {
       |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |      FROM orders)
       |WHERE rn <= 3
-      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      |""".stripMargin)
   )
 
   // q51 — exact distinct users per hour. COUNT(DISTINCT) is the classic
@@ -1340,12 +1326,11 @@ object RelationalA extends Module {
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count_distinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
-        .orderBy("h")
     },
     Some("""SELECT date_trunc('hour', ts) AS h,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(COUNT(*) AS BIGINT) AS n_events
-      |FROM events GROUP BY 1 ORDER BY h""".stripMargin)
+      |FROM events GROUP BY 1""".stripMargin)
   )
 
   // q52 — RANGE-framed window (the time-based sibling of q39's
@@ -1370,13 +1355,12 @@ object RelationalA extends Module {
           sum(d6(col("o_totalprice"))).over(w).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("spend_7d"))
-        .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
       |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
-      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+      |FROM orders""".stripMargin)
   )
 
   // q53 — hour-over-hour cohort retention: of the distinct users active
@@ -1398,7 +1382,6 @@ object RelationalA extends Module {
           sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("n_retained"))
         .select(col("h"), col("n_active"), col("n_retained"),
           (col("n_retained").cast("double") / col("n_active").cast("double")).as("retention"))
-        .orderBy("h")
     },
     Some("""WITH hu AS (
       |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
@@ -1408,7 +1391,7 @@ object RelationalA extends Module {
       |    CAST(COUNT(*) AS DOUBLE) AS retention
       |FROM hu a LEFT JOIN hu b
       |  ON b.h = a.h + INTERVAL 1 HOUR AND b.user_id = a.user_id
-      |GROUP BY a.h ORDER BY a.h""".stripMargin)
+      |GROUP BY a.h""".stripMargin)
   )
 
   // q55 — 2-D fixed-grid histogram (the EDA heatmap/hexbin source):
