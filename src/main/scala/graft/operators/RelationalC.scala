@@ -116,7 +116,6 @@ object RelationalC extends Module {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma"))
-        .orderBy("o_custkey", "o_orderkey")
     },
     Some {
       def lagz(j: Int): String =
@@ -129,7 +128,7 @@ object RelationalC extends Module {
          |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100.0 AS ewma
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         |ORDER BY o_custkey, o_orderkey""".stripMargin
+         |""".stripMargin
     }
   )
 
@@ -149,7 +148,6 @@ object RelationalC extends Module {
           (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("price_diff"),
           datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
             .cast("long").as("days_since"))
-        .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey, o_totalprice,
       |  o_totalprice - LAG(o_totalprice, 1) OVER w AS price_diff,
@@ -157,7 +155,7 @@ object RelationalC extends Module {
       |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      |""".stripMargin)
   )
 
   // q60 — grouped median absolute deviation (the robust scale estimate
@@ -273,7 +271,6 @@ object RelationalC extends Module {
           count(lit(1)).as("n_events"),
           sum(when(col("ts_ms") < col("hwm_ms") - lit(600000L), 1L).otherwise(0L)).as("n_late"),
           max(greatest(coalesce(col("hwm_ms") - col("ts_ms"), lit(0L)), lit(0L))).as("max_disorder_ms"))
-        .orderBy("h")
     },
     Some("""WITH e AS (
       |  SELECT date_trunc('hour', ts) AS h,
@@ -284,7 +281,7 @@ object RelationalC extends Module {
       |SELECT h, CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(SUM(CASE WHEN ts_ms < hwm_ms - 600000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
       |  CAST(MAX(GREATEST(COALESCE(hwm_ms - ts_ms, 0), 0)) AS BIGINT) AS max_disorder_ms
-      |FROM e GROUP BY h ORDER BY h""".stripMargin)
+      |FROM e GROUP BY h""".stripMargin)
   )
 
   // q63 — EXACT percent_rank per row WITHIN low-cardinality groups
@@ -337,12 +334,11 @@ object RelationalC extends Module {
           when(col("ng") > 1L,
             (col("grank") - lit(1L)).cast("double") / (col("ng") - lit(1L)).cast("double"))
             .otherwise(lit(0.0)).as("pr"))
-        .orderBy("l_orderkey", "l_linenumber")
     },
     Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
       |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS pr
       |FROM lineitem WHERE l_extendedprice IS NOT NULL
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |""".stripMargin)
   )
 
   // q64 — Welch two-sample t-test between the open/finished lineitem
@@ -836,9 +832,9 @@ object RelationalC extends Module {
 
   private val q72 = Q(
     "q72_seasonal",
-    (s, d) => decomposed(s, d).orderBy("h"),
+    (s, d) => decomposed(s, d),
     Some(s"""WITH $decomposedSql
-      |SELECT h, y, trend, seasonal, residual FROM decomp ORDER BY h""".stripMargin)
+      |SELECT h, y, trend, seasonal, residual FROM decomp""".stripMargin)
   )
 
   // q73 — Theil–Sen robust trend of the hourly event series: the slope
@@ -1343,7 +1339,6 @@ object RelationalC extends Module {
           when(col("n_s") > col("n_sf"),
             (col("y_s") - col("y_sf")).cast("double") /
               (col("n_s") - col("n_sf")).cast("double")).as("te"))
-        .orderBy("c_custkey")
     },
     Some("""WITH c AS (
       |  SELECT c_custkey, c_mktsegment AS segment,
@@ -1364,7 +1359,7 @@ object RelationalC extends Module {
       |       END AS te
       |FROM c JOIN sf ON c.segment = sf.s_seg AND c.fold = sf.s_fold
       |JOIN st ON c.segment = st.t_seg
-      |ORDER BY c_custkey""".stripMargin)
+      |""".stripMargin)
   )
 
   // q81 — standardized residuals of the contingency table (the

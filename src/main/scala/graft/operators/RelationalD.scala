@@ -389,7 +389,6 @@ object RelationalD extends Module {
         .withColumn("cusum", col("scaled").cast("double") / lit(n.toDouble))
         .withColumn("is_peak", abs(col("scaled")) === max(abs(col("scaled"))).over(wa))
         .select(col("h"), col("y"), col("cusum"), col("is_peak"))
-        .orderBy("h")
     },
     Some(s"""WITH $hourlySql,
       |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS sy FROM series),
@@ -401,7 +400,7 @@ object RelationalD extends Module {
       |SELECT h, y,
       |  CAST(scaled AS DOUBLE) / CAST((SELECT n FROM g) AS DOUBLE) AS cusum,
       |  ABS(scaled) = MAX(ABS(scaled)) OVER () AS is_peak
-      |FROM c ORDER BY h""".stripMargin)
+      |FROM c""".stripMargin)
   )
 
   // q88 — OLS of price on quantity WITHIN each return-flag group (the
@@ -663,7 +662,6 @@ object RelationalD extends Module {
           when(col("rn") > 1L,
             sqrt((col("css") - col("cs") * col("cs") / n) / (n - lit(1.0))) / lit(100.0))
             .as("exp_std"))
-        .orderBy("o_custkey", "o_orderkey")
     },
     Some(s"""SELECT o_custkey, o_orderkey, rn AS n,
       |  (cs / CAST(rn AS DOUBLE)) / 100.0 AS exp_mean,
@@ -681,7 +679,7 @@ object RelationalD extends Module {
       |    FROM orders)
       |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      |""".stripMargin)
   )
 
   // q93 — RFM customer segmentation (the classic recency/frequency/
@@ -719,7 +717,6 @@ object RelationalD extends Module {
           code("monetary_cents").as("m_code"))
         .withColumn("rfm",
           col("r_code") * 100L + col("f_code") * 10L + col("m_code"))
-        .orderBy("o_custkey")
     },
     Some {
       def fenceSql(c: String): String =
@@ -750,7 +747,7 @@ object RelationalD extends Module {
          |SELECT o_custkey, recency_days, frequency, monetary_cents,
          |  r_code, f_code, m_code,
          |  r_code * 100 + f_code * 10 + m_code AS rfm
-         |FROM coded ORDER BY o_custkey""".stripMargin
+         |FROM coded""".stripMargin
     }
   )
 
@@ -797,7 +794,6 @@ object RelationalD extends Module {
           (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
           (col("n_ab").cast("double") * col("big_n") /
             (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
-        .orderBy("pk_a", "pk_b")
     },
     // Oracle is basket-shaped like the engine (r13): the old
     // items-self-join e0 built a ~550M-row hash join at sf100 and
@@ -823,7 +819,7 @@ object RelationalD extends Module {
       |  CAST(n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE) AS confidence,
       |  CAST(n_ab AS DOUBLE) * n.big_n / (CAST(ia.n_i AS DOUBLE) * CAST(ib.n_i AS DOUBLE)) AS lift
       |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk, n
-      |ORDER BY pk_a, pk_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // q95 — as-of join with a tolerance bound (pandas
@@ -854,7 +850,6 @@ object RelationalD extends Module {
           when(fresh, col("asof_event_id")).as("asof_event_id"),
           when(fresh, col("asof_value")).as("asof_value"),
           fresh.as("matched"))
-        .orderBy("event_id")
     },
     Some("""WITH t AS (
       |  SELECT event_id, user_id, ts, event_type, value,
@@ -873,7 +868,7 @@ object RelationalD extends Module {
       |  CASE WHEN asof_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(asof_ts) <= 86400000
       |    THEN asof_value END AS asof_value,
       |  COALESCE(asof_ts IS NOT NULL AND epoch_ms(ts) - epoch_ms(asof_ts) <= 86400000, FALSE) AS matched
-      |FROM t WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
+      |FROM t WHERE event_type = 'click'""".stripMargin)
   )
 
   // ap_kmv_overlap — K-minimum-values set-algebra sketches over the
@@ -1103,7 +1098,7 @@ object RelationalD extends Module {
             col("l_orderkey"), col("l_partkey")))
         .filter(col("n_ab") >= 2L)
         .select(col("pk_a").as("src"), col("pk_b").as("dst"))
-      Graph.kcore(edges, k = 3).orderBy("id")
+      Graph.kcore(edges, k = 3)
     },
     Some {
       val rounds = 40
@@ -1136,7 +1131,7 @@ object RelationalD extends Module {
          |$peels
          |SELECT id, COUNT(*) AS deg
          |FROM (SELECT src AS id FROM e$rounds UNION ALL SELECT dst FROM e$rounds)
-         |GROUP BY id HAVING COUNT(*) >= 3 ORDER BY id""".stripMargin
+         |GROUP BY id HAVING COUNT(*) >= 3""".stripMargin
     }
   )
 
@@ -1201,7 +1196,6 @@ object RelationalD extends Module {
             .otherwise("C"))
         .select(col("l_partkey"), (col("cents").cast("double") / lit(100.0)).as("revenue"),
           col("cum_share"), col("abc_class"))
-        .orderBy(desc("revenue"), col("l_partkey"))
     },
     Some(s"""WITH per_part AS (
       |  SELECT l_partkey,
@@ -1221,7 +1215,7 @@ object RelationalD extends Module {
       |  CASE WHEN cum_share <= 0.80 THEN 'A'
       |       WHEN cum_share <= 0.95 THEN 'B'
       |       ELSE 'C' END AS abc_class
-      |FROM sh ORDER BY revenue DESC, l_partkey""".stripMargin)
+      |FROM sh""".stripMargin)
   )
 
   // q100 — Bollinger bands per customer (rolling mean ± 2σ over the
@@ -1258,7 +1252,6 @@ object RelationalD extends Module {
             col("z").cast("double") / lit(100.0) > mean + lit(2.0) * std ||
               col("z").cast("double") / lit(100.0) < mean - lit(2.0) * std)
             .as("outside"))
-        .orderBy("o_custkey", "o_orderkey")
     },
     Some("""WITH b AS (
       |  SELECT o_custkey, o_orderkey,
@@ -1281,7 +1274,7 @@ object RelationalD extends Module {
       |    price > (cs / CAST(wn AS DOUBLE)) / 100.0 + 2.0 * (SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0)
       |    OR price < (cs / CAST(wn AS DOUBLE)) / 100.0 - 2.0 * (SQRT((css - cs * cs / CAST(wn AS DOUBLE)) / (CAST(wn AS DOUBLE) - 1.0)) / 100.0)
       |  END AS outside
-      |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin)
+      |FROM b""".stripMargin)
   )
 
   // q101 — robust outlier flags via the modified z-score (Iglewicz &
@@ -1303,7 +1296,6 @@ object RelationalD extends Module {
       o.select(col("o_orderkey"), col("o_totalprice"),
           mz.as("modified_z"),
           (abs(mz) > lit(3.5)).as("is_outlier"))
-        .orderBy("o_orderkey")
     },
     Some {
       def medSql(src: String, x: String, out: String): String =
@@ -1325,7 +1317,7 @@ object RelationalD extends Module {
          |SELECT o_orderkey, o_totalprice,
          |  0.6745 * (o_totalprice - (SELECT value FROM med)) / (SELECT value FROM madv) AS modified_z,
          |  ABS(0.6745 * (o_totalprice - (SELECT value FROM med)) / (SELECT value FROM madv)) > 3.5 AS is_outlier
-         |FROM orders ORDER BY o_orderkey""".stripMargin
+         |FROM orders""".stripMargin
     }
   )
 
@@ -1750,7 +1742,6 @@ object RelationalD extends Module {
       dec.select(col("h"), col("y"), col("residual"),
           mz.as("robust_z"),
           (abs(mz) > lit(3.5)).as("is_anomaly"))
-        .orderBy("h")
     },
     Some {
       def medSql(src: String, x: String, out: String): String =
@@ -1773,7 +1764,7 @@ object RelationalD extends Module {
          |SELECT h, y, residual,
          |  0.6745 * (residual - (SELECT value FROM med)) / (SELECT value FROM madv) AS robust_z,
          |  ABS(0.6745 * (residual - (SELECT value FROM med)) / (SELECT value FROM madv)) > 3.5 AS is_anomaly
-         |FROM decomp ORDER BY h""".stripMargin
+         |FROM decomp""".stripMargin
     }
   )
 
@@ -1804,7 +1795,6 @@ object RelationalD extends Module {
         .select(col("cohort_day"), col("day_offset"), col("active"), col("cohort_n"),
           (col("active").cast("double") / col("cohort_n").cast("double"))
             .as("retention"))
-        .orderBy("cohort_day", "day_offset")
     },
     Some("""WITH ud AS (
       |  SELECT DISTINCT user_id,
@@ -1823,7 +1813,7 @@ object RelationalD extends Module {
       |SELECT cells.cohort_day, day_offset, active, cohort_n,
       |  CAST(active AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention
       |FROM cells JOIN sizes ON cells.cohort_day = sizes.cohort_day
-      |ORDER BY cells.cohort_day, day_offset""".stripMargin)
+      |""".stripMargin)
   )
 
   // q110 — strength of trend / seasonality (the tsfeatures

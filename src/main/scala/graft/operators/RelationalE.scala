@@ -234,7 +234,6 @@ object RelationalE extends Module {
             sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"),
           (col("n_ab").cast("double") /
             (col("n_a") + col("n_b") - col("n_ab")).cast("double")).as("jaccard"))
-        .orderBy("pk_a", "pk_b")
     },
     // Basket-shaped oracle like q94's (r13): join-free pair expansion
     // replaces the items self-join that spilled DuckDB past the sf100
@@ -256,7 +255,7 @@ object RelationalE extends Module {
       |  CAST(n_ab AS DOUBLE) / SQRT(CAST(ia.n_i * ib.n_i AS DOUBLE)) AS cosine,
       |  CAST(n_ab AS DOUBLE) / CAST(ia.n_i + ib.n_i - n_ab AS DOUBLE) AS jaccard
       |FROM p JOIN ic ia ON p.pk_a = ia.pk JOIN ic ib ON p.pk_b = ib.pk
-      |ORDER BY pk_a, pk_b""".stripMargin)
+      |""".stripMargin)
   )
 
   // q114 — triangle census of the co-purchase graph (global clustering
@@ -648,7 +647,6 @@ object RelationalE extends Module {
           col("y").cast("double") > col("mu"))
         .select(col("h"), col("y"),
           (col("y").cast("double") / col("mu")).as("rel_height"))
-        .orderBy("h")
     },
     Some(s"""WITH $hourlySql,
       |m AS (SELECT CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu FROM series),
@@ -663,7 +661,7 @@ object RelationalE extends Module {
       |  AND y_p1 IS NOT NULL AND y_p2 IS NOT NULL
       |  AND y > y_m1 AND y > y_m2 AND y > y_p1 AND y > y_p2
       |  AND CAST(y AS DOUBLE) > m.mu
-      |ORDER BY h""".stripMargin)
+      |""".stripMargin)
   )
 
   // q119 — Mann–Kendall trend test on the hourly series (the
@@ -752,7 +750,6 @@ object RelationalE extends Module {
         .agg(sum(col("len")).as("n_active_days"),
           count(lit(1)).as("n_streaks"),
           max(col("len")).as("longest_streak"))
-        .orderBy("user_id")
     },
     Some("""WITH days AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -768,7 +765,7 @@ object RelationalE extends Module {
       |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
       |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
       |  CAST(MAX(len) AS BIGINT) AS longest_streak
-      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
+      |FROM runs GROUP BY user_id""".stripMargin)
   )
 
   // q121 — top-20 revenue rank churn between the first and second half
@@ -812,7 +809,6 @@ object RelationalE extends Module {
             .when(col("rank_cur") < col("rank_prev"), lit("up"))
             .when(col("rank_cur") > col("rank_prev"), lit("down"))
             .otherwise(lit("flat")).as("status"))
-        .orderBy("pk")
     },
     // li NOT MATERIALIZED: fact-width multi-use CTE — DuckDB's default
     // would buffer every projected fact row to temp (the q132 sf100
@@ -843,7 +839,7 @@ object RelationalE extends Module {
       |       WHEN rank_cur > rank_prev THEN 'down'
       |       ELSE 'flat' END AS status
       |FROM j WHERE rank_prev <= 20 OR rank_cur <= 20
-      |ORDER BY pk""".stripMargin)
+      |""".stripMargin)
   )
 
   // q122 — Bowley (quartile) skewness + quartile coefficient of
@@ -986,7 +982,6 @@ object RelationalE extends Module {
           when(vx > 0.0 && vy > 0.0, (n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))))
         .filter(col("rn") === 24)
         .select(col("h"), col("x"), col("y"), col("r24"))
-        .orderBy("h")
     },
     Some("""WITH counts AS (
       |  SELECT date_trunc('hour', ts) AS h,
@@ -1013,7 +1008,7 @@ object RelationalE extends Module {
       |    THEN (24.0 * sxy - sx * sy)
       |      / (SQRT(24.0 * sxx - sx * sx) * SQRT(24.0 * syy - sy * sy))
       |  END AS r24
-      |FROM win WHERE rn = 24 ORDER BY h""".stripMargin)
+      |FROM win WHERE rn = 24""".stripMargin)
   )
 
   // q125 — recency-decayed customer value (the marketing "decayed LTV"
@@ -1044,7 +1039,6 @@ object RelationalE extends Module {
           sum(col("cents")).as("total_cents"),
           (sum(col("contrib")).cast("double") / lit(1048576.0) / lit(100.0))
             .as("decayed_value"))
-        .orderBy("o_custkey")
     },
     // li NOT MATERIALIZED: fact-width multi-use CTE — DuckDB's default
     // would buffer every projected fact row to temp (the q132 sf100
@@ -1064,7 +1058,7 @@ object RelationalE extends Module {
       |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
       |  CAST(SUM(cents) AS BIGINT) AS total_cents,
       |  CAST(SUM(contrib) AS DOUBLE) / 1048576.0 / 100.0 AS decayed_value
-      |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+      |FROM w GROUP BY o_custkey""".stripMargin)
   )
 
   // q126 — linear multi-touch attribution (every click in the 24h
@@ -1096,7 +1090,6 @@ object RelationalE extends Module {
         .select(col("purchase_id"), col("click_id"), col("user_id"),
           col("n_touches"),
           (lit(1.0) / col("n_touches").cast("double")).as("credit"))
-        .orderBy("purchase_id", "click_id")
     },
     Some("""WITH p AS (
       |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
@@ -1111,7 +1104,7 @@ object RelationalE extends Module {
       |SELECT purchase_id, click_id, user_id,
       |  CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
       |  1.0 / CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS DOUBLE) AS credit
-      |FROM pairs ORDER BY purchase_id, click_id""".stripMargin)
+      |FROM pairs""".stripMargin)
   )
 
   // q127 — maximum drawdown of the run-rate-adjusted revenue curve
@@ -1153,7 +1146,6 @@ object RelationalE extends Module {
           col("drawdown").cast("double").as("dd_scaled"),
           (col("drawdown").cast("double") / (lit(n.toDouble) * lit(100.0)))
             .as("drawdown_dollars"))
-        .orderBy("day")
     },
     Some("""WITH daily AS (
       |  SELECT date_trunc('day', o_orderdate) AS day,
@@ -1182,7 +1174,7 @@ object RelationalE extends Module {
       |  CAST(dev AS DOUBLE) AS dev_scaled,
       |  CAST(peak - dev AS DOUBLE) AS dd_scaled,
       |  CAST(peak - dev AS DOUBLE) / ((SELECT CAST(n AS DOUBLE) FROM tot) * 100.0) AS drawdown_dollars
-      |FROM c3 ORDER BY day""".stripMargin)
+      |FROM c3""".stripMargin)
   )
 
   // q128 — inter-arrival time distribution on DYADIC buckets (the
@@ -1267,7 +1259,6 @@ object RelationalE extends Module {
           when(col("n_churned") > 0L,
             (col("n_new") + col("n_resurrected")).cast("double") /
               col("n_churned").cast("double")))
-        .orderBy("day")
     },
     Some("""WITH days AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -1303,7 +1294,7 @@ object RelationalE extends Module {
       |  CASE WHEN n_churned > 0
       |    THEN CAST(n_new + n_resurrected AS DOUBLE) / CAST(n_churned AS DOUBLE)
       |  END AS quick_ratio
-      |FROM g ORDER BY day""".stripMargin)
+      |FROM g""".stripMargin)
   )
 
   // q130 — DAU/MAU stickiness per day (how much of the monthly
@@ -1333,7 +1324,6 @@ object RelationalE extends Module {
         .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
           (coalesce(col("dau"), lit(0L)).cast("double") / col("mau").cast("double"))
             .as("stickiness"))
-        .orderBy("day")
     },
     Some("""WITH days AS (
       |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -1348,7 +1338,7 @@ object RelationalE extends Module {
       |SELECT mau.day AS day, COALESCE(dau.dau, 0) AS dau, mau.mau,
       |  CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
       |FROM mau LEFT JOIN dau ON mau.day = dau.day
-      |ORDER BY day""".stripMargin)
+      |""".stripMargin)
   )
 
   // q131 — customer value-segment migration matrix between the two

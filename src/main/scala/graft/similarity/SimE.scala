@@ -198,7 +198,6 @@ object SimE extends Module {
           Similarity.cosineQ(col("q_qvec"), col("c_qvec"),
             col("q_qnorm"), col("c_qnorm")).as("cosine"))
         .filter(col("cosine") >= 0.25)
-        .orderBy("query_id", "corpus_id")
     },
     Some("""WITH q AS (
       |  SELECT vec_id,
@@ -214,7 +213,7 @@ object SimE extends Module {
       |  CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) AS cosine
       |FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = corpus_id
       |WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.nq AS DOUBLE)) * SQRT(CAST(nb.nq AS DOUBLE))) >= 0.25
-      |ORDER BY query_id, corpus_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // emb_knn_classify — k-NN label prediction (the classify-by-neighbors
@@ -307,7 +306,6 @@ object SimE extends Module {
         .select(col("vec_id"), col("label"),
           (col("dot") / (sqrt(col("nv")) * sqrt(col("nc")))).as("centroid_cos"))
         .withColumn("flagged", col("centroid_cos") < lit(0.1))
-        .orderBy("vec_id")
     },
     Some(s"""WITH q AS (
       |  SELECT vec_id, label,
@@ -326,7 +324,7 @@ object SimE extends Module {
       |  d.dot / (SQRT(d.nv) * SQRT(n.nc)) AS centroid_cos,
       |  d.dot / (SQRT(d.nv) * SQRT(n.nc)) < 0.1 AS flagged
       |FROM dots d JOIN cnorm n ON d.label = n.n_label
-      |ORDER BY vec_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // emb_dim_stats — per-dimension embedding statistics (the embedding

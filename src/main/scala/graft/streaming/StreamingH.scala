@@ -54,7 +54,6 @@ object StreamingH extends Module {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
-        .orderBy("user_id", "session_id")
     },
     Some("""WITH s AS (
       |  SELECT user_id, ts, event_id,
@@ -70,7 +69,7 @@ object StreamingH extends Module {
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM sid GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // st_dedup — exactly-once ingest dedup by event_id (the standard
@@ -81,9 +80,9 @@ object StreamingH extends Module {
   // emits exactly the batch result.
   private val stDedup = Q(
     "st_dedup",
-    (s, d) => Streaming.dedup(Tables.events(s, d)).orderBy("event_id"),
+    (s, d) => Streaming.dedup(Tables.events(s, d)),
     Some("""SELECT event_id, ts, user_id, event_type, value
-      |FROM events ORDER BY event_id""".stripMargin)
+      |FROM events""".stripMargin)
   )
 
   // st_asof — as-of join: every click event carries the user's most
@@ -104,7 +103,6 @@ object StreamingH extends Module {
           last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(w))
         .filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts", "asof_event_id", "asof_value")
-        .orderBy("event_id")
     },
     Some("""WITH t AS (
       |  SELECT event_id, user_id, ts, event_type,
@@ -116,7 +114,7 @@ object StreamingH extends Module {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
       |SELECT event_id, user_id, ts, asof_event_id, asof_value FROM t
-      |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)
+      |WHERE event_type = 'click'""".stripMargin)
   )
 
   // st_interval_join — every (click, purchase) pair of the same user with
@@ -127,15 +125,14 @@ object StreamingH extends Module {
   // by watermark + join window, the canonical Structured Streaming shape.
   private val stIntervalJoin = Q(
     "st_interval_join",
-    (s, d) => Streaming.intervalJoin(Tables.events(s, d))
-      .orderBy("click_id", "purchase_id"),
+    (s, d) => Streaming.intervalJoin(Tables.events(s, d)),
     Some("""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
       |  p.event_id AS purchase_id, p.ts AS purchase_ts, p.value AS purchase_value
       |FROM events c JOIN events p
       |  ON c.user_id = p.user_id
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 24 HOUR
-      |ORDER BY click_id, purchase_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // st_interval_join_left — st_interval_join's LEFT OUTER sibling: every
@@ -150,8 +147,7 @@ object StreamingH extends Module {
   // watches its NULL row emit after the watermark passes).
   private val stIntervalJoinLeft = Q(
     "st_interval_join_left",
-    (s, d) => Streaming.intervalJoinLeft(Tables.events(s, d))
-      .orderBy("click_id", "purchase_id"),
+    (s, d) => Streaming.intervalJoinLeft(Tables.events(s, d)),
     Some("""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
       |  p.event_id AS purchase_id,
       |  epoch_us(c.ts) - epoch_us(p.ts) AS purchase_age_us,
@@ -161,7 +157,7 @@ object StreamingH extends Module {
       |           WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id
       | AND p.ts <= c.ts AND p.ts > c.ts - INTERVAL 24 HOUR
-      |ORDER BY click_id, purchase_id""".stripMargin)
+      |""".stripMargin)
   )
 
   // st_topk — per-window heavy hitters (top-3 users by event count per 1h
@@ -190,7 +186,6 @@ object StreamingH extends Module {
         .withColumn("rank", row_number().over(globalW).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("window_start"), col("rank"), col("user_id"), col("n_events"))
-        .orderBy("window_start", "rank")
     },
     Some("""WITH c AS (
       |  SELECT date_trunc('hour', ts) AS window_start, user_id, COUNT(*) AS n_events
@@ -201,7 +196,7 @@ object StreamingH extends Module {
       |      ORDER BY n_events DESC, user_id) AS BIGINT) AS rank
       |  FROM c)
       |SELECT window_start, rank, user_id, n_events FROM r
-      |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin)
+      |WHERE rank <= 3""".stripMargin)
   )
 
   // st_cdc — CDC log compaction: the current snapshot per key, latest
@@ -224,13 +219,12 @@ object StreamingH extends Module {
         .select(col("user_id"), col("ts").as("last_ts"),
           col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("value").as("last_value"))
-        .orderBy("user_id")
     },
     Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
       |  event_type AS last_type, value AS last_value
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
       |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-      |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+      |WHERE rn = 1""".stripMargin)
   )
 
   // st_sliding — sliding-window agg (1h every 15min): the overlapping
@@ -240,8 +234,7 @@ object StreamingH extends Module {
   // k ∈ 0..3, each trivially containing ts for a 4-slide window.
   private val stSliding = Q(
     "st_sliding",
-    (s, d) => Streaming.slidingAgg(Tables.events(s, d))
-      .orderBy("window_start", "event_type"),
+    (s, d) => Streaming.slidingAgg(Tables.events(s, d)),
     Some("""WITH x AS (
       |  SELECT make_timestamp(
       |           (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000)
@@ -250,7 +243,7 @@ object StreamingH extends Module {
       |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
       |SELECT window_start, event_type, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(ROUND(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS sum_value
-      |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)
+      |FROM x GROUP BY 1, 2""".stripMargin)
   )
 
   // st_sliding_distinct — EXACT distinct users per sliding 1h/15min
@@ -271,7 +264,6 @@ object StreamingH extends Module {
         .distinct()
         .groupBy(col("w.start").as("window_start"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("window_start")
     },
     Some("""WITH x AS (
       |  SELECT DISTINCT make_timestamp(
@@ -280,7 +272,7 @@ object StreamingH extends Module {
       |         user_id
       |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
       |SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_users
-      |FROM x GROUP BY 1 ORDER BY window_start""".stripMargin)
+      |FROM x GROUP BY 1""".stripMargin)
   )
 
   // st_gap_fill — resample the stream to a regular hourly grid per type:
@@ -310,7 +302,6 @@ object StreamingH extends Module {
         .select(col("h"), col("event_type"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_value"))
-        .orderBy("h", "event_type")
     },
     Some("""WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS h, event_type,
@@ -328,7 +319,7 @@ object StreamingH extends Module {
       |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY s.event_type
       |    ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
       |FROM spine s LEFT JOIN hourly USING (h, event_type)
-      |ORDER BY h, event_type""".stripMargin)
+      |""".stripMargin)
   )
 
   // st_session_window — the same 30-minute-gap sessions through Spark's
@@ -350,7 +341,6 @@ object StreamingH extends Module {
           max(col("ts")).as("session_end"))
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"))
-        .orderBy("user_id", "session_start")
     },
     Some("""WITH s AS (
       |  SELECT user_id, ts,
@@ -366,7 +356,7 @@ object StreamingH extends Module {
       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events
       |FROM sid GROUP BY user_id, session_id
-      |ORDER BY user_id, session_start""".stripMargin)
+      |""".stripMargin)
   )
 
   // st_anomaly — z-score anomaly flags over the hourly count series per
@@ -394,7 +384,6 @@ object StreamingH extends Module {
         .select(col("h"), col("event_type"), col("n_events"),
           ((col("n_events").cast("double") - col("mu")) / col("sigma")).as("z"))
         .withColumn("is_anomaly", abs(col("z")) > 3.0)
-        .orderBy("h", "event_type")
     },
     Some("""WITH hourly AS (
       |  SELECT date_trunc('hour', ts) AS h, event_type,
@@ -411,7 +400,7 @@ object StreamingH extends Module {
       |  (CAST(n_events AS DOUBLE) - mu) / sigma AS z,
       |  ABS((CAST(n_events AS DOUBLE) - mu) / sigma) > 3.0 AS is_anomaly
       |FROM hourly JOIN fit ON hourly.event_type = fit.event_type
-      |ORDER BY h, hourly.event_type""".stripMargin)
+      |""".stripMargin)
   )
 
   // st_enrich — stream-static dimension enrichment (the canonical
@@ -424,15 +413,14 @@ object StreamingH extends Module {
   private val stEnrich = Q(
     "st_enrich",
     (s, d) => Streaming.enrich(Tables.events(s, d),
-        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
-      .orderBy("h", "segment"),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
     Some("""SELECT date_trunc('hour', ts) AS h,
       |  COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
       |  CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       |FROM events LEFT JOIN customer ON user_id = c_custkey
       |WHERE event_type = 'purchase'
-      |GROUP BY 1, 2 ORDER BY h, segment""".stripMargin)
+      |GROUP BY 1, 2""".stripMargin)
   )
 
   // st_scd2 — Slowly-Changing-Dimension Type-2 build from the event
@@ -471,7 +459,6 @@ object StreamingH extends Module {
           lit("2199-12-31 00:00:00").cast("timestamp")))
         .withColumn("is_current",
           col("valid_to") === lit("2199-12-31 00:00:00").cast("timestamp"))
-        .orderBy("user_id", "version")
     },
     Some("""WITH o AS (
       |  SELECT user_id, event_id, ts, event_type,
@@ -493,7 +480,7 @@ object StreamingH extends Module {
       |    TIMESTAMP '2199-12-31 00:00:00') AS valid_to,
       |  COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version),
       |    TIMESTAMP '2199-12-31 00:00:00') = TIMESTAMP '2199-12-31 00:00:00' AS is_current
-      |FROM i ORDER BY user_id, version""".stripMargin)
+      |FROM i""".stripMargin)
   )
 
   override val qs: Seq[Q] = Seq(stWindowAgg, stSessionize, stDedup, stAsof,
