@@ -567,9 +567,22 @@ object GraftFunctions {
       new ExpressionInfo(classOf[StopCounts].getName, "graft_stop_counts"),
       (args: Seq[Expression]) => StopCounts(args.head)))
 
+  /** Sessions already registered — builders call register() on every
+    * query invocation (hundreds of times per bench/verify session), and
+    * each call re-registered all ~15 functions, logging a WARN per
+    * function per call and doing redundant registry writes. Registration
+    * is idempotent, so remember it per session (weak keys: a closed
+    * session must not be pinned).
+    */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit =
-    entries.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      entries.foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     }
 }
 
