@@ -191,7 +191,7 @@ object Bench {
       (-1.0, -1.0)
     }
     println(render(results, counts, sfDir, done, math.min(reps, done), worstRatio(),
-      calibrate(), total001, buildSec, probeSec, DataFp.of(sfDir)))
+      calibrate(), total001, buildSec, probeSec, DataFp.of(sfDir), cpus.toInt))
     spark.stop()
   }
 
@@ -224,7 +224,8 @@ object Bench {
   def render(results: Map[String, (Double, Double)],
       counts: Map[String, Int], sfDir: String, reps: Int, window: Int,
       ratio: Double, calib: Double, total001: Double,
-      ivfpqBuild: Double, ivfpqProbe: Double, dataFp: String): String = {
+      ivfpqBuild: Double, ivfpqProbe: Double, dataFp: String,
+      cpus: Int): String = {
     def json(f: ((Double, Double)) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val sampleJson = counts.map { case (k, v) => "\"" + k + "\":" + v }
@@ -238,6 +239,10 @@ object Bench {
     val t001Str = f"$total001%.4f"
     val buildStr = f"$ivfpqBuild%.4f"
     val probeStr = f"$ivfpqProbe%.4f"
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"calib_sec":$calibStr,"total_sf001":$t001Str,"ivfpq_build_sec":$buildStr,"ivfpq_probe_sec":$probeStr,"data_fp":"$dataFp","sf":"$sfDir"}"""
+    // cpus/master echo the resolved $SPARK_GRAFT_CPUS contract back to the
+    // driver: its 8-vs-32-core scaling heuristic fired a false
+    // `suspect_cpus_ignored` in r14 because the JSON didn't say which core
+    // count produced the run (observability only — no timed-path change)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._1)},"queries_median":${json(_._2)},"samples":$sampleJson,"reps":$reps,"window":$window,"certified":$certified,"median_over_min":$ratioStr,"calib_sec":$calibStr,"total_sf001":$t001Str,"ivfpq_build_sec":$buildStr,"ivfpq_probe_sec":$probeStr,"data_fp":"$dataFp","cpus":$cpus,"master":"local[$cpus]","sf":"$sfDir"}"""
   }
 }

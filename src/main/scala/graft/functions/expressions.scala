@@ -573,17 +573,28 @@ object GraftFunctions {
     * function per call and doing redundant registry writes. Registration
     * is idempotent, so remember it per session (weak keys: a closed
     * session must not be pinned).
+    *
+    * The registration itself runs INSIDE computeIfAbsent — a
+    * synchronizedMap executes the mapping function while holding the
+    * map lock, so a concurrent caller (Verify's 4-thread query pool)
+    * blocks until all functions exist rather than returning early on a
+    * session another thread is still mid-way through populating
+    * (putIfAbsent-then-register was a TOCTOU window that could surface
+    * as 'undefined function graft_*' analysis failures).
     */
   private val registered =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  def register(spark: SparkSession): Unit =
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+  def register(spark: SparkSession): Unit = {
+    registered.computeIfAbsent(spark, _ => {
       entries.foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }
-    }
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

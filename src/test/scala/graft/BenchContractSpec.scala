@@ -17,7 +17,7 @@ class BenchContractSpec extends AnyFunSuite {
       counts = counts, sfDir = "/root/testdata/sf0.1",
       reps = 5, window = 5, ratio = ratio, calib = 0.07,
       total001 = 4.5, ivfpqBuild = 1.2, ivfpqProbe = 0.3,
-      dataFp = "00ff00ff00ff00ff")
+      dataFp = "00ff00ff00ff00ff", cpus = 32)
 
   test("metrics line is a single line of bare JSON") {
     for (l <- Seq(line(1.1, Map("q01_agg" -> 5, "st_window_agg" -> 5)),
@@ -38,7 +38,8 @@ class BenchContractSpec extends AnyFunSuite {
       // the driver-read fields are all present
       Seq("\"value\":", "\"queries\":", "\"samples\":", "\"certified\":",
         "\"median_over_min\":", "\"calib_sec\":", "\"total_sf001\":",
-        "\"ivfpq_build_sec\":", "\"ivfpq_probe_sec\":", "\"data_fp\":", "\"sf\":")
+        "\"ivfpq_build_sec\":", "\"ivfpq_probe_sec\":", "\"data_fp\":",
+        "\"cpus\":", "\"master\":", "\"sf\":")
         .foreach(k => assert(l.contains(k), s"missing $k in: $l"))
     }
   }
